@@ -1,0 +1,59 @@
+package graft
+
+import graft.config._
+import graft.time.DeltaTime
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConfigSpec extends AnyFunSuite {
+
+  // mirrors /root/reference/config/application.toml
+  private val appToml =
+    """
+      |[query]
+      |time_format = "%Y-%m-%dT%H:%M:%SZ"  # reference strptime format
+      |delta_time_start = [0, 0, 0, 0]
+      |delta_time_end = [0, 24, 0, 0]
+      |tz_offset = -8
+      |columns_to_drop = ["result", "table", "_start", "_stop", "_measurement"]
+      |column_key = "id"
+      |bucket = "prototype-zero"
+      |aggregate_function = "last"
+      |aggregate_window = "1s"
+      |filter = 'r["id"] =~ /.*/'
+      |""".stripMargin.replace("'", "\"")
+
+  test("TOML subset parses the reference application.toml shape") {
+    val cfg = ConfigLoader.queryConfig(ConfigLoader.parseToml(appToml)("query"))
+    assert(cfg.bucket == "prototype-zero")
+    assert(cfg.deltaTimeEnd == DeltaTime(0, 24, 0, 0))
+    assert(cfg.tzOffset == -8)
+    assert(cfg.columnsToDrop.contains("_measurement"))
+    assert(cfg.columnKey == "id")
+    assert(cfg.sortBy == Seq("_time", "_field")) // dataclass default (database_extractor.py:153-155)
+  }
+
+  test("defaults match the reference dataclass") {
+    val cfg = ExtractQueryConfig()
+    assert(cfg.filter == "r[\"_measurement\"] =~ /.*/")
+    assert(cfg.columnKey == "id")
+    assert(cfg.aggregateFunction == "last")
+    assert(cfg.aggregateWindow == "1s")
+    assert(cfg.sortBy == Seq("_time", "_field"))
+  }
+
+  test("filter grammar: regex and equality forms") {
+    assert(FilterSpec.parse("r[\"id\"] =~ /.*/") == FilterSpec.Regex("id", ".*"))
+    assert(FilterSpec.parse("r[\"_measurement\"] == \"liner_heater\"") ==
+      FilterSpec.Equals("_measurement", "liner_heater"))
+    intercept[IllegalArgumentException](FilterSpec.parse("1 == 1; DROP TABLE"))
+  }
+
+  test("scalar value forms") {
+    assert(ConfigLoader.parseValue("42") == 42L)
+    assert(ConfigLoader.parseValue("-8") == -8L)
+    assert(ConfigLoader.parseValue("1.5") == 1.5)
+    assert(ConfigLoader.parseValue("true") == true)
+    assert(ConfigLoader.parseValue("[1, 2]") == List(1L, 2L))
+    assert(ConfigLoader.parseValue("[]") == Nil)
+  }
+}
