@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-generated test data (TESTDATA.md).
+  * At 100 TB these would be date-partitioned directories / a catalog
+  * table; the read call is the only thing that changes.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is Parquet INT64 TIMESTAMP(NANOS) (FIXTURES.md §B), which
+    * Spark's vectorized reader rejects. Read it as raw nanos via the
+    * legacy conf and convert with integer division — `ts div 1000` stays
+    * in Long (a double division would lose precision above 2^53 ns).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+  def lineitem(s: SparkSession, dir: String): DataFrame = table(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame = table(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame = table(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = table(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame = table(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame = table(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame = table(s, dir, "region")
+  def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
+}

@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.Tables
+import graft.config.ExtractQueryConfig
+import graft.extract.{Extractor, LongTable}
+import graft.operators.ExtractOps
+import graft.time.DeltaTime
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's own operator surface (SURVEY §2) over the `events`
+  * table — the driver data's time-series analog of the InfluxDB long
+  * format (`ts, event_type, value` ≈ `_time, id/_field, _value`,
+  * FIXTURES.md §B). Every entry has a DuckDB oracle.
+  */
+object ReferenceQueries extends QueryGroup {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val ET = LongTable(timeCol = "ts", valueCol = "value")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SURVEY §7.2 flagship: the whole §3.1 hot path in one plan —
+    // P1 range, P2 regex filter, R1 pivot, A2 1s-resample-last, P5
+    // dropna(all), O1 sort, fused into a single shuffle.
+    "daily_extract" -> ((s, dir) => {
+      Extractor.queryDatabase(
+        Tables.events(s, dir),
+        ExtractQueryConfig(
+          deltaTimeEnd = DeltaTime(hours = 24),
+          filter = "r[\"event_type\"] =~ /.*/",
+          columnKey = "event_type",
+          sortBy = Seq("ts")),
+        queryTime = "2024-01-02T00:00:00Z",
+        table = ET,
+        pivotKeys = Some(EventTypes))
+    }),
+
+    // P1 — half-open time-range prune, pushed to the parquet scan.
+    "time_range_filter" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .transform(ExtractOps.timeRange("ts", "2024-01-05T00:00:00Z", "2024-01-07T00:00:00Z"))
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
+    // P2 — regex row filter (`r["id"] =~ /re/` form).
+    "regex_filter" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .transform(ExtractOps.rowFilter("r[\"event_type\"] =~ /^(click|error)$/"))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
+    // P3 — equality row filter (`r["_measurement"] == "v"` form).
+    "equality_filter" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .transform(ExtractOps.rowFilter("r[\"event_type\"] == \"purchase\""))
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
+    // P4 — drop-if-exists negative projection; "no_such_col" must be
+    // silently skipped (drop_columns semantics, database_extractor.py:326-332).
+    "drop_columns" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .transform(ExtractOps.dropCols(Seq("props", "event_id", "no_such_col")))
+        .orderBy("ts", "user_id")
+    }),
+
+    // R1 — raw pivot at un-resampled timestamps (the reference's pivot
+    // before its resample step), restricted to one day to keep the raw
+    // grid small.
+    "pivot_raw" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .transform(ExtractOps.timeRange("ts", "2024-01-03T00:00:00Z", "2024-01-04T00:00:00Z"))
+        .transform(ExtractOps.pivotWide("ts", "event_type", "value", Some(EventTypes)))
+        .orderBy("ts")
+    }),
+
+    // A2 — long-format 1 s resample-last (pre-pivot variant).
+    "resample_last_long" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .transform(ExtractOps.timeRange("ts", "2024-01-02T00:00:00Z", "2024-01-05T00:00:00Z"))
+        .transform(ExtractOps.resampleLastLong("ts", "1 second", "event_type", "value"))
+        .orderBy("ts", "event_type")
+    }),
+
+    // A1 — tumbling-window aggregate with a coarser grid (the disabled
+    // aggregateWindow path, database_extractor.py:299), 1 h window count+last.
+    "window_agg_1h" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          max_by(col("value"), col("ts")).as("last_value"))
+        .select(col("w.start").as("ts"), col("event_type"), col("n"), col("last_value"))
+        .orderBy("ts", "event_type")
+    }),
+
+    // F4 — timeShift: emit local wall-clock timestamps (tz_offset = -8).
+    "time_shift" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .transform(ExtractOps.timeShift("ts", -8))
+        .select("event_id", "ts")
+        .orderBy("event_id")
+    }),
+
+    // O1 — multi-column ascending sort.
+    "sort_multi" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select("ts", "event_type", "event_id", "value")
+        .orderBy("ts", "event_type", "event_id")
+    }),
+
+    // O2 — limit/peek with a deterministic order (`result.head(10)`).
+    "limit_peek" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("event_id")
+        .limit(10)
+    }),
+
+    // §3.2 backfill, scale path: one plan over the whole range instead of
+    // the reference's serial per-day loop; daily rollup per series.
+    "backfill_daily" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .transform(ExtractOps.timeRange("ts", "2024-01-02T00:00:00Z", "2024-01-09T00:00:00Z"))
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("day", "event_type")
+    })
+  )
+
+  private def argMaxCols(types: Seq[String]): String = types.map { t =>
+    s"""arg_max(value, ts) FILTER (WHERE event_type = '$t') AS "$t""""
+  }.mkString(",\n  ")
+
+  val oracleSql: Map[String, String] = Map(
+    "daily_extract" ->
+      s"""SELECT date_trunc('second', ts) AS ts,
+  ${argMaxCols(EventTypes)}
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+GROUP BY 1 ORDER BY 1""",
+
+    "time_range_filter" ->
+      """SELECT event_id, ts, event_type, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00'
+ORDER BY event_id""",
+
+    "regex_filter" ->
+      """SELECT event_id, event_type, value FROM events
+WHERE regexp_matches(event_type, '^(click|error)$') ORDER BY event_id""",
+
+    "equality_filter" ->
+      """SELECT event_id, user_id, value FROM events
+WHERE event_type = 'purchase' ORDER BY event_id""",
+
+    "drop_columns" ->
+      """SELECT ts, user_id, event_type, value FROM events ORDER BY ts, user_id""",
+
+    "pivot_raw" ->
+      s"""SELECT ts,
+  ${argMaxCols(EventTypes)}
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-04 00:00:00'
+GROUP BY 1 ORDER BY 1""",
+
+    "resample_last_long" ->
+      """SELECT date_trunc('second', ts) AS ts, event_type, arg_max(value, ts) AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "window_agg_1h" ->
+      """SELECT date_trunc('hour', ts) AS ts, event_type,
+  count(*) AS n, arg_max(value, ts) AS last_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "time_shift" ->
+      """SELECT event_id, ts - INTERVAL 8 HOUR AS ts FROM events ORDER BY event_id""",
+
+    "sort_multi" ->
+      """SELECT ts, event_type, event_id, value FROM events
+ORDER BY ts, event_type, event_id""",
+
+    "limit_peek" ->
+      """SELECT event_id, ts, event_type, value FROM events ORDER BY event_id LIMIT 10""",
+
+    "backfill_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+  count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2"""
+  )
+}

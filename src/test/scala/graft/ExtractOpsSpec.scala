@@ -1,0 +1,132 @@
+package graft
+
+import graft.config.ExtractQueryConfig
+import graft.extract.{Extractor, LongTable}
+import graft.operators.ExtractOps._
+import graft.time.DeltaTime
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-operator specs on the reference-shaped long-format fixture
+  * (FIXTURES.md §A): irregular sub-second spacing, multiple points per
+  * 1 s bin (last-wins), an id absent in some bins (partial-null rows must
+  * survive `how="all"` dropna), and a `liner_heater` measurement for the
+  * equality-filter case.
+  */
+class ExtractOpsSpec extends SparkSuite {
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  private val schema = StructType(Seq(
+    StructField("_time", TimestampType),
+    StructField("_value", DoubleType),
+    StructField("_field", StringType),
+    StructField("_measurement", StringType),
+    StructField("id", StringType),
+    StructField("category", StringType)
+  ))
+
+  private lazy val fixture = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      // bin :00 — temp_01 has two points (last wins: 2.0), pressure_02 one
+      Row(ts("2024-05-16T10:00:00.100Z"), 1.0, "f", "liner_heater", "temp_01", "c1"),
+      Row(ts("2024-05-16T10:00:00.900Z"), 2.0, "f", "liner_heater", "temp_01", "c1"),
+      Row(ts("2024-05-16T10:00:00.500Z"), 7.0, "f", "other", "pressure_02", "c2"),
+      // bin :01 — only pressure_02 (partial-null wide row must survive)
+      Row(ts("2024-05-16T10:00:01.300Z"), 8.0, "f", "other", "pressure_02", "c2"),
+      // bin :03 — only temp_01, null value (all-null wide row must drop)
+      Row(ts("2024-05-16T10:00:03.100Z"), null, "f", "liner_heater", "temp_01", "c1"),
+      // outside range
+      Row(ts("2024-05-16T11:30:00.000Z"), 9.0, "f", "other", "temp_01", "c1")
+    )), schema)
+
+  test("timeRange is half-open [start, stop)") {
+    val got = fixture.transform(timeRange("_time", "2024-05-16T10:00:00Z", "2024-05-16T11:30:00Z"))
+    assert(got.count() == 5) // the 11:30:00.000 point is excluded
+  }
+
+  test("rowFilter equality and regex forms") {
+    assert(fixture.transform(rowFilter("r[\"_measurement\"] == \"liner_heater\"")).count() == 3)
+    assert(fixture.transform(rowFilter("r[\"id\"] =~ /.*/")).count() == 6)
+    assert(fixture.transform(rowFilter("r[\"id\"] =~ /^temp/")).count() == 4)
+  }
+
+  test("dropCols silently skips missing columns") {
+    val got = fixture.transform(dropCols(Seq("category", "no_such_column")))
+    assert(got.columns.toSeq == Seq("_time", "_value", "_field", "_measurement", "id"))
+  }
+
+  test("pivotWide: one row per key, one column per id, first non-null value") {
+    val got = fixture
+      .transform(timeRange("_time", "2024-05-16T10:00:00Z", "2024-05-16T10:00:01Z"))
+      .transform(pivotWide("_time", "id", "_value"))
+    assert(got.columns.sorted.toSeq == Seq("_time", "pressure_02", "temp_01"))
+    assert(got.count() == 3) // raw timestamps, no resample yet
+  }
+
+  test("pivotWideMap is the non-widening pivot") {
+    val got = fixture.transform(pivotWideMap("_time", "id", "_value"))
+    assert(got.columns.toSeq == Seq("_time", "values"))
+    val m = got.orderBy("_time").collect()(0).getMap[String, Double](1)
+    assert(m("temp_01") == 1.0)
+  }
+
+  test("resampleLast: 1s grid, last non-null per column, empty bins absent") {
+    val wide = fixture
+      .transform(timeRange("_time", "2024-05-16T10:00:00Z", "2024-05-16T11:00:00Z"))
+      .transform(pivotWide("_time", "id", "_value"))
+      .transform(resampleLast("_time", "1 second", Seq("temp_01", "pressure_02")))
+      .orderBy("_time")
+    val rows = wide.collect()
+    // bins :00, :01, :03 — :02 never materializes (createEmpty: false)
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Double]("temp_01") == 2.0)       // last-wins in bin
+    assert(rows(0).getAs[Double]("pressure_02") == 7.0)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("temp_01"))) // partial-null row kept
+    assert(rows(1).getAs[Double]("pressure_02") == 8.0)
+  }
+
+  test("dropAllNull drops only rows where every value column is null") {
+    val wide = fixture
+      .transform(timeRange("_time", "2024-05-16T10:00:00Z", "2024-05-16T11:00:00Z"))
+      .transform(pivotWide("_time", "id", "_value"))
+      .transform(resampleLast("_time", "1 second", Seq("temp_01", "pressure_02")))
+      .transform(dropAllNull(Seq("temp_01", "pressure_02")))
+    // bin :03 (temp null, pressure absent → all-null) dropped; partial kept
+    assert(wide.count() == 2)
+  }
+
+  test("thresholdGuard") {
+    assert(thresholdGuard(fixture, 10).isEmpty)
+    assert(thresholdGuard(fixture, 3).isDefined)
+  }
+
+  test("queryDatabase composes the reference §3.1 pipeline end-to-end") {
+    val cfg = ExtractQueryConfig(
+      deltaTimeStart = DeltaTime(),
+      deltaTimeEnd = DeltaTime(hours = 1),
+      filter = "r[\"_measurement\"] == \"liner_heater\"",
+      columnKey = "id",
+      sortBy = Seq("_time"))
+    val got = Extractor.queryDatabase(fixture, cfg, "2024-05-16T10:00:00Z")
+    val rows = got.collect()
+    // only temp_01 passes the filter; its non-null bins: :00 (last=2.0)
+    assert(got.columns.toSeq == Seq("temp_01", "_time") || got.columns.toSeq == Seq("_time", "temp_01"))
+    assert(rows.map(_.getAs[Double]("temp_01")).toSeq == Seq(2.0))
+  }
+
+  test("timeShift moves timestamps by whole hours") {
+    val got = fixture.transform(timeShift("_time", -8)).orderBy("_time").collect()
+    assert(got(0).getTimestamp(0) == ts("2024-05-16T02:00:00.100Z"))
+  }
+
+  test("backfillRange covers [start, end) in one plan") {
+    val cfg = ExtractQueryConfig(
+      filter = "r[\"id\"] =~ /.*/", columnKey = "id", sortBy = Seq("_time"))
+    val got = Extractor.backfillRange(
+      fixture, java.time.LocalDate.of(2024, 5, 16), java.time.LocalDate.of(2024, 5, 17), cfg)
+    assert(got.count() == 3) // bins :00, :01, 11:30; :03 all-null dropped
+  }
+}
