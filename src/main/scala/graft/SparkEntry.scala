@@ -13,7 +13,8 @@ object SparkEntry {
     queries("daily_extract")(spark, "/root/testdata/sf0.001")
 
   private val groups: Seq[QueryGroup] = Seq(
-    ReferenceQueries
+    ReferenceQueries,
+    RelationalQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
