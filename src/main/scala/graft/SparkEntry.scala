@@ -14,7 +14,9 @@ object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
     ReferenceQueries,
-    RelationalQueries
+    RelationalQueries,
+    DedupQueries,
+    SimilarityQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,192 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared constants for the hash-based dedup family. The DuckDB oracle
+  * SQL is generated from the SAME values (DedupQueries), so Spark and
+  * the oracle compute bit-identical signatures.
+  *
+  * Base hash: first 15 hex chars of md5 → 60-bit non-negative integer —
+  * portable across engines (both have md5 + hex parsing), deterministic
+  * across JVMs (unlike Scala's `hashCode` or Spark's seed-dependent
+  * `xxhash64` defaults would be across versions).
+  */
+object DedupConstants {
+  /** Mersenne prime 2^31-1: keeps `a*x+b` under 2^62 (no Long overflow). */
+  val P: Long = 2147483647L
+  /** MinHash signature length. */
+  val K: Int = 16
+  /** LSH bands (rows per band = K / Bands = 4 → s-curve threshold ~0.55). */
+  val Bands: Int = 4
+  def a(i: Int): Long = (i.toLong * 2654435761L + 1103515245L) % P
+  def b(i: Int): Long = (i.toLong * 97531L + 12345L) % P
+
+  /** SimHash modulus (32-bit feature hashes). */
+  val SimBits: Int = 32
+  val SimMod: Long = 4294967296L
+  /** SimHash banding: 4 chunks of 8 bits — pigeonhole-complete for
+    * hamming <= 3 (Bands - 1).
+    */
+  val SimChunks: Int = 4
+}
+
+/** Deduplication operators for a training-data pipeline, over a
+  * `(idCol, textCol)` document table. Four tiers:
+  *
+  *   - exact: hash groupBy — one shuffle on the full text
+  *   - MinHash + LSH banding: near-dup candidates without O(n²) pairs
+  *   - SimHash + chunk banding: hamming-ball near-dups
+  *   - n-gram Jaccard: exact set similarity (the ground truth the
+  *     sketches approximate; O(pairs sharing a shingle))
+  *
+  * Signature computation is per-row Catalyst higher-order functions
+  * (transform/aggregate over arrays) — zero shuffles until the
+  * candidate join, which is an equi-join on (band, signature) bucket
+  * keys: the shape that scales to 100 TB (shuffle size ∝ docs × bands,
+  * never docs²). All hashes derive from [[DedupConstants]] so the
+  * DuckDB oracle reproduces them exactly.
+  */
+object Dedup {
+  import DedupConstants._
+
+  /** Exact dedup: canonical (min) id + multiplicity per distinct key.
+    * Plain hash aggregate; at scale, pre-hash long texts to
+    * `md5(text)` group keys to shrink shuffle rows.
+    */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles of `textCol` (whitespace tokens). */
+  def shingleCol(textCol: String, n: Int = 3): Column = {
+    val mk = (0 until n).map(j => s"w[i+$j]").mkString("concat(", ", ' ', ", ")")
+    expr(
+      s"""CASE WHEN size(split($textCol, ' ')) >= $n THEN
+            array_distinct(transform(sequence(0, size(split($textCol, ' ')) - $n),
+              i -> ${mk.replace("w[", s"split($textCol, ' ')[")}))
+          ELSE array() END""")
+  }
+
+  /** 60-bit md5-derived hashes of each shingle, reduced mod `m`. */
+  private def hashList(shinglesCol: String, m: Long): Column =
+    expr(s"transform($shinglesCol, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % $m)")
+
+  /** Per-document MinHash signature: array of K minima of independent
+    * affine hash families — computed row-local, no shuffle.
+    */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigs = (0 until K).map { i =>
+      expr(s"aggregate(hs, cast($P as bigint), (acc, x) -> least(acc, (${a(i)} * x + ${b(i)}) % $P))")
+    }
+    df.select(col(idCol), shingleCol(textCol).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", hashList("sh", P))
+      .select(col(idCol), array(sigs: _*).as("sig"))
+  }
+
+  /** MinHash near-dup candidate pairs via LSH banding: docs agreeing on
+    * ANY band of 4 consecutive signature slots become candidates; pairs
+    * are scored by signature agreement (estimated Jaccard) and
+    * thresholded. The candidate join shuffles on (band, band-signature)
+    * — bucket sizes, not document pairs.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val rows = K / Bands
+    val sigs = minhashSignature(df, idCol, textCol)
+    val bands = sigs.select(
+      col(idCol), col("sig"),
+      explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> struct(b as band, slice(sig, b * $rows + 1, $rows) as bsig))")).as("e"))
+      .select(col(idCol), col("sig"), col("e.band").as("band"), col("e.bsig").as("bsig"))
+
+    val x = bands.select(col(idCol).as("doc_a"), col("sig").as("siga"), col("band"), col("bsig"))
+    val y = bands.select(col(idCol).as("doc_b"), col("sig").as("sigb"), col("band"), col("bsig"))
+    x.join(y, Seq("band", "bsig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "siga", "sigb").distinct()
+      .withColumn("est_jaccard",
+        round(expr(s"aggregate(zip_with(siga, sigb, (p, q) -> CASE WHEN p = q THEN 1.0 ELSE 0.0 END), cast(0.0 as double), (acc, v) -> acc + v) / $K"), 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Per-document 32-bit SimHash over shingle hashes: bit b of the
+    * fingerprint is the sign of the per-bit vote sum. Row-local;
+    * bit extraction uses exact double arithmetic (`floor(h / 2^b) % 2`,
+    * h < 2^32 << 2^53) so external oracles reproduce it.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), shingleCol(textCol).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", hashList("sh", SimMod))
+      .select(col(idCol), expr(
+        s"""aggregate(
+              transform(sequence(0, ${SimBits - 1}), b ->
+                CASE WHEN aggregate(hs, cast(0 as bigint), (acc2, h) ->
+                       acc2 + (CASE WHEN cast(floor(h / power(2, b)) as bigint) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN cast(power(2, b) as bigint) ELSE cast(0 as bigint) END),
+              cast(0 as bigint), (acc, v) -> acc + v)""").as("simhash"))
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming,
+    * via chunk banding (pigeonhole: distance <= SimChunks-1 implies
+    * some 8-bit chunk is equal) — equi-join on chunk buckets, then the
+    * exact popcount filter. `maxHamming` above SimChunks-1 would lose
+    * recall; enforced.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= SimChunks - 1, s"banding complete only up to hamming ${SimChunks - 1}")
+    val bitsPerChunk = SimBits / SimChunks
+    val sh = simhash(df, idCol, textCol)
+    val chunks = sh.select(
+      col(idCol), col("simhash"),
+      explode(expr(s"transform(sequence(0, ${SimChunks - 1}), c -> struct(c as chunk, cast(floor(simhash / power(2, c * $bitsPerChunk)) as bigint) % ${1 << bitsPerChunk} as cval))")).as("e"))
+      .select(col(idCol), col("simhash"), col("e.chunk").as("chunk"), col("e.cval").as("cval"))
+    val x = chunks.select(col(idCol).as("doc_a"), col("simhash").as("ha"), col("chunk"), col("cval"))
+    val y = chunks.select(col(idCol).as("doc_b"), col("simhash").as("hb"), col("chunk"), col("cval"))
+    x.join(y, Seq("chunk", "cval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity pairs — the ground truth for the
+    * sketches. Cost is bounded by shingle co-occurrence (docs sharing at
+    * least one shingle), not n²; at 100 TB, run it only on LSH
+    * candidates (join this against [[minhashLshPairs]] output).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"), explode(shingleCol(textCol)).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold over an all-pairs
+    * join. Correct baseline at any SF that fits a broadcast; the scale
+    * path is LSH bucketing (Similarity.lshBuckets) to cut the pair space
+    * before the exact cosine.
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(graft.functions.VectorOps.cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Dedup, DedupConstants}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup suite over `documents` / `embeddings` (extension operators —
+  * BASELINE.json north star). Oracle SQL for the hash-based sketches is
+  * GENERATED from [[DedupConstants]], so Spark and DuckDB compute
+  * bit-identical signatures — the oracle checks the algorithm, not just
+  * row counts.
+  */
+object DedupQueries extends QueryGroup {
+  import DedupConstants._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup (hash groupBy on full text; all-unique at this SF —
+    // multiplicity semantics tested in the unit spec with crafted dups).
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("text"))
+        .select("canonical_id", "n_copies")
+        .orderBy("canonical_id")
+    }),
+
+    // MinHash + LSH banding candidates (est Jaccard >= 0.5).
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash hamming-ball pairs (<= 3 of 32 bits).
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Exact 3-gram Jaccard ground truth (>= 0.8).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Embedding-cosine near-dup pairs (threshold calibrated to the
+    // corpus: max pairwise cosine is ~0.51).
+    "dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  // ---- oracle SQL, generated from the same constants ----
+
+  /** Shared shingle + hash CTEs (DuckDB 1-based lists). */
+  private def shingleCtes(m: Long): String =
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM docs),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+hs AS (SELECT doc_id, list(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $m) AS hs
+       FROM sh GROUP BY doc_id)"""
+
+  private val sigList = (0 until K)
+    .map(i => s"list_min(list_transform(hs, x -> (${a(i)} * x + ${b(i)}) % $P))")
+    .mkString("[", ", ", "]")
+
+  private val minhashSql = {
+    val rows = K / Bands
+    s"""${shingleCtes(P)},
+sigs AS (SELECT doc_id, $sigList AS sig FROM hs),
+bands AS (
+  SELECT doc_id, sig, b, list_slice(sig, b * $rows + 1, b * $rows + $rows) AS bsig
+  FROM sigs, (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS siga, y.sig AS sigb
+  FROM bands x JOIN bands y ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b,
+  round(list_sum(list_transform(generate_series(1, $K),
+    i -> CASE WHEN siga[i] = sigb[i] THEN 1.0 ELSE 0.0 END)) / $K, 4) AS est_jaccard
+FROM cand
+WHERE est_jaccard >= 0.5
+ORDER BY doc_a, doc_b"""
+  }
+
+  private val simhashSql =
+    s"""${shingleCtes(SimMod)},
+sim AS (SELECT doc_id,
+  list_sum(list_transform(generate_series(0, ${SimBits - 1}), b ->
+    CASE WHEN list_sum(list_transform(hs, h ->
+           CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+    THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS simhash
+  FROM hs)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b"""
+
+  private val jaccardSql =
+    s"""${shingleCtes(P)},
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+  round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8
+ORDER BY doc_a, doc_b"""
+
+  private val cosineSql =
+    """WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+    sqrt(list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) AS na,
+    sqrt(list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) AS nb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos
+FROM pairs
+WHERE round(dot / (na * nb), 4) >= 0.45
+ORDER BY id_a, id_b"""
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM documents GROUP BY text ORDER BY canonical_id""",
+    "dedup_minhash_lsh" -> minhashSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_ngram_jaccard" -> jaccardSql,
+    "dedup_embedding" -> cosineSql
+  )
+}

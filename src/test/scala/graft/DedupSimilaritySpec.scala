@@ -1,0 +1,104 @@
+package graft
+
+import graft.ext.{Dedup, Similarity}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class DedupSimilaritySpec extends SparkSuite {
+
+  private lazy val docs = {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val other = "completely different words about spark catalyst plans and shuffles here"
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, base), Row(2L, base),        // exact dup
+        Row(3L, nearDup),                    // near dup of 1/2
+        Row(4L, other),
+        Row(5L, "tiny doc")                  // < 3 words → no shingles
+      )),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+  }
+
+  test("exact dedup keeps min id as canonical with multiplicity") {
+    val got = Dedup.exact(docs, "doc_id", Seq("text"))
+      .orderBy("canonical_id").collect()
+    assert(got.map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_copies"))).toSeq ==
+      Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("ngram jaccard finds exact and near dups, skips tiny docs") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L))) // identical → jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    val j12 = got.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getAs[Double]("jaccard")
+    assert(j12 == 1.0)
+  }
+
+  test("minhash LSH candidates cover all high-jaccard pairs") {
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(cand), s"missed: ${truth -- cand}")
+  }
+
+  test("simhash: identical docs at distance 0, near dups small, distinct docs far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) <= 6)
+    assert(ham(sh(1L), sh(4L)) > 6)
+  }
+
+  // deterministic synthetic vectors: 10 clusters of 5 near-identical
+  // 8-dim vectors → ANN ground truth is the cluster
+  private lazy val vecs = {
+    val rows = for {
+      c <- 0 until 10
+      j <- 0 until 5
+    } yield {
+      val base = Array.tabulate(8)(d => math.sin(c * 8 + d + 1).toFloat)
+      val v = base.map(x => x + 0.01f * j)
+      Row((c * 5 + j).toLong, v.toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+  }
+
+  test("bruteTopK returns cluster members as nearest neighbors") {
+    val got = Similarity.bruteTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", 4)
+      .collect()
+    assert(got.length == 4)
+    // neighbors of vec 0 are its cluster (ids 1..4)
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("lshTopK recall >= 0.8 vs brute force on the fixture") {
+    val queries = vecs.filter(col("vec_id") % 5 === 0)
+    val truth = Similarity.bruteTopK(vecs, queries, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshTopK(vecs, queries, "vec_id", "embedding", 4, tables = 8, bits = 4, dim = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (truth intersect approx).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("ivfTopK recall >= 0.8 vs brute force on the fixture") {
+    val queries = vecs.filter(col("vec_id") % 5 === 0)
+    val truth = Similarity.bruteTopK(vecs, queries, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 4, centroidStride = 5, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (truth intersect approx).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+}
