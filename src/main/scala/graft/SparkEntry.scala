@@ -16,7 +16,9 @@ object SparkEntry {
     ReferenceQueries,
     RelationalQueries,
     DedupQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    TextQueries,
+    MultimodalQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

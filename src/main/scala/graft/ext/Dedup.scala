@@ -58,15 +58,22 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles of `textCol` (whitespace tokens). */
-  def shingleCol(textCol: String, n: Int = 3): Column = {
-    val mk = (0 until n).map(j => s"w[i+$j]").mkString("concat(", ", ' ', ", ")")
+  /** Word n-gram shingles of `textCol` in document order (duplicates
+    * kept — winnowing needs positions).
+    */
+  def shingleColOrdered(textCol: String, n: Int = 3): Column = {
+    val mk = (0 until n).map(j => s"split($textCol, ' ')[i+$j]").mkString("concat(", ", ' ', ", ")")
     expr(
       s"""CASE WHEN size(split($textCol, ' ')) >= $n THEN
-            array_distinct(transform(sequence(0, size(split($textCol, ' ')) - $n),
-              i -> ${mk.replace("w[", s"split($textCol, ' ')[")}))
+            transform(sequence(0, size(split($textCol, ' ')) - $n), i -> $mk)
           ELSE array() END""")
   }
+
+  /** Distinct word n-gram shingles of `textCol` (set semantics, for
+    * Jaccard/MinHash/SimHash).
+    */
+  def shingleCol(textCol: String, n: Int = 3): Column =
+    array_distinct(shingleColOrdered(textCol, n))
 
   /** 60-bit md5-derived hashes of each shingle, reduced mod `m`. */
   private def hashList(shinglesCol: String, m: Long): Column =

@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared constants for text analysis; the DuckDB oracle SQL
+  * (TextQueries) is generated from the same values.
+  */
+object TextConstants {
+  /** Per-language marker (stopword) lists for the n-gram/stopword
+    * language-ID heuristic, keyed in alphabetical language order —
+    * ties resolve to the alphabetically first language.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "in"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "fr" -> Seq("le", "les", "et", "une", "dans"),
+    "zh" -> Seq("de5", "shi4", "bu4", "wo3", "zai4") // romanized markers
+  )
+
+  /** English stopwords for the quality score's stopword ratio. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** BPE-ish token regex: letter runs, digit runs, or any single
+    * non-alphanumeric-non-space symbol.
+    */
+  val TokenRegex = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** Winnowing fingerprint parameters: k-word shingles, window w. */
+  val FpShingle = 3
+  val FpWindow = 4
+}
+
+/** Text analysis operators for a training-data pipeline over a
+  * `(idCol, textCol)` table: language ID, quality scoring, token
+  * counting, and winnowing document fingerprints. All row-local
+  * Catalyst expressions (split/filter/transform/aggregate) — they
+  * pipeline inside whole-stage codegen with no shuffle, so throughput
+  * scales linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+  import TextConstants._
+
+  private def wordsCol(textCol: String): Column = split(col(textCol), " ")
+
+  /** Marker-count language scores + argmax prediction (first-wins on
+    * ties, i.e. alphabetical language preference). A real detector
+    * would use char-n-gram profiles; the scoring/argmax plumbing is
+    * identical and the marker lists are swappable.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withScores = LangMarkers.foldLeft(df.withColumn("__w", wordsCol(textCol))) {
+      case (acc, (lang, markers)) =>
+        val markerArr = array(markers.map(lit): _*)
+        acc.withColumn(s"score_$lang",
+          size(filter(col("__w"), w => array_contains(markerArr, w))))
+    }
+    // first-wins argmax chain in alphabetical order
+    val predicted = LangMarkers.map(_._1).foldRight(lit(LangMarkers.head._1)) {
+      case (lang, elseExpr) =>
+        val isMax = LangMarkers.map(_._1).filter(_ != lang)
+          .map(o => col(s"score_$lang") >= col(s"score_$o"))
+          .reduce(_ && _)
+        when(isMax, lit(lang)).otherwise(elseExpr)
+    }
+    withScores
+      .withColumn("predicted_lang", predicted)
+      .drop("__w")
+  }
+
+  /** Quality signals: word count, average word length, stopword ratio,
+    * and distinct-word ratio (repetition detector). Ratios rounded to 4
+    * for cross-engine comparability.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = wordsCol(textCol)
+    val stopArr = array(Stopwords.map(lit): _*)
+    df.select(
+      col(idCol),
+      size(w).as("n_words"),
+      round(
+        (length(col(textCol)) - (size(w) - 1)).cast("double") / size(w), 4
+      ).as("avg_word_len"),
+      round(size(filter(w, x => array_contains(stopArr, x))).cast("double") / size(w), 4)
+        .as("stopword_ratio"),
+      round(size(array_distinct(w)).cast("double") / size(w), 4).as("uniq_ratio"))
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish regex tokens. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(wordsCol(textCol)).as("ws_tokens"),
+      size(expr(s"regexp_extract_all($textCol, '${TokenRegex}', 0)")).as("re_tokens"))
+
+  /** Winnowing document fingerprint (Schleimer et al.'s local algorithm
+    * shape): hash k-word shingles (md5-derived, as the dedup family),
+    * take the minimum in every sliding window of w consecutive shingle
+    * positions, and keep the distinct minima. Emits the fingerprint-set
+    * summary (count, min, max) — join-friendly for plagiarism-style
+    * matching without shipping full sets.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val p = DedupConstants.P
+    df.select(col(idCol), Dedup.shingleColOrdered(textCol, FpShingle).as("sh"))
+      .filter(size(col("sh")) >= FpWindow)
+      .withColumn("hs", expr(s"transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % $p)"))
+      .withColumn("fp", expr(
+        s"array_distinct(transform(sequence(0, size(hs) - $FpWindow), i -> array_min(slice(hs, i + 1, $FpWindow))))"))
+      .select(
+        col(idCol),
+        size(col("fp")).as("n_fp"),
+        array_min(col("fp")).as("min_fp"),
+        array_max(col("fp")).as("max_fp"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{DedupConstants, TextAnalysis, TextConstants}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite over `documents`. Oracle SQL is generated from
+  * the same marker/stopword/regex constants the Spark operators use
+  * ([[TextConstants]]), so both engines score identically.
+  */
+object TextQueries extends QueryGroup {
+  import TextConstants._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_langid" -> ((s, dir) => {
+      TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
+        .select(Seq(col("doc_id")) ++ LangMarkers.map { case (l, _) => col(s"score_$l") } :+ col("predicted_lang"): _*)
+        .orderBy("doc_id")
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "token_count" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // per-language corpus rollup of token counts — the aggregate view a
+    // pipeline dashboard wants
+    "token_stats_by_lang" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(Tables.documents(s, dir).select("doc_id", "lang", "text"), "doc_id", "text")
+        .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("total_tokens"),
+          round(avg(col("ws_tokens")), 2).as("avg_tokens"))
+        .orderBy("lang")
+    }),
+
+    "doc_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---- generated oracle SQL ----
+
+  private def markerList(ms: Seq[String]) = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+
+  private val langidSql = {
+    val scores = LangMarkers.map { case (l, ms) =>
+      s"len(list_filter(string_split(text, ' '), x -> list_contains(${markerList(ms)}, x))) AS score_$l"
+    }.mkString(",\n  ")
+    val langs = LangMarkers.map(_._1)
+    val chain = langs.init.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH scored AS (
+  SELECT doc_id,
+  $scores
+  FROM documents)
+SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+  CASE $chain
+    ELSE '${langs.last}' END AS predicted_lang
+FROM scored ORDER BY doc_id"""
+  }
+
+  private val qualitySql = {
+    s"""SELECT doc_id,
+  len(string_split(text, ' ')) AS n_words,
+  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        / len(string_split(text, ' ')), 4) AS avg_word_len,
+  round(CAST(len(list_filter(string_split(text, ' '),
+          x -> list_contains(${markerList(Stopwords)}, x))) AS DOUBLE)
+        / len(string_split(text, ' ')), 4) AS stopword_ratio,
+  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')), 4) AS uniq_ratio
+FROM documents ORDER BY doc_id"""
+  }
+
+  private val tokenSql =
+    s"""SELECT doc_id,
+  len(string_split(text, ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '$TokenRegex')) AS re_tokens
+FROM documents ORDER BY doc_id"""
+
+  private val tokenStatsSql =
+    """SELECT lang, count(*) AS n_docs,
+  sum(len(string_split(text, ' '))) AS total_tokens,
+  round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang"""
+
+  private val fingerprintSql = {
+    val p = DedupConstants.P
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - $FpShingle + 1)) AS i FROM docs),
+sh AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+hs AS (SELECT doc_id, list(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $p ORDER BY i) AS hs
+       FROM sh GROUP BY doc_id),
+fp AS (SELECT doc_id,
+  list_distinct(list_transform(generate_series(1, len(hs) - $FpWindow + 1),
+    i -> list_min(list_slice(hs, i, i + $FpWindow - 1)))) AS fp
+  FROM hs WHERE len(hs) >= $FpWindow)
+SELECT doc_id, len(fp) AS n_fp, list_min(fp) AS min_fp, list_max(fp) AS max_fp
+FROM fp ORDER BY doc_id"""
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "text_langid" -> langidSql,
+    "text_quality" -> qualitySql,
+    "token_count" -> tokenSql,
+    "token_stats_by_lang" -> tokenStatsSql,
+    "doc_fingerprint" -> fingerprintSql
+  )
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Genuine streaming variant of the reference's daily extract. The
+  * reference's "realtime" path is a midnight cron batch over the
+  * previous day with no late-data story (a point arriving after the
+  * cron run is never extracted —
+  * `/root/reference/main.py:39-41`, SURVEY §2.10). Structured Streaming
+  * replaces it: incremental source → event-time watermark (late data
+  * within the horizon is aggregated correctly, later drops are
+  * explicit) → windowed last-value aggregation → partitioned sink with
+  * exactly-once file commits via checkpointing.
+  *
+  * Scale notes: state size is bounded by (watermark horizon / window)
+  * x active series — keep the watermark as tight as ingestion lag
+  * allows; the sink's `partitionBy(date)` reproduces the reference's
+  * daily-file layout without a driver loop.
+  */
+object StreamingExtract {
+
+  /** Incremental source over a parquet directory (files appearing in
+    * `path` are discovered per micro-batch). Schema must be supplied —
+    * streaming reads don't infer.
+    */
+  def source(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** The reference pipeline's streaming core: per-(window, series) last
+    * value with an event-time watermark. `max_by(value, time)` keeps the
+    * aggregation order-independent across micro-batches exactly as in
+    * the batch path (ExtractOps.resampleLastLong).
+    */
+  def resampleLastStream(
+      df: DataFrame,
+      timeCol: String,
+      seriesCol: String,
+      valueCol: String,
+      every: String = "1 second",
+      watermark: String = "1 hour"
+  ): DataFrame =
+    df.withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), every).as("w"), col(seriesCol))
+      .agg(
+        max_by(col(valueCol), col(timeCol)).as(valueCol),
+        count(lit(1)).as("n_points"))
+      .select(col("w.start").as(timeCol), col(seriesCol), col(valueCol), col("n_points"))
+
+  /** File sink with the daily layout (`partitionBy(date)`), append mode
+    * (only watermark-closed windows are emitted — the streaming
+    * equivalent of the reference's end-of-day CSV).
+    */
+  def startFileSink(
+      agg: DataFrame,
+      timeCol: String,
+      outPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    agg.withColumn("date", to_date(col(timeCol)))
+      .writeStream
+      .outputMode("append")
+      .partitionBy("date")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .format("parquet")
+      .start(outPath)
+}

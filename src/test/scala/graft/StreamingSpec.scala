@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.StreamingExtract
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StreamingSpec extends SparkSuite {
+
+  test("streaming resample-last over events matches the batch pipeline") {
+    // stage a small parquet dir as the "arriving" stream
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+    batch.write.mode("overwrite").parquet(s"$tmp/in")
+
+    val streamed = StreamingExtract.source(spark, s"$tmp/in", batch.schema)
+    val agg = StreamingExtract.resampleLastStream(
+      streamed, "ts", "event_type", "value", every = "1 hour", watermark = "10 minutes")
+
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("stream_out")
+      .select("ts", "event_type", "value", "n_points")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+
+    val want = batch
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(max_by(col("value"), col("ts")).as("value"), count(lit(1)).as("n_points"))
+      .select(col("w.start"), col("event_type"), col("value"), col("n_points"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+
+    // append mode emits only watermark-closed windows; the final
+    // (open) windows may be withheld — every emitted row must match
+    // the batch result and cover all but the last watermark horizon
+    assert(got.nonEmpty)
+    assert(got.subsetOf(want), s"streamed rows not in batch result: ${(got -- want).take(3)}")
+    val horizon = java.sql.Timestamp.valueOf("2024-01-02 23:00:00")
+    val closed = want.filter(_._1.before(horizon))
+    assert(closed.subsetOf(got), s"missing closed windows: ${(closed -- got).take(3)}")
+  }
+
+  test("file sink writes daily-partitioned parquet with checkpoint") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+    batch.write.mode("overwrite").parquet(s"$tmp/in")
+
+    val streamed = StreamingExtract.source(spark, s"$tmp/in", batch.schema)
+    val agg = StreamingExtract.resampleLastStream(
+      streamed, "ts", "event_type", "value", every = "1 hour", watermark = "10 minutes")
+    val q = StreamingExtract.startFileSink(agg, "ts", s"$tmp/out", s"$tmp/ckpt")
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.columns.contains("date"))
+    assert(out.count() > 0)
+    // partition dirs exist per day
+    val days = new java.io.File(s"$tmp/out").listFiles().filter(_.getName.startsWith("date="))
+    assert(days.length >= 25) // ~30 days of sf0.001 events minus watermark tail
+  }
+}

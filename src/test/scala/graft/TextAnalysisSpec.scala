@@ -1,0 +1,59 @@
+package graft
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class TextAnalysisSpec extends SparkSuite {
+
+  private def docsOf(rows: (Long, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, t) => Row(i, t) }),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("langId scores markers and predicts with alphabetical tie-break") {
+    val df = docsOf(
+      1L -> "the cat and the dog sat in a box",       // en markers: the,a,and,in
+      2L -> "der hund und die katze ist da",          // de markers
+      3L -> "xyz qqq zzz")                            // no markers → tie → de
+    val got = TextAnalysis.langId(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[String]("predicted_lang")).toSeq == Seq("en", "de", "de"))
+    assert(got(0).getAs[Int]("score_en") == 5) // the×2, and, in, a
+    assert(got(1).getAs[Int]("score_de") == 4)
+  }
+
+  test("qualityScore ratios") {
+    val got = TextAnalysis.qualityScore(docsOf(1L -> "the the spark"), "doc_id", "text").collect()(0)
+    assert(got.getAs[Int]("n_words") == 3)
+    assert(got.getAs[Double]("stopword_ratio") == 0.6667)
+    assert(got.getAs[Double]("uniq_ratio") == 0.6667)
+    // (13 chars - 2 spaces) / 3 words
+    assert(got.getAs[Double]("avg_word_len") == 3.6667)
+  }
+
+  test("tokenCounts: whitespace vs regex tokens") {
+    val got = TextAnalysis.tokenCounts(docsOf(1L -> "ab3 c-d e99"), "doc_id", "text").collect()(0)
+    assert(got.getAs[Int]("ws_tokens") == 3)
+    // ab,3 | c,-,d | e,99 → 7
+    assert(got.getAs[Int]("re_tokens") == 7)
+  }
+
+  test("fingerprint is stable and content-sensitive") {
+    val base = "one two three four five six seven eight nine ten"
+    val a = TextAnalysis.fingerprint(docsOf(1L -> base, 2L -> base), "doc_id", "text").collect()
+    assert(a(0).getAs[Int]("n_fp") == a(1).getAs[Int]("n_fp"))
+    assert(a(0).getAs[Long]("min_fp") == a(1).getAs[Long]("min_fp"))
+    val b = TextAnalysis.fingerprint(
+      docsOf(1L -> base, 2L -> base.replace("five", "FIVE")), "doc_id", "text").collect()
+    assert(b(0).getAs[Long]("min_fp") != b(1).getAs[Long]("min_fp") ||
+           b(0).getAs[Long]("max_fp") != b(1).getAs[Long]("max_fp") ||
+           b(0).getAs[Int]("n_fp") != b(1).getAs[Int]("n_fp"))
+  }
+
+  test("fingerprint skips docs shorter than the window") {
+    val got = TextAnalysis.fingerprint(docsOf(1L -> "too short text here"), "doc_id", "text")
+    // 4 words → 2 shingles < window of 4 → filtered
+    assert(got.count() == 0)
+  }
+}
