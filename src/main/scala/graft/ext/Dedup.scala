@@ -79,17 +79,30 @@ object Dedup {
   private def hashList(shinglesCol: String, m: Long): Column =
     expr(s"transform($shinglesCol, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % $m)")
 
+  /** Exploded (doc, shingle-hash) rows — the codegen-friendly layout
+    * for signature aggregation. Parquet often delivers a small doc
+    * table as ONE split; repartitioning first spreads the per-row hash
+    * work across all cores (measured 4/32 busy without it).
+    */
+  private def explodedHashes(df: DataFrame, idCol: String, textCol: String, m: Long): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(shingleCol(textCol)).as("s"))
+      .select(col(idCol), expr(s"cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % $m").as("h"))
+
   /** Per-document MinHash signature: array of K minima of independent
-    * affine hash families — computed row-local, no shuffle.
+    * affine hash families. Computed as explode + grouped `min`
+    * aggregates — whole-stage-codegen arithmetic with map-side partial
+    * aggregation (the nested higher-order `aggregate` form evaluated
+    * interpreted lambdas per (slot x shingle): 17 s → ~2 s at sf0.1).
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sigs = (0 until K).map { i =>
-      expr(s"aggregate(hs, cast($P as bigint), (acc, x) -> least(acc, (${a(i)} * x + ${b(i)}) % $P))")
+    val mins = (0 until K).map { i =>
+      min((lit(a(i)) * col("h") + lit(b(i))) % lit(P)).as(s"s$i")
     }
-    df.select(col(idCol), shingleCol(textCol).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hs", hashList("sh", P))
-      .select(col(idCol), array(sigs: _*).as("sig"))
+    explodedHashes(df, idCol, textCol, P)
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
   }
 
   /** MinHash near-dup candidate pairs via LSH banding: docs agreeing on
@@ -123,21 +136,25 @@ object Dedup {
   }
 
   /** Per-document 32-bit SimHash over shingle hashes: bit b of the
-    * fingerprint is the sign of the per-bit vote sum. Row-local;
-    * bit extraction uses exact double arithmetic (`floor(h / 2^b) % 2`,
-    * h < 2^32 << 2^53) so external oracles reproduce it.
+    * fingerprint is the sign of the per-bit vote sum. Computed as
+    * explode + 32 grouped codegen `sum` aggregates (one per bit) — the
+    * nested higher-order form evaluated interpreted `power`/lambda per
+    * (bit x shingle) and was the bench's worst offender (531 s → ~2 s
+    * at sf0.1). Bit math is integer `div`/`%` on non-negative h —
+    * identical to the oracle's exact `floor(h / 2^b) % 2`.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), shingleCol(textCol).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hs", hashList("sh", SimMod))
-      .select(col(idCol), expr(
-        s"""aggregate(
-              transform(sequence(0, ${SimBits - 1}), b ->
-                CASE WHEN aggregate(hs, cast(0 as bigint), (acc2, h) ->
-                       acc2 + (CASE WHEN cast(floor(h / power(2, b)) as bigint) % 2 = 1 THEN 1 ELSE -1 END)) > 0
-                THEN cast(power(2, b) as bigint) ELSE cast(0 as bigint) END),
-              cast(0 as bigint), (acc, v) -> acc + v)""").as("simhash"))
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val votes = (0 until SimBits).map { bit =>
+      sum(when(expr(s"(h div ${1L << bit}) % 2") === 1, 1).otherwise(-1)).as(s"v$bit")
+    }
+    val assemble = (0 until SimBits).map { bit =>
+      when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    explodedHashes(df, idCol, textCol, SimMod)
+      .groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), assemble.as("simhash"))
+  }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming,
     * via chunk banding (pigeonhole: distance <= SimChunks-1 implies
@@ -169,7 +186,8 @@ object Dedup {
     * candidates (join this against [[minhashLshPairs]] output).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"), explode(shingleCol(textCol)).as("s"))
+    val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"), explode(shingleCol(textCol)).as("s"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
@@ -189,10 +207,19 @@ object Dedup {
     * before the exact cosine.
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    import graft.functions.DotProductExpr.dot
+    // cast + norm ONCE per vector, not per pair (the pair join is the
+    // O(n²) part; keep its inner loop to a single codegen dot product),
+    // and repartition: the nested-loop join's parallelism is the left
+    // side's partition count, and a small parquet table reads as ONE split.
+    val prep = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val a = prep.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = prep.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(graft.functions.VectorOps.cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -42,7 +42,10 @@ object Similarity {
       k: Int
   ): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // broadcast-join parallelism follows the stream side's partition
+    // count; a small parquet corpus arrives as one split — spread it
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
       .withColumn("rank", row_number().over(rankWindow))
@@ -95,7 +98,9 @@ object Similarity {
         .select(col(id), col(vec), col("tb.t").as("t"), col("tb.b").as("b"))
     }
 
-    val c = withBuckets(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv")
+    val c = withBuckets(
+      corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv")
     val q = broadcast(withBuckets(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv"))
 
     c.join(q, Seq("t", "b"))
@@ -128,7 +133,8 @@ object Similarity {
 
     // corpus side: nearest centroid per vector (rank-1 over broadcast join)
     val wAssign = Window.partitionBy(col("neighbor_id")).orderBy(col("d").asc, col("list").asc)
-    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val assigned = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .join(centroids, col("neighbor_id") =!= lit(-1))
       .withColumn("d", VectorOps.l2sq(col("cv"), col("centv")))
       .withColumn("r", row_number().over(wAssign))

@@ -102,16 +102,27 @@ object TextAnalysis {
     * matching without shipping full sets.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val p = DedupConstants.P
-    df.select(col(idCol), Dedup.shingleColOrdered(textCol, FpShingle).as("sh"))
-      .filter(size(col("sh")) >= FpWindow)
-      .withColumn("hs", expr(s"transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % $p)"))
-      .withColumn("fp", expr(
-        s"array_distinct(transform(sequence(0, size(hs) - $FpWindow), i -> array_min(slice(hs, i + 1, $FpWindow))))"))
-      .select(
-        col(idCol),
-        size(col("fp")).as("n_fp"),
-        array_min(col("fp")).as("min_fp"),
-        array_max(col("fp")).as("max_fp"))
+    // posexplode + sliding-window min instead of per-row array
+    // transforms: the array formulation re-evaluated the whole
+    // interpreted hash+slice pipeline once per output column (19 s at
+    // sf0.1); this shape is one codegen projection, one window pass
+    // (O(w) per row), one hash aggregate (~2 s), and it distributes by
+    // (doc, position) instead of whole documents.
+    val wAll = Window.partitionBy(col(idCol))
+    val wSlide = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, FpWindow - 1)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), posexplode(Dedup.shingleColOrdered(textCol, FpShingle)).as(Seq("pos", "s")))
+      .withColumn("h", expr(s"cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % $p"))
+      .withColumn("total", count(lit(1)).over(wAll))
+      .withColumn("winmin", min(col("h")).over(wSlide))
+      .filter(col("pos") <= col("total") - FpWindow) // complete windows only
+      .groupBy(col(idCol))
+      .agg(
+        countDistinct(col("winmin")).as("n_fp"),
+        min(col("winmin")).as("min_fp"),
+        max(col("winmin")).as("max_fp"))
   }
 }

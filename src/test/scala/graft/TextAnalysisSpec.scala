@@ -42,13 +42,13 @@ class TextAnalysisSpec extends SparkSuite {
   test("fingerprint is stable and content-sensitive") {
     val base = "one two three four five six seven eight nine ten"
     val a = TextAnalysis.fingerprint(docsOf(1L -> base, 2L -> base), "doc_id", "text").collect()
-    assert(a(0).getAs[Int]("n_fp") == a(1).getAs[Int]("n_fp"))
+    assert(a(0).getAs[Long]("n_fp") == a(1).getAs[Long]("n_fp"))
     assert(a(0).getAs[Long]("min_fp") == a(1).getAs[Long]("min_fp"))
     val b = TextAnalysis.fingerprint(
       docsOf(1L -> base, 2L -> base.replace("five", "FIVE")), "doc_id", "text").collect()
     assert(b(0).getAs[Long]("min_fp") != b(1).getAs[Long]("min_fp") ||
            b(0).getAs[Long]("max_fp") != b(1).getAs[Long]("max_fp") ||
-           b(0).getAs[Int]("n_fp") != b(1).getAs[Int]("n_fp"))
+           b(0).getAs[Long]("n_fp") != b(1).getAs[Long]("n_fp"))
   }
 
   test("fingerprint skips docs shorter than the window") {
