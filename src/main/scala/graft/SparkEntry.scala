@@ -18,7 +18,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     TextQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    FunctionQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,49 @@
+package graft.plans
+
+import graft.functions.DotProductExpr
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** SQL-surface registration of the engine's native expressions, so
+  * `spark.sql("... graft_dot(a, b) ...")` works alongside the Column
+  * API. Two registration paths:
+  *
+  *   - [[GraftExtensions]] via `SparkSession.builder.withExtensions`
+  *     (or `spark.sql.extensions=graft.plans.GraftExtensions`) — the
+  *     deployment-config route;
+  *   - [[GraftFunctions.register]] on a live session — the
+  *     library/notebook route.
+  *
+  * No custom LogicalPlan/Strategy is registered: SURVEY §4 found zero
+  * operators needing one (the as-of join composes into the optimal
+  * plan from built-ins — see Relational.asOfJoin), so the extension
+  * surface is intentionally just functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftFunctions.dotFunction)
+  }
+}
+
+object GraftFunctions {
+
+  private def toDoubleArray(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+
+  val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "graft_dot(a, b) takes two array arguments")
+      DotProductExpr(toDoubleArray(exprs.head), toDoubleArray(exprs(1)))
+    })
+
+  /** Register on an existing session (temp function scope). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => DotProductExpr(toDoubleArray(exprs.head), toDoubleArray(exprs(1))),
+      "built-in")
+}

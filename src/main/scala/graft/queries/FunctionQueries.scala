@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.ExtractOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second wave of scalar/aggregate function coverage: cube grouping
+  * sets, exact percentiles, extended string functions, array and
+  * null-handling functions, and the map-typed pivot round-trip
+  * (the 100 TB-safe pivot of SURVEY §7.4.1).
+  */
+object FunctionQueries extends QueryGroup {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CUBE grouping sets (all 4 combinations), nulls coalesced.
+    "cube_agg" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(year(col("o_orderdate")).as("y"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("y"), lit(-1)).as("y"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n"), col("total"))
+        .orderBy("y", "o_orderpriority")
+    }),
+
+    // Exact percentiles (linear interpolation — matches quantile_cont).
+    "percentile_agg" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Extended string functions.
+    "string_funcs2" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+          trim(lpad(col("p_brand"), 12, "#")).as("padded"),
+          reverse(col("p_type")).as("type_rev"),
+          split(col("p_type"), " ").getItem(0).as("type_head"),
+          translate(col("p_name"), "abc", "xyz").as("translated"))
+        .orderBy("p_partkey")
+    }),
+
+    // Array functions over the embedding column (scalar outputs only —
+    // raw float pass-through stays exact across engines).
+    "array_funcs" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          col("embedding").getItem(0).as("first_component"),
+          array_max(col("embedding")).as("max_component"),
+          array_min(col("embedding")).as("min_component"))
+        .orderBy("vec_id")
+    }),
+
+    // Null-handling family; nulls manufactured with nullif.
+    "null_funcs" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          nullif(col("event_type"), lit("error")).as("masked"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("(err)")).as("filled"),
+          isnull(nullif(col("event_type"), lit("error"))).as("was_error"))
+        .orderBy("event_id")
+    }),
+
+    // Map-typed pivot round-trip: build the constant-width map pivot,
+    // then explode it back to long form — proves the scale-safe pivot
+    // carries the same data as the widening one.
+    "map_pivot_roundtrip" -> ((s, dir) => {
+      val longForm = Tables.events(s, dir)
+        .transform(ExtractOps.timeRange("ts", "2024-01-02 00:00:00Z".replace(" ", "T"), "2024-01-03T00:00:00Z"))
+        .transform(ExtractOps.resampleLastLong("ts", "1 second", "event_type", "value"))
+      ExtractOps.pivotWideMap("ts", "event_type", "value")(longForm)
+        .select(col("ts"), explode(col("values")).as(Seq("event_type", "value")))
+        .orderBy("ts", "event_type")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "cube_agg" ->
+      """SELECT coalesce(y, -1) AS y,
+  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+  n, total
+FROM (
+  SELECT year(o_orderdate) AS y, o_orderpriority,
+    count(*) AS n, round(sum(o_totalprice), 2) AS total
+  FROM orders GROUP BY CUBE (year(o_orderdate), o_orderpriority))
+ORDER BY 1, 2""",
+
+    "percentile_agg" ->
+      """SELECT o_orderpriority,
+  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+  round(min(o_totalprice), 2) AS lo,
+  round(max(o_totalprice), 2) AS hi
+FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "string_funcs2" ->
+      """SELECT p_partkey,
+  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+  trim(lpad(p_brand, 12, '#')) AS padded,
+  reverse(p_type) AS type_rev,
+  string_split(p_type, ' ')[1] AS type_head,
+  translate(p_name, 'abc', 'xyz') AS translated
+FROM part ORDER BY p_partkey""",
+
+    "array_funcs" ->
+      """SELECT vec_id,
+  len(embedding) AS dim,
+  embedding[1] AS first_component,
+  list_max(embedding) AS max_component,
+  list_min(embedding) AS min_component
+FROM embeddings ORDER BY vec_id""",
+
+    "null_funcs" ->
+      """SELECT event_id,
+  nullif(event_type, 'error') AS masked,
+  coalesce(nullif(event_type, 'error'), '(err)') AS filled,
+  nullif(event_type, 'error') IS NULL AS was_error
+FROM events ORDER BY event_id""",
+
+    "map_pivot_roundtrip" ->
+      """SELECT date_trunc('second', ts) AS ts, event_type, arg_max(value, ts) AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2"""
+  )
+}

@@ -1,0 +1,91 @@
+package graft.sources
+
+import graft.config.ConfigLoader
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** JDBC source configuration — the production ingestion path of the
+  * north star (BASELINE.json "spark_approach": "JDBC source + DataFrame
+  * writes"): where the reference holds an InfluxDB HTTP client
+  * (`/root/reference/src/database_extractor/database_extractor.py:187-205`),
+  * this engine reads any JDBC store through Spark's pushdown-capable
+  * JDBC relation.
+  *
+  * Scale: `partitionColumn`/`numPartitions` shard the read into
+  * parallel range queries (the JDBC equivalent of file splits); without
+  * them a JDBC read is ONE connection on one task. Catalyst pushes
+  * comparison/IN predicates and column pruning into the generated SQL.
+  */
+final case class JdbcSourceConfig(
+    url: String,
+    table: String,
+    user: String = "",
+    password: String = "",
+    driver: String = "",
+    partitionColumn: Option[String] = None,
+    lowerBound: Option[Long] = None,
+    upperBound: Option[Long] = None,
+    numPartitions: Int = 8,
+    fetchSize: Int = 10000
+)
+
+object JdbcSource {
+
+  /** Pure option-map construction (unit-testable without a database). */
+  def options(cfg: JdbcSourceConfig): Map[String, String] = {
+    val base = Map(
+      "url" -> cfg.url,
+      "dbtable" -> cfg.table,
+      "fetchsize" -> cfg.fetchSize.toString)
+    val auth = Seq(
+      "user" -> cfg.user,
+      "password" -> cfg.password,
+      "driver" -> cfg.driver).filter(_._2.nonEmpty)
+    val part = (cfg.partitionColumn, cfg.lowerBound, cfg.upperBound) match {
+      case (Some(c), Some(lo), Some(hi)) => Map(
+        "partitionColumn" -> c,
+        "lowerBound" -> lo.toString,
+        "upperBound" -> hi.toString,
+        "numPartitions" -> cfg.numPartitions.toString)
+      case _ => Map.empty[String, String]
+    }
+    base ++ auth ++ part
+  }
+
+  def reader(spark: SparkSession, cfg: JdbcSourceConfig): DataFrameReader =
+    spark.read.format("jdbc").options(options(cfg))
+
+  def read(spark: SparkSession, cfg: JdbcSourceConfig): DataFrame =
+    reader(spark, cfg).load()
+
+  /** Build from a TOML `[jdbc]` section (key names mirror the Spark
+    * option names; the reference's analogous client config is
+    * `config/.influxdb.toml-default`).
+    */
+  def fromToml(section: ConfigLoader.Section): JdbcSourceConfig =
+    JdbcSourceConfig(
+      url = section.getOrElse("url", "").toString,
+      table = section.getOrElse("table", "").toString,
+      user = section.getOrElse("user", "").toString,
+      password = section.getOrElse("password", "").toString,
+      driver = section.getOrElse("driver", "").toString,
+      partitionColumn = section.get("partition_column").map(_.toString),
+      lowerBound = section.get("lower_bound").map(_.asInstanceOf[Long]),
+      upperBound = section.get("upper_bound").map(_.asInstanceOf[Long]),
+      numPartitions = section.get("num_partitions").map(_.asInstanceOf[Long].toInt).getOrElse(8),
+      fetchSize = section.get("fetch_size").map(_.asInstanceOf[Long].toInt).getOrElse(10000))
+}
+
+/** File sources with explicit schemas (schema inference is a full
+  * extra scan on CSV/JSON — never at 100 TB).
+  */
+object FileSources {
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String, schema: StructType, header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.config.{ConfigLoader, ExtractQueryConfig}
+import graft.extract.Extractor
+import graft.operators.ExtractOps
+import graft.plans.GraftFunctions
+import graft.sources.{FileSources, JdbcSource, JdbcSourceConfig}
+import graft.time.DeltaTime
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SourcesSinksSpec extends SparkSuite {
+
+  test("JdbcSource.options builds partitioned-read options") {
+    val cfg = JdbcSourceConfig(
+      url = "jdbc:postgresql://db:5432/metrics", table = "points",
+      user = "u", password = "p", driver = "org.postgresql.Driver",
+      partitionColumn = Some("id"), lowerBound = Some(0L), upperBound = Some(1000000L),
+      numPartitions = 16)
+    val opts = JdbcSource.options(cfg)
+    assert(opts("dbtable") == "points")
+    assert(opts("partitionColumn") == "id")
+    assert(opts("numPartitions") == "16")
+    assert(opts("fetchsize") == "10000")
+    // no partition column → no partitioning keys at all
+    val seq = JdbcSource.options(cfg.copy(partitionColumn = None))
+    assert(!seq.contains("numPartitions"))
+  }
+
+  test("JdbcSource.fromToml maps reference-style config") {
+    val toml =
+      """[jdbc]
+        |url = "jdbc:h2:mem:test"
+        |table = "events"
+        |partition_column = "event_id"
+        |lower_bound = 0
+        |upper_bound = 500
+        |num_partitions = 4
+        |""".stripMargin
+    val cfg = JdbcSource.fromToml(ConfigLoader.parseToml(toml)("jdbc"))
+    assert(cfg.url == "jdbc:h2:mem:test")
+    assert(cfg.partitionColumn.contains("event_id"))
+    assert(cfg.numPartitions == 4)
+  }
+
+  test("daily CSV sink round-trips (S4 semantics: one file per day)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "event_type", "value").limit(50)
+    ExtractOps.writeDailyCsv(df, tmp, "extract", java.time.LocalDate.of(2024, 1, 2))
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val back = FileSources.csv(spark, s"$tmp/extract_2024-01-02.csv", schema)
+    assert(back.count() == 50)
+    // single file contract (coalesce(1))
+    val parts = new java.io.File(s"$tmp/extract_2024-01-02.csv")
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(parts == 1)
+  }
+
+  test("partitioned-by-day writer produces date directories (scale sink)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sink2").toString
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
+    ExtractOps.writePartitionedByDay(df, "ts", s"$tmp/out")
+    val days = new java.io.File(s"$tmp/out").listFiles().filter(_.getName.startsWith("date="))
+    assert(days.length == 3)
+    assert(spark.read.parquet(s"$tmp/out").count() == df.count())
+  }
+
+  test("graft_dot is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT graft_dot(array(1.0, 2.0, 3.0), array(4.0, 5.0, 6.0)) AS d")
+      .collect()(0).getDouble(0)
+    assert(got == 32.0)
+    // float arrays are cast on the way in
+    val f = spark.sql("SELECT graft_dot(array(cast(1.5 as float)), array(cast(2.0 as float))) AS d")
+      .collect()(0).getDouble(0)
+    assert(f == 3.0)
+  }
+
+  test("backfillUnion (faithful per-day loop) agrees with backfillRange (one plan)") {
+    val cfg = ExtractQueryConfig(
+      filter = "r[\"event_type\"] =~ /.*/",
+      columnKey = "event_type",
+      sortBy = Seq("ts"))
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val start = java.time.LocalDate.of(2024, 1, 2)
+    val end = java.time.LocalDate.of(2024, 1, 5)
+    val one = Extractor.backfillRange(ev, start, end, cfg, graft.extract.LongTable("ts", "value"))
+    val loop = Extractor.backfillUnion(ev, start, end, cfg, graft.extract.LongTable("ts", "value")).get
+    assert(one.count() == loop.count())
+    val a = one.collect().map(_.toSeq).toSet
+    val b = loop.collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
