@@ -118,7 +118,11 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     val rows = K / Bands
+    // self-joined below: persist so the signature pipeline (explode +
+    // md5 + 16 aggregates) runs once, not once per join side. At 100 TB
+    // the equivalent is materializing the signature table to parquet.
     val sigs = minhashSignature(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(
       col(idCol), col("sig"),
       explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> struct(b as band, slice(sig, b * $rows + 1, $rows) as bsig))")).as("e"))
@@ -165,7 +169,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= SimChunks - 1, s"banding complete only up to hamming ${SimChunks - 1}")
     val bitsPerChunk = SimBits / SimChunks
+    // persisted for the same self-join reason as minhashLshPairs
     val sh = simhash(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = sh.select(
       col(idCol), col("simhash"),
       explode(expr(s"transform(sequence(0, ${SimChunks - 1}), c -> struct(c as chunk, cast(floor(simhash / power(2, c * $bitsPerChunk)) as bigint) % ${1 << bitsPerChunk} as cval))")).as("e"))
@@ -186,11 +192,19 @@ object Dedup {
     * candidates (join this against [[minhashLshPairs]] output).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    // join on the 60-bit md5 hash of the shingle, not the shingle
+    // string: long keys shuffle/compare ~3x cheaper than ~20-char
+    // strings, and 60-bit collisions are negligible at any realistic
+    // shingle cardinality (~n²/2^61)
+    // referenced three times (sizes + both join sides): persist so the
+    // explode + md5 pipeline evaluates once
     val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc_id"), explode(shingleCol(textCol)).as("s"))
+      .select(col("doc_id"), expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter

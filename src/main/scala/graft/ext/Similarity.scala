@@ -61,15 +61,30 @@ object Similarity {
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
-  /** Bucket signature of a vector in one table: sign bits of the dot
-    * products with that table's planes, packed into an int.
+  /** (table, bit, plane) rows for a broadcast join — computing buckets
+    * via one dot-product expression over a planes table instead of
+    * tables x bits inlined literal-array expressions: the literal form
+    * generated enormous codegen (seconds of janino compile per query);
+    * this shape is one small cross join + one grouped sum.
     */
-  private def bucketExpr(planes: Array[Array[Double]], vec: Column): Column = {
-    val vd = vec.cast("array<double>")
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      when(VectorOps.dot(vd, planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+  private def planesDf(spark: org.apache.spark.sql.SparkSession, planes: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    planes.zipWithIndex.flatMap { case (table, t) =>
+      table.zipWithIndex.map { case (p, bit) => (t, bit, p.toSeq) }
+    }.toSeq.toDF("t", "bit", "plane")
+  }
+
+  /** Bucket each vector in every table: sign bit of the dot product
+    * with each plane, packed per table.
+    */
+  private def withBuckets(df: DataFrame, id: String, vec: String, planes: DataFrame): DataFrame = {
+    val bits = df.crossJoin(broadcast(planes))
+      .withColumn("bitval",
+        when(graft.functions.DotProductExpr.dot(col(vec), col("plane")) >= 0,
+          expr("shiftleft(1, bit)")).otherwise(lit(0)))
+      .groupBy(col(id), col("t"))
+      .agg(sum(col("bitval")).as("b"))
+    bits.join(df.select(col(id), col(vec)), Seq(id))
   }
 
   /** LSH-bucketed approximate top-k: candidates share a bucket with the
@@ -88,20 +103,13 @@ object Similarity {
       seed: Long = 42L,
       dim: Int = 64
   ): DataFrame = {
-    val planes = hyperplanes(tables, bits, dim, seed)
-
-    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame = {
-      val buckets = (0 until tables).map { t =>
-        struct(lit(t).as("t"), bucketExpr(planes(t), col(vec)).as("b"))
-      }
-      df.select(col(id), col(vec), explode(array(buckets: _*)).as("tb"))
-        .select(col(id), col(vec), col("tb.t").as("t"), col("tb.b").as("b"))
-    }
+    val planes = planesDf(corpus.sparkSession, hyperplanes(tables, bits, dim, seed))
 
     val c = withBuckets(
       corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv")
-    val q = broadcast(withBuckets(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv"))
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv", planes)
+    val q = broadcast(withBuckets(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv", planes))
 
     c.join(q, Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))
