@@ -75,6 +75,16 @@ object FunctionQueries extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // Gap-based sessionization via the built-in session_window (same
+    // code path batch and streaming — Sessionize.sessionWindowAgg);
+    // oracle is the classic gaps-and-islands SQL.
+    "sessionize" -> ((s, dir) => {
+      graft.streaming.Sessionize.sessionWindowAgg(
+        Tables.events(s, dir), "user_id", "ts", "value", gap = "1 day")
+        .select("user_id", "session_start", "n_events", "total_value")
+        .orderBy("user_id", "session_start")
+    }),
+
     // Map-typed pivot round-trip: build the constant-width map pivot,
     // then explode it back to long form — proves the scale-safe pivot
     // carries the same data as the widening one.
@@ -130,6 +140,22 @@ FROM embeddings ORDER BY vec_id""",
   coalesce(nullif(event_type, 'error'), '(err)') AS filled,
   nullif(event_type, 'error') IS NULL AS was_error
 FROM events ORDER BY event_id""",
+
+    "sessionize" ->
+      """WITH marks AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 1 DAY THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marks)
+SELECT user_id, min(ts) AS session_start,
+  count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM numbered GROUP BY user_id, session_id
+ORDER BY user_id, session_start""",
 
     "map_pivot_roundtrip" ->
       """SELECT date_trunc('second', ts) AS ts, event_type, arg_max(value, ts) AS value
