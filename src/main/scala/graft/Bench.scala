@@ -13,7 +13,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // isolate queries: operators may persist() intermediate tables
+      // (LSH signatures etc.) — don't let one query's cache residue
+      // skew the next query's memory budget
+      spark.catalog.clearCache()
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

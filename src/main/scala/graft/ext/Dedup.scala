@@ -215,6 +215,49 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Prefix-filtered exact Jaccard pairs (PPJoin-style): identical
+    * results to [[ngramJaccardPairs]], but candidates come from joining
+    * only each document's τ-prefix — the first `⌊(1-τ)·n⌋ + 1` shingle
+    * hashes in a global (hash-value) order. The prefix-filter theorem
+    * guarantees any pair with Jaccard >= τ shares a prefix element, so
+    * filtering is exact; candidate volume drops from all
+    * shingle-co-occurring pairs to prefix-co-occurring pairs
+    * (~(1-τ) of the join input at the first stage, and far fewer
+    * pairs). The 100 TB form of the ground-truth verifier.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"), explode(shingleCol(textCol)).as("s"))
+      .select(col("doc_id"), expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val w = Window.partitionBy(col("doc_id"))
+    val prefixes = sh
+      .withColumn("rank", row_number().over(w.orderBy(col("h").asc)))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rank") <= floor(lit(1.0 - threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("h"))
+
+    val cand = prefixes.select(col("doc_id").as("doc_a"), col("h"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("h"))
+      .join(cand, Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold over an all-pairs
     * join. Correct baseline at any SF that fits a broadcast; the scale
     * path is LSH bucketing (Similarity.lshBuckets) to cut the pair space

@@ -36,9 +36,11 @@ object DedupQueries extends QueryGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Exact 3-gram Jaccard ground truth (>= 0.8).
+    // Exact 3-gram Jaccard ground truth (>= 0.8), computed with prefix
+    // filtering — the oracle (a full co-occurrence join in SQL) proves
+    // the prefix-filtered algorithm loses nothing.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.8)
+      Dedup.ngramJaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text", threshold = 0.8)
         .orderBy("doc_a", "doc_b")
     }),
 

@@ -39,6 +39,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(j12 == 1.0)
   }
 
+  test("prefix-filtered jaccard equals the full co-occurrence join") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairs(Dedup.ngramJaccardPairs(docs01, "doc_id", "text", 0.8))
+    val pref = pairs(Dedup.ngramJaccardPairsPrefix(docs01, "doc_id", "text", 0.8))
+    assert(full.nonEmpty)
+    assert(pref == full, s"diff: ${(full diff pref) ++ (pref diff full)}")
+    // and on the crafted fixture with an exact dup
+    val f = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5))
+    val p = pairs(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 0.5))
+    assert(p == f)
+  }
+
   test("minhash LSH candidates cover all high-jaccard pairs") {
     val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
