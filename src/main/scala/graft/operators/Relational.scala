@@ -71,6 +71,35 @@ object Relational {
     matched.select(outCols: _*)
   }
 
+  /** Distributed range (interval) join: right rows whose `rightTime`
+    * falls in the left row's `[leftStart, leftEnd)` interval. A naive
+    * theta-join is a cartesian product; this buckets time into
+    * `bucketSeconds`-wide cells, explodes each interval over the cells
+    * it spans, equi-joins on the cell, and refines with the exact
+    * predicate — shuffle volume is rows × cells-per-interval, never
+    * |left| × |right|. Pick `bucketSeconds` near the typical interval
+    * length (cells-per-interval ≈ 2). No duplicate pairs: a right row
+    * lives in exactly one cell.
+    */
+  def rangeJoin(
+      left: DataFrame,
+      leftStart: String,
+      leftEnd: String,
+      right: DataFrame,
+      rightTime: String,
+      bucketSeconds: Long
+  ): DataFrame = {
+    val l = left
+      .withColumn("__b", explode(sequence(
+        floor(unix_timestamp(col(leftStart)) / bucketSeconds),
+        floor((unix_timestamp(col(leftEnd)) - 1) / bucketSeconds))))
+    val r = right
+      .withColumn("__b", floor(unix_timestamp(col(rightTime)) / bucketSeconds))
+    l.join(r, Seq("__b"))
+      .filter(col(rightTime) >= col(leftStart) && col(rightTime) < col(leftEnd))
+      .drop("__b")
+  }
+
   /** Top-k rows per group by a sort expression — `row_number <= k` over a
     * partitioned window; requires deterministic tie-breaks in `order`.
     */

@@ -107,6 +107,22 @@ object RelationalQueries extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // Range (interval) join: lineitems shipped inside each order's
+    // 30-day window — bucketed equi-join + refine, not a cartesian.
+    "range_join" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("w_end"))
+      Relational.rangeJoin(
+        orders, "w_start", "w_end",
+        Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate"), "l_shipdate",
+        bucketSeconds = 30L * 86400)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipped"))
+        .orderBy("o_orderkey")
+    }),
+
     // Ranking window — top-3 customers by balance per segment.
     "window_rank" -> ((s, dir) => {
       Relational.topKPerGroup(
@@ -317,6 +333,14 @@ SELECT e.event_id, e.user_id, e.ts, o.o_totalprice
 FROM events e
 ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 ORDER BY e.event_id""",
+
+    "range_join" ->
+      """SELECT o_orderkey, count(*) AS n_shipped
+FROM orders JOIN lineitem
+  ON l_shipdate >= o_orderdate
+ AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+WHERE o_orderkey < 1000
+GROUP BY 1 ORDER BY 1""",
 
     "window_rank" ->
       """SELECT c_mktsegment, rank, c_custkey, c_acctbal FROM (

@@ -52,6 +52,30 @@ class RelationalSpec extends SparkSuite {
     assert(got(4).isNullAt(got(4).fieldIndex("price"))) // trade 5: no key
   }
 
+  test("rangeJoin matches points into half-open intervals across bucket boundaries") {
+    val intervals = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, ts("2024-01-01T00:00:00Z"), ts("2024-01-01T02:00:00Z")),
+        Row(2L, ts("2024-01-01T01:30:00Z"), ts("2024-01-01T01:45:00Z")) // nested
+      )),
+      StructType(Seq(
+        StructField("iid", LongType),
+        StructField("s", TimestampType),
+        StructField("e", TimestampType))))
+    val points = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(10L, ts("2024-01-01T00:30:00Z")), // interval 1 only
+        Row(11L, ts("2024-01-01T01:40:00Z")), // both intervals
+        Row(12L, ts("2024-01-01T02:00:00Z")), // end-exclusive → no match
+        Row(13L, ts("2024-01-02T00:00:00Z"))  // outside
+      )),
+      StructType(Seq(StructField("pid", LongType), StructField("t", TimestampType))))
+    // 1-hour buckets: interval 1 spans 3 cells, interval 2 one cell
+    val got = Relational.rangeJoin(intervals, "s", "e", points, "t", bucketSeconds = 3600)
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 11L)))
+  }
+
   test("topKPerGroup ranks with deterministic tie-break") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
