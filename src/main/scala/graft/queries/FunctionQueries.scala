@@ -75,6 +75,23 @@ object FunctionQueries extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // explode + aggregate + global top-k: corpus token frequencies.
+    "token_freq" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w").asc)
+        .limit(10)
+    }),
+
+    // collect_set with deterministic ordering via sort_array.
+    "collect_agg" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(array_join(sort_array(collect_set(col("source"))), ",").as("sources"))
+        .orderBy("lang")
+    }),
+
     // Gap-based sessionization via the built-in session_window (same
     // code path batch and streaming — Sessionize.sessionWindowAgg);
     // oracle is the classic gaps-and-islands SQL.
@@ -140,6 +157,15 @@ FROM embeddings ORDER BY vec_id""",
   coalesce(nullif(event_type, 'error'), '(err)') AS filled,
   nullif(event_type, 'error') IS NULL AS was_error
 FROM events ORDER BY event_id""",
+
+    "token_freq" ->
+      """SELECT w, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY 1 ORDER BY n DESC, w ASC LIMIT 10""",
+
+    "collect_agg" ->
+      """SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+FROM documents GROUP BY 1 ORDER BY 1""",
 
     "sessionize" ->
       """WITH marks AS (
