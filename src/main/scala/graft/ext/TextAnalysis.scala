@@ -19,6 +19,18 @@ object TextConstants {
     "zh" -> Seq("de5", "shi4", "bu4", "wo3", "zai4") // romanized markers
   )
 
+  /** Character-bigram profiles for the n-gram language-ID variant —
+    * the most frequent bigrams of each language's orthography
+    * (public-knowledge frequency tables), alphabetical language order.
+    */
+  val LangBigrams: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("en", "er", "ch", "de", "ei"),
+    "en" -> Seq("th", "he", "in", "er", "an"),
+    "es" -> Seq("de", "es", "en", "el", "la"),
+    "fr" -> Seq("es", "le", "de", "en", "re"),
+    "zh" -> Seq("zh", "sh", "ng", "ao", "ia") // romanized
+  )
+
   /** English stopwords for the quality score's stopword ratio. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 
@@ -67,6 +79,28 @@ object TextAnalysis {
     withScores
       .withColumn("predicted_lang", predicted)
       .drop("__w")
+  }
+
+  /** Char-n-gram language ID: score = total occurrences of each
+    * language's characteristic bigrams (substring counting via
+    * length-difference — exact, portable to any SQL oracle), argmax
+    * with alphabetical tie preference. Complements [[langId]]'s
+    * word-marker scoring; same prediction plumbing.
+    */
+  def langIdCharNgram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withScores = LangBigrams.foldLeft(df) { case (acc, (lang, grams)) =>
+      val score = grams.map { g =>
+        expr(s"(length($textCol) - length(replace($textCol, '$g', ''))) div ${g.length}")
+      }.reduce(_ + _)
+      acc.withColumn(s"ngram_$lang", score)
+    }
+    val langs = LangBigrams.map(_._1)
+    val predicted = langs.foldRight(lit(langs.head)) { case (lang, elseExpr) =>
+      val isMax = langs.filter(_ != lang)
+        .map(o => col(s"ngram_$lang") >= col(s"ngram_$o")).reduce(_ && _)
+      when(isMax, lit(lang)).otherwise(elseExpr)
+    }
+    withScores.withColumn("predicted_lang", predicted)
   }
 
   /** Quality signals: word count, average word length, stopword ratio,

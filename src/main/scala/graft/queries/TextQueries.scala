@@ -20,6 +20,14 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // char-bigram n-gram heuristic variant (profiles in LangBigrams)
+    "text_langid_ngram" -> ((s, dir) => {
+      TextAnalysis.langIdCharNgram(
+        Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text")
+        .select(Seq(col("doc_id")) ++ LangBigrams.map { case (l, _) => col(s"ngram_$l") } :+ col("predicted_lang"): _*)
+        .orderBy("doc_id")
+    }),
+
     "text_quality" -> ((s, dir) => {
       TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
@@ -72,6 +80,27 @@ SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
 FROM scored ORDER BY doc_id"""
   }
 
+  private val langidNgramSql = {
+    val scores = LangBigrams.map { case (l, grams) =>
+      val terms = grams.map(g =>
+        s"(length(text) - length(replace(text, '$g', ''))) // ${g.length}").mkString(" + ")
+      s"$terms AS ngram_$l"
+    }.mkString(",\n  ")
+    val langs = LangBigrams.map(_._1)
+    val chain = langs.init.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"ngram_$l >= ngram_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH scored AS (
+  SELECT doc_id,
+  $scores
+  FROM documents)
+SELECT doc_id, ${langs.map(l => s"ngram_$l").mkString(", ")},
+  CASE $chain
+    ELSE '${langs.last}' END AS predicted_lang
+FROM scored ORDER BY doc_id"""
+  }
+
   private val qualitySql = {
     s"""SELECT doc_id,
   len(string_split(text, ' ')) AS n_words,
@@ -114,6 +143,7 @@ FROM fp ORDER BY doc_id"""
 
   val oracleSql: Map[String, String] = Map(
     "text_langid" -> langidSql,
+    "text_langid_ngram" -> langidNgramSql,
     "text_quality" -> qualitySql,
     "token_count" -> tokenSql,
     "token_stats_by_lang" -> tokenStatsSql,
