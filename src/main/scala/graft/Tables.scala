@@ -17,6 +17,12 @@ object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // time-range filters on the converted column are opaque to the
+    // parquet scan; this rule adds widened raw-nanos bounds that reach
+    // row-group stats (see NanosRangePushdown)
+    if (!s.experimental.extraOptimizations.contains(graft.plans.NanosRangePushdown))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.NanosRangePushdown
     val raw = table(s, dir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

@@ -24,6 +24,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotFunction)
+    e.injectOptimizerRule(_ => NanosRangePushdown)
   }
 }
 

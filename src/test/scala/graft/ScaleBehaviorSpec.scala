@@ -28,6 +28,22 @@ class ScaleBehaviorSpec extends SparkSuite {
     scannedFiles.foreach(m => assert(m.value <= 2, s"scanned ${m.value} files"))
   }
 
+  test("nanos range pushdown: raw bounds reach the scan, results stay exact") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val lo = lit("2024-01-05 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-07 00:00:00").cast("timestamp")
+    val filtered = ev.filter(col("ts") >= lo && col("ts") < hi)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(ts,") && plan.contains("LessThanOrEqual(ts,"),
+      plan.take(1200))
+    // exactness: equals a driver-side filter of the full collect
+    val all = ev.select("ts").collect().map(_.getTimestamp(0))
+    val loTs = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val hiTs = java.sql.Timestamp.valueOf("2024-01-07 00:00:00")
+    val want = all.count(t => !t.before(loTs) && t.before(hiTs))
+    assert(filtered.count() == want)
+  }
+
   test("co-bucketed tables sort-merge join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
