@@ -3,7 +3,7 @@ package graft.plans
 import graft.functions.DotProductExpr
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, ExpressionInfo, Multiply, Sqrt}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** SQL-surface registration of the engine's native expressions, so
@@ -24,6 +24,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotFunction)
+    e.injectFunction(GraftFunctions.cosineFunction)
     e.injectOptimizerRule(_ => NanosRangePushdown)
   }
 }
@@ -41,10 +42,30 @@ object GraftFunctions {
       DotProductExpr(toDoubleArray(exprs.head), toDoubleArray(exprs(1)))
     })
 
+  /** cosine = dot / (||a|| * ||b||), composed from three codegen dot
+    * products — same formula as VectorOps.cosine, SQL-callable.
+    */
+  private def cosineExpr(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "graft_cosine(a, b) takes two array arguments")
+    val a = toDoubleArray(exprs.head)
+    val b = toDoubleArray(exprs(1))
+    Divide(
+      DotProductExpr(a, b),
+      Multiply(Sqrt(DotProductExpr(a, a)), Sqrt(DotProductExpr(b, b))))
+  }
+
+  val cosineFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[DotProductExpr].getName, "graft_cosine"),
+    cosineExpr _)
+
   /** Register on an existing session (temp function scope). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       exprs => DotProductExpr(toDoubleArray(exprs.head), toDoubleArray(exprs(1))),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", cosineExpr, "built-in")
+  }
 }

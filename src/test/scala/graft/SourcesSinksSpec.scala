@@ -80,6 +80,10 @@ class SourcesSinksSpec extends SparkSuite {
     val f = spark.sql("SELECT graft_dot(array(cast(1.5 as float)), array(cast(2.0 as float))) AS d")
       .collect()(0).getDouble(0)
     assert(f == 3.0)
+    // cosine of parallel vectors is 1
+    val c = spark.sql("SELECT graft_cosine(array(1.0, 2.0), array(2.0, 4.0)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
   }
 
   test("backfillUnion (faithful per-day loop) agrees with backfillRange (one plan)") {
