@@ -232,18 +232,22 @@ object RelationalQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
-    // Scalar math functions; transcendentals rounded to 6 to absorb
-    // last-ulp libm differences across engines.
+    // Scalar math functions. All float-producing paths are reduced to
+    // integers via IEEE-exact ops (sqrt is correctly rounded; *, +, floor
+    // are exact) so the hash compare vs DuckDB is bit-deterministic —
+    // round()'s implementation differs across engines on boundary cases.
+    // ln is libm-dependent (last-ulp differences), so it is discretized
+    // to 2 decimals where a boundary hit needs a ~1e-13-wide coincidence.
     "scalar_math" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .filter(col("l_orderkey") < 100)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice"), 0).as("price_round"),
+          floor(col("l_extendedprice") + 0.5).as("price_round"),
           floor(col("l_discount") * 100).as("disc_pct"),
           ceil(col("l_tax") * 100).as("tax_pct"),
-          round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
-          round(log(col("l_extendedprice")), 6).as("price_ln"),
+          floor(sqrt(col("l_extendedprice")) * 1e6 + 0.5).as("price_sqrt_micro"),
+          floor(log(col("l_extendedprice")) * 100 + 0.5).as("price_ln_centi"),
           abs(col("l_quantity") - lit(25)).as("qty_dev"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
@@ -413,11 +417,11 @@ FROM orders ORDER BY o_orderkey""",
 
     "scalar_math" ->
       """SELECT l_orderkey, l_linenumber,
-  round(l_extendedprice, 0) AS price_round,
-  floor(l_discount * 100) AS disc_pct,
-  ceil(l_tax * 100) AS tax_pct,
-  round(sqrt(l_extendedprice), 6) AS price_sqrt,
-  round(ln(l_extendedprice), 6) AS price_ln,
+  CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS price_round,
+  CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
+  CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct,
+  CAST(floor(sqrt(l_extendedprice) * 1e6 + 0.5) AS BIGINT) AS price_sqrt_micro,
+  CAST(floor(ln(l_extendedprice) * 100 + 0.5) AS BIGINT) AS price_ln_centi,
   abs(l_quantity - 25) AS qty_dev
 FROM lineitem WHERE l_orderkey < 100
 ORDER BY l_orderkey, l_linenumber""",

@@ -46,8 +46,11 @@ object TextQueries extends QueryGroup {
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
-          sum(col("ws_tokens")).as("total_tokens"),
-          round(avg(col("ws_tokens")), 2).as("avg_tokens"))
+          sum(col("ws_tokens")).as("total_tokens"))
+        // exact-integer IEEE division — bit-identical across engines,
+        // unlike round(avg, 2) whose rounding implementations differ
+        .withColumn("avg_tokens",
+          col("total_tokens").cast("double") / col("n_docs"))
         .orderBy("lang")
     }),
 
@@ -123,7 +126,7 @@ FROM documents ORDER BY doc_id"""
   private val tokenStatsSql =
     """SELECT lang, count(*) AS n_docs,
   sum(len(string_split(text, ' '))) AS total_tokens,
-  round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
+  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens
 FROM documents GROUP BY lang ORDER BY lang"""
 
   private val fingerprintSql = {

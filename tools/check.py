@@ -88,8 +88,9 @@ def main(sf_dir, out_dir):
             print(f"[FAIL] {name}: col {bad[0]}: got {bad[1]!r} want {bad[2]!r}")
             n_fail += 1
         elif max_fdelta > 0:
-            print(f"[{'WARN' if max_fdelta < 1e-9 else 'FAIL'}] {name}: max float delta {max_fdelta}")
-            n_fail += 0 if max_fdelta < 1e-9 else 1
+            # the driver's compare is an exact hash — ANY float delta fails
+            print(f"[FAIL] {name}: max float delta {max_fdelta} (col {bad[0]}: got {bad[1]!r} want {bad[2]!r})")
+            n_fail += 1
         else:
             print(f"[ok] {name}: {len(g)} rows")
             n_pass += 1
