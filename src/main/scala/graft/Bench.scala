@@ -10,6 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up: spin up parquet readers, shuffle machinery, and
+    // the codegen compiler once, so the first timed query measures the
+    // query and not JVM start-up (~5s otherwise charged to whichever
+    // query the Map happens to iterate first)
+    try {
+      val warm = spark.read.parquet(s"$sfDir/customer.parquet")
+      warm.groupBy("c_nationkey").count().count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

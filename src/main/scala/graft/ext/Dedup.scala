@@ -62,11 +62,16 @@ object Dedup {
     * kept — winnowing needs positions).
     */
   def shingleColOrdered(textCol: String, n: Int = 3): Column = {
-    val mk = (0 until n).map(j => s"split($textCol, ' ')[i+$j]").mkString("concat(", ", ' ', ", ")")
+    val mk = (0 until n).map(j => s"w[i+$j]").mkString("concat(", ", ' ', ", ")")
+    // the outer single-element transform binds the split() result to `w`
+    // ONCE per row — inlining split into the inner lambda would re-split
+    // the full text on every element access (O(words * n * |text|)/row;
+    // measured ~5x on the shingle-family queries)
     expr(
-      s"""CASE WHEN size(split($textCol, ' ')) >= $n THEN
-            transform(sequence(0, size(split($textCol, ' ')) - $n), i -> $mk)
-          ELSE array() END""")
+      s"""transform(array(split($textCol, ' ')), w ->
+            CASE WHEN size(w) >= $n THEN
+              transform(sequence(0, size(w) - $n), i -> $mk)
+            ELSE array() END)[0]""")
   }
 
   /** Distinct word n-gram shingles of `textCol` (set semantics, for
@@ -226,33 +231,38 @@ object Dedup {
     * pairs). The 100 TB form of the ground-truth verifier.
     */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc_id"), explode(shingleCol(textCol)).as("s"))
       .select(col("doc_id"), expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").as("h"))
+
+    // One row per doc: globally-ordered hash list + its τ-prefix. The
+    // sort is per-row (array_sort on ~hundreds of elements), not a
+    // partition-wide window — one shuffle (the groupBy) replaces the
+    // old row_number window pass plus two shingle-level re-joins.
+    // Prefix length is n - ⌈τn⌉ + 1, computed as floor((1-τ)n) + 2:
+    // the +2 absorbs the double-rounding slip of (1-τ) (for τ=0.8,
+    // 1-τ sits one ulp below 0.2, so floor((1-τ)n) comes up one short
+    // exactly when τn is integral). A surplus prefix element only adds
+    // candidates, which the exact jaccard filter then removes.
+    val lists = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .withColumn("plen", (floor(lit(1.0 - threshold) * col("n")) + 2).cast("int"))
+      .withColumn("prefix", slice(col("hs"), lit(1), col("plen")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val w = Window.partitionBy(col("doc_id"))
-    val prefixes = sh
-      .withColumn("rank", row_number().over(w.orderBy(col("h").asc)))
-      .withColumn("n", count(lit(1)).over(w))
-      .filter(col("rank") <= floor(lit(1.0 - threshold) * col("n")) + 1)
-      .select(col("doc_id"), col("h"))
-
-    val cand = prefixes.select(col("doc_id").as("doc_a"), col("h"))
-      .join(prefixes.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+    val pre = lists.select(col("doc_id"), explode(col("prefix")).as("h"))
+    val cand = pre.select(col("doc_id").as("doc_a"), col("h"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("h"))
-      .join(cand, Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+    // candidate pairs are few; the doc-list joins broadcast under AQE,
+    // and the intersection is a per-pair array_intersect, not a join
+    cand
+      .join(lists.select(col("doc_id").as("doc_a"), col("hs").as("hsa"), col("n").as("na")), Seq("doc_a"))
+      .join(lists.select(col("doc_id").as("doc_b"), col("hs").as("hsb"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
       .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
