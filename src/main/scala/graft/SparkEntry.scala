@@ -19,7 +19,8 @@ object SparkEntry {
     SimilarityQueries,
     TextQueries,
     MultimodalQueries,
-    FunctionQueries
+    FunctionQueries,
+    PipelineQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

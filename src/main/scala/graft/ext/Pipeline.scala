@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pipeline-infrastructure operators for a large-scale training-data
+  * build: deterministic sampling, bloom-pruned joins, and dedup-cluster
+  * resolution (connected components). All are shapes that survive a
+  * 100 TB input: sampling is a stateless per-row predicate (no shuffle,
+  * no sort, reproducible across reruns and repartitioning), the bloom
+  * join ships a megabyte sketch instead of shuffling the big side, and
+  * connected components is the standard iterative min-label propagation
+  * whose per-round cost is one shuffle of the (small) edge set.
+  */
+object Pipeline {
+
+  /** md5-derived 60-bit non-negative hash of a key column rendered as a
+    * string — the same portable hash family as [[DedupConstants]], so
+    * any SQL oracle reproduces it bit-for-bit.
+    */
+  private def keyHash(keyCol: String): org.apache.spark.sql.Column =
+    expr(s"cast(conv(substr(md5(cast($keyCol as string)), 1, 15), 16, 10) as bigint)")
+
+  /** Deterministic ~(permille/1000) sample: keep rows whose key hash
+    * lands in the accept window. Unlike `df.sample`, membership is a
+    * pure function of the key — stable across reruns, partitioning, and
+    * cluster size, and the SAME rows are kept by any engine that
+    * implements md5 (auditable sampling for data lineage).
+    */
+  def hashSample(df: DataFrame, keyCol: String, permille: Int): DataFrame =
+    df.filter(keyHash(keyCol) % 1000 < permille)
+
+  /** Deterministic stratified sample: the `perStratum` rows with the
+    * smallest key hashes within each stratum (hash-order = uniform
+    * random order, but reproducible). One shuffle on the stratum key;
+    * at scale, skewed strata parallelize because row_number's sort is
+    * per-partition after the hash exchange.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String, perStratum: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol)).orderBy(keyHash(keyCol), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
+  /** Inner equi-join where the big side is pre-filtered by a bloom
+    * filter built from the small side's keys. The result is IDENTICAL
+    * to the plain join (bloom filters have no false negatives); the
+    * point is the plan: at 100 TB the big side is pruned to ~join
+    * selectivity BEFORE its shuffle, for the cost of broadcasting a
+    * ~MB sketch — the manual form of Spark's runtime row-level filter,
+    * usable when the optimizer can't inject one (e.g. the small side
+    * is a subquery the planner won't estimate).
+    */
+  def bloomPruneJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    big.filter(mightContain(col(bigKey)))
+      .join(small, big(bigKey) === small(smallKey))
+  }
+
+  /** Connected components over an undirected edge list, by iterative
+    * min-label propagation: every node's label converges to the
+    * smallest node id in its component (the canonical cluster id for
+    * near-dup groups). Rounds = graph diameter; dedup-candidate graphs
+    * are shallow (near-clique clusters), so a handful of rounds
+    * suffices. Each round is one equi-join + one min-aggregate on the
+    * edge set; lineage is truncated with localCheckpoint every round
+    * (use reliable checkpointing on a real cluster).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each node adopts the min of its own label and its neighbors'
+      val prop = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), labels("label"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+}

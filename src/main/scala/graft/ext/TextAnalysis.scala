@@ -128,6 +128,77 @@ object TextAnalysis {
       size(wordsCol(textCol)).as("ws_tokens"),
       size(expr(s"regexp_extract_all($textCol, '${TokenRegex}', 0)")).as("re_tokens"))
 
+  /** Repetition signals (boilerplate / low-quality detector): the
+    * fraction of duplicated words and duplicated 3-word shingles.
+    * Ratios are exact-integer IEEE divisions — bit-identical in any
+    * engine. Row-local, no shuffle.
+    */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = Dedup.shingleColOrdered(textCol)
+    df.withColumn("__w", wordsCol(textCol))
+      .withColumn("__sh", sh)
+      .select(
+        col(idCol),
+        size(col("__w")).as("n_words"),
+        size(array_distinct(col("__w"))).as("uniq_words"),
+        ((size(col("__w")) - size(array_distinct(col("__w")))).cast("double") / size(col("__w")))
+          .as("dup_word_ratio"),
+        size(col("__sh")).as("n_shingles"),
+        when(size(col("__sh")) > 0,
+          (size(col("__sh")) - size(array_distinct(col("__sh")))).cast("double") / size(col("__sh")))
+          .otherwise(lit(0.0)).as("dup_shingle_ratio"))
+  }
+
+  /** PII-ish scrub: count and redact emails, URLs, and long digit runs
+    * (account-number shapes). Patterns avoid backslash classes (`[.]`
+    * over `\.`) so Java regex and RE2-based oracles agree literally.
+    * Row-local codegen regexps — linear scan at any scale.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val DigitRunRe = "[0-9]{2,}"
+
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      DigitRunRe, "<NUM>")
+    df.select(
+      col(idCol),
+      size(expr(s"regexp_extract_all($textCol, '$EmailRe', 0)")).as("n_emails"),
+      size(expr(s"regexp_extract_all($textCol, '$UrlRe', 0)")).as("n_urls"),
+      size(expr(s"regexp_extract_all($textCol, '$DigitRunRe', 0)")).as("n_digit_runs"),
+      length(redacted).as("redacted_len"))
+  }
+
+  /** Top-k distinctive terms per document, scored by tf * N / df — the
+    * inverse-document-frequency weight without the log (every operation
+    * is an exact integer or one IEEE division, so scores are
+    * bit-deterministic across engines; the ranking is the same as
+    * tf-idf's for a fixed tf). Two shuffles: the (doc, term) count and
+    * the per-term document frequency; the corpus size joins in as a
+    * broadcast scalar.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(wordsCol(textCol)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = terms.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    terms
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df_t"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df_t"), col("score"), col("rank"))
+  }
+
   /** Winnowing document fingerprint (Schleimer et al.'s local algorithm
     * shape): hash k-word shingles (md5-derived, as the dedup family),
     * take the minimum in every sliding window of w consecutive shingle

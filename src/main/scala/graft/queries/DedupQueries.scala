@@ -66,7 +66,7 @@ hs AS (SELECT doc_id, list(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $m)
     .map(i => s"list_min(list_transform(hs, x -> (${a(i)} * x + ${b(i)}) % $P))")
     .mkString("[", ", ", "]")
 
-  private val minhashSql = {
+  private[queries] val minhashSql = {
     val rows = K / Bands
     s"""${shingleCtes(P)},
 sigs AS (SELECT doc_id, $sigList AS sig FROM hs),

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Dedup, Pipeline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-infrastructure suite: deterministic sampling, melt/unpivot,
+  * bloom-pruned joins, dedup-cluster resolution, and approximate
+  * sketches. The md5-derived sampling hash is shared with
+  * [[graft.ext.DedupConstants]]'s family so the DuckDB oracle keeps the
+  * SAME rows.
+  */
+object PipelineQueries extends QueryGroup {
+
+  /** Portable key hash, DuckDB spelling (matches Pipeline.keyHash). */
+  private def duckHash(keyCol: String): String =
+    s"CAST(('0x' || substr(md5(CAST($keyCol AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic 5% hash sample — membership is a pure function of
+    // the key, reproducible at any scale / partitioning.
+    "sample_hash" -> ((s, dir) => {
+      Pipeline.hashSample(Tables.orders(s, dir), "o_orderkey", permille = 50)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // Deterministic stratified sample: 10 docs per language by hash order.
+    "sample_stratified" -> ((s, dir) => {
+      Pipeline.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", perStratum = 10)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    }),
+
+    // Melt wide metric columns to long (metric, value) rows.
+    "unpivot_long" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
+
+    // Bloom-pruned join: identical rows to the plain join (the oracle
+    // IS the plain join); the big side is pruned before its shuffle.
+    "bloom_prune_join" -> ((s, dir) => {
+      val pricey = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 480000)
+        .select("o_orderkey", "o_totalprice")
+      Pipeline.bloomPruneJoin(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity"),
+        pricey, "l_orderkey", "o_orderkey", expectedItems = 100000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Near-dup cluster resolution: connected components over the
+    // MinHash-LSH candidate pairs; cluster id = min doc id reachable.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+        .select("doc_a", "doc_b")
+      Pipeline.connectedComponents(pairs, "doc_a", "doc_b")
+        .orderBy("node")
+    }),
+
+    // HLL sketch vs exact distinct per group — rows-only for the driver
+    // (sketch estimates are engine-specific); PipelineSpec bounds the
+    // relative error against the exact count.
+    "approx_distinct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
+    }),
+
+    // Quantile sketch (GK/KLL-style percentile_approx) — rows-only;
+    // PipelineSpec bounds the rank error against exact percentiles.
+    "approx_quantile" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .agg(
+          percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.95)), lit(10000))
+            .as("approx_p50_p95"),
+          count(lit(1)).as("n"))
+    })
+  )
+
+  private val clustersSql = {
+    val minhash = DedupQueries.minhashSql
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($minhash) t),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS node, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a ORDER BY node"""
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "sample_hash" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE ${duckHash("o_orderkey")} % 1000 < 50
+ORDER BY o_orderkey""",
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang ORDER BY ${duckHash("doc_id")}, doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 10 ORDER BY lang, doc_id""",
+
+    "unpivot_long" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+FROM lineitem WHERE l_orderkey < 100
+ORDER BY l_orderkey, l_linenumber, metric""",
+
+    "bloom_prune_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 480000
+ORDER BY l_orderkey, l_linenumber""",
+
+    "dedup_clusters" -> clustersSql
+  )
+}

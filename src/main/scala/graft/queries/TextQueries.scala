@@ -57,6 +57,25 @@ object TextQueries extends QueryGroup {
     "doc_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // repetition / boilerplate signals
+    "text_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionRatio(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub over the events' JSON props (the only column with
+    // digit runs at this SF; email/url counts exercise the patterns)
+    "pii_redact" -> ((s, dir) => {
+      TextAnalysis.piiScrub(Tables.events(s, dir), "event_id", "props")
+        .orderBy("event_id")
+    }),
+
+    // top-3 distinctive terms per doc by tf * N / df (log-free idf)
+    "tfidf_top_terms" -> ((s, dir) => {
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
     })
   )
 
@@ -144,12 +163,59 @@ SELECT doc_id, len(fp) AS n_fp, list_min(fp) AS min_fp, list_max(fp) AS max_fp
 FROM fp ORDER BY doc_id"""
   }
 
+  private val repetitionSql =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (SELECT doc_id, w,
+  CASE WHEN len(w) >= 3
+       THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       ELSE [] END AS s
+  FROM docs)
+SELECT doc_id,
+  len(w) AS n_words,
+  len(list_distinct(w)) AS uniq_words,
+  CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_ratio,
+  len(s) AS n_shingles,
+  CASE WHEN len(s) > 0
+       THEN CAST(len(s) - len(list_distinct(s)) AS DOUBLE) / len(s)
+       ELSE 0.0 END AS dup_shingle_ratio
+FROM sh ORDER BY doc_id"""
+
+  private val piiSql = {
+    import TextAnalysis.{EmailRe, UrlRe, DigitRunRe}
+    s"""SELECT event_id,
+  len(regexp_extract_all(props, '$EmailRe')) AS n_emails,
+  len(regexp_extract_all(props, '$UrlRe')) AS n_urls,
+  len(regexp_extract_all(props, '$DigitRunRe')) AS n_digit_runs,
+  length(regexp_replace(regexp_replace(regexp_replace(props,
+    '$EmailRe', '<EMAIL>', 'g'),
+    '$UrlRe', '<URL>', 'g'),
+    '$DigitRunRe', '<NUM>', 'g')) AS redacted_len
+FROM events ORDER BY event_id"""
+  }
+
+  private val tfidfSql =
+    """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df_t,
+    CAST(tf * n_docs AS DOUBLE) / df_t AS score,
+    row_number() OVER (PARTITION BY doc_id
+      ORDER BY CAST(tf * n_docs AS DOUBLE) / df_t DESC, term ASC) AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df_t, score, rank
+FROM scored WHERE rank <= 3 ORDER BY doc_id, rank"""
+
   val oracleSql: Map[String, String] = Map(
     "text_langid" -> langidSql,
     "text_langid_ngram" -> langidNgramSql,
     "text_quality" -> qualitySql,
     "token_count" -> tokenSql,
     "token_stats_by_lang" -> tokenStatsSql,
-    "doc_fingerprint" -> fingerprintSql
+    "doc_fingerprint" -> fingerprintSql,
+    "text_repetition" -> repetitionSql,
+    "pii_redact" -> piiSql,
+    "tfidf_top_terms" -> tfidfSql
   )
 }

@@ -1,0 +1,125 @@
+package graft
+
+import graft.ext.{Pipeline, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hashSample is deterministic and close to the target rate") {
+    val orders = Tables.orders(spark, sf)
+    val a = Pipeline.hashSample(orders, "o_orderkey", 100).select("o_orderkey")
+      .as[Long].collect().toSet
+    val b = Pipeline.hashSample(orders, "o_orderkey", 100).select("o_orderkey")
+      .as[Long].collect().toSet
+    assert(a == b, "same rows on rerun")
+    val n = orders.count().toDouble
+    assert(math.abs(a.size / n - 0.1) < 0.03, s"rate ${a.size / n} near 10%")
+    // monotone: widening the window keeps every previously sampled row
+    val wider = Pipeline.hashSample(orders, "o_orderkey", 200).select("o_orderkey")
+      .as[Long].collect().toSet
+    assert(a.subsetOf(wider))
+  }
+
+  test("stratifiedSample returns at most n per stratum, deterministically") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = Pipeline.stratifiedSample(docs, "lang", "doc_id", 5)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    val s2 = Pipeline.stratifiedSample(docs, "lang", "doc_id", 5)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(s1 == s2)
+    val perLang = s1.groupBy(_._1).view.mapValues(_.size)
+    assert(perLang.values.forall(_ <= 5))
+    val langs = docs.select("lang").distinct().as[String].collect().toSet
+    assert(perLang.keySet == langs, "every stratum represented")
+  }
+
+  test("bloomPruneJoin equals the plain join") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber")
+    val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_totalprice")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select("l_orderkey", "l_linenumber").as[(Long, Long)].collect().toSet
+    val bloomed = Pipeline.bloomPruneJoin(li, o, "l_orderkey", "o_orderkey", expectedItems = 10000)
+      .select("l_orderkey", "l_linenumber").as[(Long, Long)].collect().toSet
+    assert(bloomed == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("connectedComponents labels chains, cliques, and singleton edges") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("a", "b")
+    val got = Pipeline.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents handles a long path (diameter > 1 round)") {
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Pipeline.connectedComponents(path, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (1L to 12L).toSet)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val ev = Tables.events(spark, sf)
+    val row = ev.agg(
+      approx_count_distinct(col("user_id")).as("a"),
+      countDistinct(col("user_id")).as("e")).collect()(0)
+    val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
+  }
+
+  test("percentile_approx within 2% rank error of exact") {
+    val o = Tables.orders(spark, sf)
+    val approx = o.agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)))
+      .collect()(0).getDouble(0)
+    val n = o.count()
+    val below = o.filter(col("o_totalprice") <= approx).count().toDouble
+    assert(math.abs(below / n - 0.5) < 0.02, s"rank of approx median ${below / n}")
+  }
+
+  test("piiScrub counts and redacts all three pattern families") {
+    val df = Seq(
+      (1L, "contact me at bob@example.com or https://x.io/path today"),
+      (2L, "account 123456 and pin 42"),
+      (3L, "clean text only")
+    ).toDF("id", "t")
+    val got = TextAnalysis.piiScrub(df, "id", "t")
+      .orderBy("id")
+      .select("n_emails", "n_urls", "n_digit_runs", "redacted_len")
+      .as[(Int, Int, Int, Int)].collect()
+    assert(got(0) == ((1, 1, 0, "contact me at <EMAIL> or <URL> today".length)))
+    assert(got(1) == ((0, 0, 2, "account <NUM> and pin <NUM>".length)))
+    assert(got(2) == ((0, 0, 0, "clean text only".length)))
+  }
+
+  test("repetitionRatio flags duplicated words and shingles") {
+    val df = Seq(
+      (1L, "a b a b a b"),   // 6 words, 2 uniq; 4 shingles ("a b a","b a b","a b a","b a b") 2 uniq
+      (2L, "x y z")          // no repetition, 1 shingle
+    ).toDF("id", "t")
+    val got = TextAnalysis.repetitionRatio(df, "id", "t").orderBy("id")
+      .select("n_words", "uniq_words", "dup_word_ratio", "n_shingles", "dup_shingle_ratio")
+      .as[(Int, Int, Double, Int, Double)].collect()
+    assert(got(0) == ((6, 2, 4.0 / 6, 4, 0.5)))
+    assert(got(1) == ((3, 3, 0.0, 1, 0.0)))
+  }
+
+  test("tfIdfTopTerms ranks rarer terms above common ones") {
+    val df = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common other")
+    ).toDF("id", "t")
+    val got = TextAnalysis.tfIdfTopTerms(df, "id", "t", k = 1)
+      .select("id", "term").as[(Long, String)].collect().toMap
+    // "common" appears in every doc (df=3); each rare term in one (df=1)
+    assert(got == Map(1L -> "rare1", 2L -> "rare2", 3L -> "other"))
+  }
+}
