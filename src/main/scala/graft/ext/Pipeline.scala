@@ -69,15 +69,17 @@ object Pipeline {
   }
 
   /** Connected components over an undirected edge list, by iterative
-    * min-label propagation: every node's label converges to the
-    * smallest node id in its component (the canonical cluster id for
-    * near-dup groups). Rounds = graph diameter; dedup-candidate graphs
-    * are shallow (near-clique clusters), so a handful of rounds
-    * suffices. Each round is one equi-join + one min-aggregate on the
-    * edge set; lineage is truncated with localCheckpoint every round
-    * (use reliable checkpointing on a real cluster).
+    * min-label propagation with pointer jumping: every node's label
+    * converges to the smallest node id in its component (the canonical
+    * cluster id for near-dup groups). Each round (a) takes the min of
+    * own and neighbor labels, then (b) follows one label indirection
+    * (label := label-of-label) — the doubling step that makes rounds
+    * O(log diameter) instead of O(diameter), so a 1M-node path needs
+    * ~20 rounds, not 1M. Per round: two equi-joins + one min-aggregate
+    * on the edge set; lineage truncated with localCheckpoint every
+    * round (use reliable checkpointing on a real cluster).
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -89,12 +91,21 @@ object Pipeline {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // each node adopts the min of its own label and its neighbors'
+      // (a) each node adopts the min of its own label and its neighbors'
       val prop = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), labels("label"))
-      val next = labels.union(prop)
+      // checkpoint before the self-join: truncates lineage AND gives the
+      // two join sides distinct attribute ids (a raw self-join of the
+      // union+agg plan trips the analyzer's constraint rewrite)
+      val stepped = labels.union(prop)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
+      // (b) pointer jumping: labels are node ids, so chase one hop —
+      // label := label(label) when the target node has a smaller label
+      val next = stepped.as("x")
+        .join(stepped.select(col("node").as("ln"), col("label").as("ll")).as("y"),
+          col("x.label") === col("y.ln"), "left")
+        .select(col("x.node"), least(col("x.label"), coalesce(col("y.ll"), col("x.label"))).as("label"))
       val changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") =!= col("o.label"))
