@@ -278,6 +278,59 @@ object RelationalQueries extends QueryGroup {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(20)
+    }),
+
+    // TPC-H Q5-shaped 5-way join: Catalyst reorders/broadcasts the dim
+    // chain; revenue is integer-cents math (floor(x*100+0.5) is IEEE-
+    // exact on the shared double input, and integer sums are
+    // associative) so the aggregate is bit-deterministic — the pattern
+    // for money aggregation under an exact-hash contract.
+    "q5_multi_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).withColumn("rev_c4",
+        floor(col("l_extendedprice") * 100 + 0.5) * (lit(100) - floor(col("l_discount") * 100 + 0.5)))
+      li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("rev_c4")).as("rev_c4"))
+        .withColumn("revenue", col("rev_c4").cast("double") / 10000)
+        .orderBy("n_name")
+    }),
+
+    // Value-based (RANGE) window frame: trailing-30-day order count and
+    // spend per customer. Frame bounds on epoch seconds so Spark and the
+    // oracle agree exactly; spend in integer cents for determinism.
+    "range_frame_sum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // o_orderdate is TIMESTAMP_NTZ (no direct long cast) — go through
+      // timestamp first; session TZ is UTC so epochs match the oracle's
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.orders(s, dir)
+        .withColumn("price_cents", floor(col("o_totalprice") * 100 + 0.5))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_trailing_30d"),
+          sum(col("price_cents")).over(w).as("spend_cents_30d"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Fixed-width histogram of a measure column (distribution audit).
+    "value_histogram" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(floor(col("value") / 10).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          floor(min(col("value")) * 100 + 0.5).as("min_centi"),
+          floor(max(col("value")) * 100 + 0.5).as("max_centi"))
+        .orderBy("bucket")
     })
   )
 
@@ -439,6 +492,38 @@ FROM events ORDER BY event_id""",
 
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"""
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+
+    "q5_multi_join" ->
+      """SELECT n_name, count(*) AS n_items,
+  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS rev_c4,
+  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY n_name""",
+
+    "range_frame_sum" ->
+      """SELECT o_custkey, o_orderkey,
+  count(*) OVER w AS n_trailing_30d,
+  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS spend_cents_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey""",
+
+    "value_histogram" ->
+      """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, count(*) AS n,
+  CAST(floor(min(value) * 100 + 0.5) AS BIGINT) AS min_centi,
+  CAST(floor(max(value) * 100 + 0.5) AS BIGINT) AS max_centi
+FROM events GROUP BY 1 ORDER BY 1"""
   )
 }
