@@ -49,6 +49,24 @@ object StreamingExtract {
         count(lit(1)).as("n_points"))
       .select(col("w.start").as(timeCol), col(seriesCol), col(valueCol), col("n_points"))
 
+  /** Streaming exact dedup: drop rows whose key was already seen within
+    * the watermark horizon — the ingest-time guard of the batch dedup
+    * family (ext/Dedup). State is keyed by `keyCols` and expires with
+    * the watermark, so memory is (horizon x arrival rate), independent
+    * of history. Dedup by content: pass `md5(text)` (or a MinHash band
+    * key) as the key column. Stateless operators (hash sampling, PII
+    * scrub, quality scores) need no streaming variant — the same
+    * Column expressions run unchanged on a stream.
+    */
+  def dedupStream(
+      df: DataFrame,
+      timeCol: String,
+      keyCols: Seq[String],
+      watermark: String = "1 hour"
+  ): DataFrame =
+    df.withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** File sink with the daily layout (`partitionBy(date)`), append mode
     * (only watermark-closed windows are emitted — the streaming
     * equivalent of the reference's end-of-day CSV).

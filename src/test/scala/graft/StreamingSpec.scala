@@ -45,6 +45,29 @@ class StreamingSpec extends SparkSuite {
     assert(closed.subsetOf(got), s"missing closed windows: ${(closed -- got).take(3)}")
   }
 
+  test("dedupStream drops duplicate keys within the watermark horizon") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream3").toString
+    // duplicate every event id 3x with the same payload
+    val base = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_id") < 300)
+      .select("event_id", "ts", "event_type", "value")
+    base.union(base).union(base).write.mode("overwrite").parquet(s"$tmp/in")
+
+    val streamed = StreamingExtract.source(spark, s"$tmp/in", base.schema)
+    val deduped = StreamingExtract.dedupStream(streamed, "ts", Seq("event_id"), watermark = "1 hour")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("dedup_out")
+    assert(got.count() == base.count(), "exactly one row per duplicated key")
+    assert(got.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("file sink writes daily-partitioned parquet with checkpoint") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
