@@ -323,6 +323,31 @@ object RelationalQueries extends QueryGroup {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Two-phase salted aggregation on a 3-value (maximally hot) group
+    // key — result provably equal to the plain groupBy (the oracle IS
+    // the plain aggregate); the salt spreads each hot key over 16
+    // shuffle partitions.
+    "skew_salted_agg" -> ((s, dir) => {
+      graft.operators.Skew.saltedAgg(
+        Tables.lineitem(s, dir), "l_returnflag", col("l_orderkey"),
+        partialAggs = Seq(sum(col("l_quantity")).as("ps"), count(lit(1)).as("pn")),
+        finalAggs = Seq(sum(col("ps")).as("sum_qty"), sum(col("pn")).as("n")),
+        salts = 16)
+        .orderBy("l_returnflag")
+    }),
+
+    // Salted join on the fact table's foreign key + post-join rollup;
+    // oracle is the plain join+group.
+    "skew_salted_join" -> ((s, dir) => {
+      graft.operators.Skew.saltedJoin(
+        Tables.lineitem(s, dir).select("l_partkey", "l_quantity", "l_orderkey"),
+        Tables.part(s, dir).select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey", col("l_orderkey"), salts = 8)
+        .groupBy("p_brand")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }),
+
     // Fixed-width histogram of a measure column (distribution audit).
     "value_histogram" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -519,6 +544,15 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
 ORDER BY o_custkey, o_orderkey""",
+
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "skew_salted_join" ->
+      """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1""",
 
     "value_histogram" ->
       """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, count(*) AS n,

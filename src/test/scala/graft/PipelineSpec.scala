@@ -66,6 +66,41 @@ class PipelineSpec extends SparkSuite {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val edgeGen = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (a, b))
+      if edges.nonEmpty
+    } yield edges
+
+    def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+
+    val prop = Prop.forAll(edgeGen) { edges =>
+      val df = edges.toDF("a", "b")
+      val got = Pipeline.connectedComponents(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(edges)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val ev = Tables.events(spark, sf)
     val row = ev.agg(
