@@ -56,7 +56,7 @@ object Similarity {
   /** Deterministic random hyperplanes: `tables` tables x `bits` planes
     * x `dim` components, seeded.
     */
-  private[ext] def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long = 42L): Array[Array[Array[Double]]] = {
+  private[graft] def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long = 42L): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }

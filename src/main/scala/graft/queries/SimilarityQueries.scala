@@ -6,14 +6,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search suite over `embeddings` (64-dim float vectors).
-  * The brute-force top-k has a full DuckDB oracle (same double-precision
-  * fold, same rounded-cosine tie-break); the LSH and IVF variants are
-  * approximate-by-design, so the oracle is the recall spec in
-  * SimilaritySpec rather than SQL (driver records rows-only).
+  * ALL three tiers are oracle-checked: the LSH/IVF variants are
+  * approximate with respect to the true neighbors, but fully
+  * DETERMINISTIC as algorithms (seeded hyperplanes / stride-sampled
+  * centroids), so the oracle replays the exact algorithm in DuckDB —
+  * hyperplane literals are generated from the same seeded values the
+  * Spark side uses. SimilaritySpec additionally bounds their recall
+  * against the brute baseline.
   */
 object SimilarityQueries extends QueryGroup {
 
   private val K = 5
+  private val Dim = 64
+
+  /** Cosine in the oracle's spelling: double-precision sequential fold,
+    * same as DotProductExpr.
+    */
+  private def cosSql(q: String, c: String): String =
+    s"""round(
+      list_sum(list_transform(generate_series(1, $Dim),
+        i -> CAST($q.embedding[i] AS DOUBLE) * CAST($c.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(generate_series(1, $Dim),
+           i -> CAST($q.embedding[i] AS DOUBLE) * CAST($q.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(generate_series(1, $Dim),
+           i -> CAST($c.embedding[i] AS DOUBLE) * CAST($c.embedding[i] AS DOUBLE)))))
+    , 4)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -42,24 +59,87 @@ object SimilarityQueries extends QueryGroup {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
-    "ann_topk_brute" ->
-      s"""WITH pairs AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-    round(
-      list_sum(list_transform(generate_series(1, 64),
-        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-      / (sqrt(list_sum(list_transform(generate_series(1, 64),
-           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
-       * sqrt(list_sum(list_transform(generate_series(1, 64),
-           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
-    , 4) AS cos
-  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+  /** The seeded hyperplanes as DuckDB VALUES rows — Double.toString
+    * round-trips exactly, so the oracle's planes are bit-identical to
+    * the Spark side's.
+    */
+  private val planesValues: String =
+    Similarity.hyperplanes(tables = 8, bits = 8, dim = Dim, seed = 42L)
+      .zipWithIndex.flatMap { case (table, t) =>
+        table.zipWithIndex.map { case (p, bit) =>
+          p.mkString(s"($t, $bit, [", ", ", "])")
+        }
+      }.mkString(",\n")
+
+  private val lshSql =
+    s"""WITH planes(t, bit, plane) AS (VALUES
+$planesValues),
+buckets AS (
+  SELECT e.vec_id, p.t,
+    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, $Dim),
+        i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) >= 0
+      THEN (1 << p.bit) ELSE 0 END) AS BIGINT) AS b
+  FROM embeddings e CROSS JOIN planes p GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.b = cb.b
+  WHERE qb.vec_id < 10 AND qb.vec_id <> cb.vec_id),
+pairs AS (
+  SELECT query_id, neighbor_id, ${cosSql("q", "c")} AS cos
+  FROM cand JOIN embeddings q ON q.vec_id = query_id
+            JOIN embeddings c ON c.vec_id = neighbor_id),
 ranked AS (
   SELECT query_id, neighbor_id, cos,
     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM pairs)
 SELECT query_id, rank, neighbor_id, cos FROM ranked
 WHERE rank <= $K ORDER BY query_id, rank"""
+
+  private def l2sqSql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, $Dim),
+      i -> (CAST($a.embedding[i] AS DOUBLE) - CAST($b.embedding[i] AS DOUBLE))
+         * (CAST($a.embedding[i] AS DOUBLE) - CAST($b.embedding[i] AS DOUBLE))))"""
+
+  private val ivfSql =
+    s"""WITH centroids AS (
+  SELECT vec_id AS list, embedding FROM embeddings WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT list, neighbor_id FROM (
+    SELECT ct.list, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY c.vec_id
+        ORDER BY ${l2sqSql("c", "ct")} ASC, ct.list ASC) AS r
+    FROM embeddings c CROSS JOIN centroids ct) t WHERE r = 1),
+probes AS (
+  SELECT query_id, list FROM (
+    SELECT q.vec_id AS query_id, ct.list,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY ${l2sqSql("q", "ct")} ASC, ct.list ASC) AS r
+    FROM embeddings q CROSS JOIN centroids ct WHERE q.vec_id < 10) t WHERE r <= 3),
+pairs AS (
+  SELECT p.query_id, a.neighbor_id, ${cosSql("q", "c")} AS cos
+  FROM probes p JOIN assigned a USING (list)
+       JOIN embeddings q ON q.vec_id = p.query_id
+       JOIN embeddings c ON c.vec_id = a.neighbor_id
+  WHERE p.query_id <> a.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs)
+SELECT query_id, rank, neighbor_id, cos FROM ranked
+WHERE rank <= $K ORDER BY query_id, rank"""
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_topk_brute" ->
+      s"""WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q", "c")} AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs)
+SELECT query_id, rank, neighbor_id, cos FROM ranked
+WHERE rank <= $K ORDER BY query_id, rank""",
+    "ann_topk_lsh" -> lshSql,
+    "ann_topk_ivf" -> ivfSql
   )
 }

@@ -12,8 +12,7 @@ class ContractSpec extends SparkSuite {
 
   test("rows-only queries are the documented approximate ones") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("ann_topk_lsh", "ann_topk_ivf", "approx_distinct", "approx_quantile"),
-      rowsOnly.toString)
+    assert(rowsOnly == Set("approx_distinct", "approx_quantile"), rowsOnly.toString)
   }
 
   test("entry() (driver smoke) returns rows") {
