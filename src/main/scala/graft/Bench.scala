@@ -18,20 +18,29 @@ object Bench {
       val warm = spark.read.parquet(s"$sfDir/customer.parquet")
       warm.groupBy("c_nationkey").count().count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val t = (System.nanoTime() - t0) / 1e9
-      // isolate queries: operators may persist() intermediate tables
-      // (LSH signatures etc.) — don't let one query's cache residue
-      // skew the next query's memory budget
-      spark.catalog.clearCache()
-      name -> t
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def onePass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val t = (System.nanoTime() - t0) / 1e9
+        // isolate queries: operators may persist() intermediate tables
+        // (LSH signatures etc.) — don't let one query's cache residue
+        // skew the next query's memory budget
+        spark.catalog.clearCache()
+        name -> t
+      }
+    // pass 1 (cold: includes each query's codegen compile) is the
+    // headline metric — comparable across rounds. Pass 2 (warm:
+    // steady-state plans, what a resident service measures) is
+    // reported alongside; the gap is fixed per-query JVM cost, and a
+    // contended box inflates the cold pass far more than the warm one.
+    val cold = onePass()
+    val warm = onePass()
+    def js(m: Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = if (cold.nonEmpty) cold.values.sum else 0.0
+    val warmTotal = if (warm.nonEmpty) warm.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"warm_total":$warmTotal,"warm_queries":${js(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,6 +44,36 @@ class ScaleBehaviorSpec extends SparkSuite {
     assert(filtered.count() == want)
   }
 
+  test("hash sampling is a pure scan-side filter: no exchange, no sort") {
+    val plan = ext.Pipeline.hashSample(
+      Tables.orders(spark, "/root/testdata/sf0.001"), "o_orderkey", 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    assert(!plan.contains("Sort"), plan.take(800))
+  }
+
+  test("q5 multi-join broadcasts every dimension (fact side never shuffles pre-agg)") {
+    val plan = SparkEntry.queries("q5_multi_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts == 5, s"expected 5 broadcast joins, got $broadcasts\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
+  test("bloom prune filters the big side below the join") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_linenumber")
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+      .filter(col("o_totalprice") > 400000).select("o_orderkey")
+    val plan = ext.Pipeline.bloomPruneJoin(li, o, "l_orderkey", "o_orderkey", expectedItems = 10000)
+      .queryExecution.executedPlan.toString
+    // the bloom's UDF filter must sit upstream of (textually after, in
+    // tree print order) the join operator — pruning before the shuffle
+    val joinIdx = plan.indexOf("Join")
+    val udfIdx = plan.indexOf("UDF")
+    assert(joinIdx >= 0 && udfIdx > joinIdx, plan.take(1500))
+  }
+
   test("co-bucketed tables sort-merge join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
