@@ -84,30 +84,20 @@ object Dedup {
   private def hashList(shinglesCol: String, m: Long): Column =
     expr(s"transform($shinglesCol, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % $m)")
 
-  /** Exploded (doc, shingle-hash) rows — the codegen-friendly layout
-    * for signature aggregation. Parquet often delivers a small doc
-    * table as ONE split; repartitioning first spreads the per-row hash
-    * work across all cores (measured 4/32 busy without it).
-    */
-  private def explodedHashes(df: DataFrame, idCol: String, textCol: String, m: Long): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), explode(shingleCol(textCol)).as("s"))
-      .select(col(idCol), expr(s"cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % $m").as("h"))
-
-  /** Per-document MinHash signature: array of K minima of independent
-    * affine hash families. Computed as explode + grouped `min`
-    * aggregates — whole-stage-codegen arithmetic with map-side partial
-    * aggregation (the nested higher-order `aggregate` form evaluated
-    * interpreted lambdas per (slot x shingle): 17 s → ~2 s at sf0.1).
+  /** Per-document MinHash signature via the native row-local
+    * [[graft.functions.MinHashSigExpr]]: one codegen pass over the
+    * shingle-hash array computes all K minima — NO explode, NO shuffle;
+    * signatures are a map-only projection at any scale. (History: the
+    * nested higher-order `aggregate` form evaluated interpreted lambdas
+    * per (slot x shingle) — 17 s at sf0.1; the explode + 16-aggregate
+    * form fixed that but still shuffled (doc, hash) rows to regroup.)
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val mins = (0 until K).map { i =>
-      min((lit(a(i)) * col("h") + lit(b(i))) % lit(P)).as(s"s$i")
-    }
-    explodedHashes(df, idCol, textCol, P)
-      .groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
+    import graft.functions.SketchExprs
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), SketchExprs.hashShingles(shingleCol(textCol), P).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col(idCol), SketchExprs.minhashSig(col("hs")).as("sig"))
   }
 
   /** MinHash near-dup candidate pairs via LSH banding: docs agreeing on
@@ -144,25 +134,22 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
-  /** Per-document 32-bit SimHash over shingle hashes: bit b of the
-    * fingerprint is the sign of the per-bit vote sum. Computed as
-    * explode + 32 grouped codegen `sum` aggregates (one per bit) — the
-    * nested higher-order form evaluated interpreted `power`/lambda per
-    * (bit x shingle) and was the bench's worst offender (531 s → ~2 s
-    * at sf0.1). Bit math is integer `div`/`%` on non-negative h —
-    * identical to the oracle's exact `floor(h / 2^b) % 2`.
+  /** Per-document 32-bit SimHash over shingle hashes via the native
+    * row-local [[graft.functions.SimHashExpr]]: bit b of the
+    * fingerprint is the sign of the per-bit vote sum, computed in one
+    * codegen pass over the hash array — no explode, no shuffle.
+    * (History: the nested higher-order form evaluated interpreted
+    * `power`/lambda per (bit x shingle) — 531 s at sf0.1; the explode +
+    * 32-aggregate form fixed that but still shuffled to regroup.) Bit
+    * math is `(h >>> b) & 1` on non-negative h — identical to the
+    * oracle's exact `floor(h / 2^b) % 2`.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val votes = (0 until SimBits).map { bit =>
-      sum(when(expr(s"(h div ${1L << bit}) % 2") === 1, 1).otherwise(-1)).as(s"v$bit")
-    }
-    val assemble = (0 until SimBits).map { bit =>
-      when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    explodedHashes(df, idCol, textCol, SimMod)
-      .groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
-      .select(col(idCol), assemble.as("simhash"))
+    import graft.functions.SketchExprs
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), SketchExprs.hashShingles(shingleCol(textCol), SimMod).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col(idCol), SketchExprs.simhash(col("hs")).as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming,
