@@ -61,31 +61,17 @@ object Similarity {
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
-  /** (table, bit, plane) rows for a broadcast join — computing buckets
-    * via one dot-product expression over a planes table instead of
-    * tables x bits inlined literal-array expressions: the literal form
-    * generated enormous codegen (seconds of janino compile per query);
-    * this shape is one small cross join + one grouped sum.
+  /** Bucket each vector in every table via the row-local
+    * [[graft.functions.HyperplaneBucketsExpr]] — all T packed sign-bit
+    * keys in one fused codegen pass, then posexplode to (t, b) rows for
+    * the candidate join. (Evolution: tables x bits inlined literal
+    * expressions compiled for seconds in janino → planes cross-join +
+    * grouped bit-sum, one corpus x (T x bits) expansion and a shuffle →
+    * native expression, map-only.)
     */
-  private def planesDf(spark: org.apache.spark.sql.SparkSession, planes: Array[Array[Array[Double]]]): DataFrame = {
-    import spark.implicits._
-    planes.zipWithIndex.flatMap { case (table, t) =>
-      table.zipWithIndex.map { case (p, bit) => (t, bit, p.toSeq) }
-    }.toSeq.toDF("t", "bit", "plane")
-  }
-
-  /** Bucket each vector in every table: sign bit of the dot product
-    * with each plane, packed per table.
-    */
-  private def withBuckets(df: DataFrame, id: String, vec: String, planes: DataFrame): DataFrame = {
-    val bits = df.crossJoin(broadcast(planes))
-      .withColumn("bitval",
-        when(graft.functions.DotProductExpr.dot(col(vec), col("plane")) >= 0,
-          expr("shiftleft(1, bit)")).otherwise(lit(0)))
-      .groupBy(col(id), col("t"))
-      .agg(sum(col("bitval")).as("b"))
-    bits.join(df.select(col(id), col(vec)), Seq(id))
-  }
+  private def withBuckets(df: DataFrame, id: String, vec: String, planes: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(id), col(vec),
+      posexplode(graft.functions.AnnExprs.lshBuckets(col(vec), planes)).as(Seq("t", "b")))
 
   /** LSH-bucketed approximate top-k: candidates share a bucket with the
     * query in at least one of the `tables` hash tables; exact cosine
@@ -103,7 +89,7 @@ object Similarity {
       seed: Long = 42L,
       dim: Int = 64
   ): DataFrame = {
-    val planes = planesDf(corpus.sparkSession, hyperplanes(tables, bits, dim, seed))
+    val planes = hyperplanes(tables, bits, dim, seed)
 
     val c = withBuckets(
       corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
@@ -139,14 +125,18 @@ object Similarity {
       corpus.filter(col(idCol) % centroidStride === 0)
         .select(col(idCol).as("list"), col(vecCol).as("centv")))
 
-    // corpus side: nearest centroid per vector (rank-1 over broadcast join)
-    val wAssign = Window.partitionBy(col("neighbor_id")).orderBy(col("d").asc, col("list").asc)
+    // corpus side: nearest centroid per vector via the row-local
+    // argmin expression (same l2sq fold and smaller-id tie-break as
+    // the old rank-1 window, which shuffled the whole corpus)
+    val cents = corpus.filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
     val assigned = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .join(centroids, col("neighbor_id") =!= lit(-1))
-      .withColumn("d", VectorOps.l2sq(col("cv"), col("centv")))
-      .withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1)
+      .withColumn("list",
+        graft.functions.AnnExprs.nearestCentroid(col("cv"), cents.map(_._1), cents.map(_._2)))
       .select("list", "neighbor_id", "cv")
 
     // query side: nProbe nearest lists

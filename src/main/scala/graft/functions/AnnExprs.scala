@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** `array<double> -> array<long>`: all T random-hyperplane LSH bucket
+  * keys of a vector in one fused pass — bucket t packs the sign bits of
+  * the dot products with that table's planes. Row-local: replaces the
+  * planes cross-join + grouped bit-sum (a corpus x (T x bits) row
+  * expansion and one shuffle) with a map-only projection. The planes
+  * array rides along as a referenced object (broadcast-sized: T x bits
+  * x dim doubles).
+  */
+case class HyperplaneBucketsExpr(child: Expression, planes: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  @transient private lazy val tables = planes.length
+  @transient private lazy val bits = planes(0).length
+  @transient private lazy val dim = planes(0)(0).length
+  // flattened [t*bits*dim + b*dim + i] layout for tight codegen loops
+  @transient private lazy val flat: Array[Double] = {
+    val out = new Array[Double](tables * bits * dim)
+    var t = 0
+    while (t < tables) {
+      var b = 0
+      while (b < bits) {
+        System.arraycopy(planes(t)(b), 0, out, (t * bits + b) * dim, dim)
+        b += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var acc = 0L
+      var b = 0
+      while (b < bits) {
+        var s = 0.0
+        val off = (t * bits + b) * dim
+        var i = 0
+        while (i < n) { s += v.getDouble(i) * flat(off + i); i += 1 }
+        if (s >= 0) acc |= (1L << b)
+        b += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("lshPlanes", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val off = ctx.freshName("off")
+      s"""
+         |int $n = java.lang.Math.min($c.numElements(), $dim);
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $acc = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    double $s = 0.0;
+         |    int $off = ($t * $bits + $b) * $dim;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $c.getDouble($i) * $flatRef[$off + $i];
+         |    }
+         |    if ($s >= 0) $acc |= (1L << $b);
+         |  }
+         |  $out[$t] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<double> -> long`: the id of the nearest centroid (squared-L2,
+  * ties to the smaller id — same order as `ORDER BY d ASC, list ASC`).
+  * Row-local replacement for the centroid cross-join + rank-1 window
+  * (which shuffled the whole corpus). Centroids ride along as referenced
+  * objects; at 100 TB that is exactly the IVF contract (centroid table
+  * broadcast, corpus map-partitioned).
+  */
+case class NearestCentroidExpr(
+    child: Expression,
+    centroidIds: Array[Long],
+    centroids: Array[Array[Double]]
+) extends UnaryExpression {
+
+  @transient private lazy val k = centroids.length
+  @transient private lazy val dim = if (k == 0) 0 else centroids(0).length
+  @transient private lazy val flat: Array[Double] = {
+    val out = new Array[Double](k * dim)
+    var i = 0
+    while (i < k) { System.arraycopy(centroids(i), 0, out, i * dim, dim); i += 1 }
+    out
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var best = -1L
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      var d = 0.0
+      val off = c * dim
+      var i = 0
+      while (i < n) { val x = v.getDouble(i) - flat(off + i); d += x * x; i += 1 }
+      if (d < bestD || (d == bestD && centroidIds(c) < best)) { bestD = d; best = centroidIds(c) }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("ivfCentroids", flat, "double[]")
+    val idsRef = ctx.addReferenceObj("ivfCentroidIds", centroidIds, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val ci = ctx.freshName("ci")
+      val d = ctx.freshName("d")
+      val off = ctx.freshName("off")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = java.lang.Math.min($c.numElements(), $dim);
+         |long $best = -1L;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $ci = 0; $ci < $k; $ci++) {
+         |  double $d = 0.0;
+         |  int $off = $ci * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $c.getDouble($i) - $flatRef[$off + $i];
+         |    $d += $x * $x;
+         |  }
+         |  if ($d < $bestD || ($d == $bestD && $idsRef[$ci] < $best)) {
+         |    $bestD = $d; $best = $idsRef[$ci];
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AnnExprs {
+  /** All T LSH bucket keys of a vector (cast to array<double>). */
+  def lshBuckets(vec: Column, planes: Array[Array[Array[Double]]]): Column =
+    GraftShim.column(HyperplaneBucketsExpr(
+      GraftShim.expression(vec.cast("array<double>")), planes))
+
+  /** Nearest centroid id by squared L2, ties to the smaller id. */
+  def nearestCentroid(vec: Column, ids: Array[Long], centroids: Array[Array[Double]]): Column =
+    GraftShim.column(NearestCentroidExpr(
+      GraftShim.expression(vec.cast("array<double>")), ids, centroids))
+}
