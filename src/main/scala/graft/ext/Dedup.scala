@@ -187,12 +187,12 @@ object Dedup {
     // join on the 60-bit md5 hash of the shingle, not the shingle
     // string: long keys shuffle/compare ~3x cheaper than ~20-char
     // strings, and 60-bit collisions are negligible at any realistic
-    // shingle cardinality (~n²/2^61)
-    // referenced three times (sizes + both join sides): persist so the
-    // explode + md5 pipeline evaluates once
+    // shingle cardinality (~n²/2^61). Hashing is row-local
+    // (HashShinglesExpr) before the explode; persisted because it is
+    // referenced three times (sizes + both join sides).
     val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("doc_id"), explode(shingleCol(textCol)).as("s"))
-      .select(col("doc_id"), expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").as("h"))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.SketchExprs.hashShingles(shingleCol(textCol), -1L)).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("h"))
@@ -218,21 +218,21 @@ object Dedup {
     * pairs). The 100 TB form of the ground-truth verifier.
     */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("doc_id"), explode(shingleCol(textCol)).as("s"))
-      .select(col("doc_id"), expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").as("h"))
+    import graft.functions.SketchExprs
 
-    // One row per doc: globally-ordered hash list + its τ-prefix. The
-    // sort is per-row (array_sort on ~hundreds of elements), not a
-    // partition-wide window — one shuffle (the groupBy) replaces the
-    // old row_number window pass plus two shingle-level re-joins.
+    // One row per doc: globally-ordered hash list + its τ-prefix,
+    // built ENTIRELY row-locally (HashShinglesExpr + sort_array on
+    // ~hundreds of elements) — no explode, no groupBy shuffle; the
+    // first shuffle in the whole operator is the candidate join.
     // Prefix length is n - ⌈τn⌉ + 1, computed as floor((1-τ)n) + 2:
     // the +2 absorbs the double-rounding slip of (1-τ) (for τ=0.8,
     // 1-τ sits one ulp below 0.2, so floor((1-τ)n) comes up one short
     // exactly when τn is integral). A surplus prefix element only adds
     // candidates, which the exact jaccard filter then removes.
-    val lists = sh.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val lists = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"),
+        sort_array(SketchExprs.hashShingles(shingleCol(textCol), -1L)).as("hs"))
+      .filter(size(col("hs")) > 0)
       .withColumn("n", size(col("hs")))
       .withColumn("plen", (floor(lit(1.0 - threshold) * col("n")) + 2).cast("int"))
       .withColumn("prefix", slice(col("hs"), lit(1), col("plen")))

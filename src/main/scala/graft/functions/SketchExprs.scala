@@ -32,9 +32,10 @@ object SketchHash {
 }
 
 /** `array<string> -> array<long>`: the 60-bit md5 hash of each element,
-  * reduced mod `m`. One codegen loop per row — the row-local
-  * replacement for the explode + per-row md5 projection (no row
-  * expansion, no interpreted higher-order lambda).
+  * reduced mod `m` (`m <= 0` keeps the raw 60-bit value). One codegen
+  * loop per row — the row-local replacement for the explode + per-row
+  * md5 projection (no row expansion, no interpreted higher-order
+  * lambda).
   */
 case class HashShinglesExpr(child: Expression, m: Long) extends UnaryExpression {
 
@@ -46,7 +47,8 @@ case class HashShinglesExpr(child: Expression, m: Long) extends UnaryExpression 
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      out(i) = SketchHash.hash60(arr.getUTF8String(i).getBytes) % m
+      val h = SketchHash.hash60(arr.getUTF8String(i).getBytes)
+      out(i) = if (m > 0) h % m else h
       i += 1
     }
     new GenericArrayData(out)
@@ -57,11 +59,12 @@ case class HashShinglesExpr(child: Expression, m: Long) extends UnaryExpression 
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
       val i = ctx.freshName("i")
+      val reduce = if (m > 0) s" % ${m}L" else ""
       s"""
          |int $n = $a.numElements();
          |long[] $out = new long[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = graft.functions.SketchHash.hash60($a.getUTF8String($i).getBytes()) % ${m}L;
+         |  $out[$i] = graft.functions.SketchHash.hash60($a.getUTF8String($i).getBytes())$reduce;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
