@@ -68,6 +68,23 @@ object Pipeline {
       .join(small, big(bigKey) === small(smallKey))
   }
 
+  /** One-pass table profile: row count plus a null count and an exact
+    * distinct count per column (all integers — deterministic under any
+    * partitioning), with optional caller-supplied extra aggregates
+    * (e.g. discretized min/max of a measure). The data-quality gate a
+    * pipeline runs before/after every stage; one aggregate, map-side
+    * partials, no joins.
+    */
+  def profile(df: DataFrame, extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val perCol = df.columns.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"distinct_$c"))
+    }
+    val aggs = (count(lit(1)).as("n_rows") +: perCol.toSeq) ++ extra
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Connected components over an undirected edge list, by iterative
     * min-label propagation with pointer jumping: every node's label
     * converges to the smallest node id in its component (the canonical

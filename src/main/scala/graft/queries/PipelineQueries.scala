@@ -68,6 +68,18 @@ object PipelineQueries extends QueryGroup {
         .orderBy("node")
     }),
 
+    // One-pass data-quality profile of the orders table: null/distinct
+    // counts per column + discretized price bounds and date range.
+    "profile_orders" -> ((s, dir) => {
+      Pipeline.profile(
+        Tables.orders(s, dir),
+        extra = Seq(
+          floor(min(col("o_totalprice")) * 100 + 0.5).as("min_price_centi"),
+          floor(max(col("o_totalprice")) * 100 + 0.5).as("max_price_centi"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date")))
+    }),
+
     // HLL sketch vs exact distinct per group — rows-only for the driver
     // (sketch estimates are engine-specific); PipelineSpec bounds the
     // relative error against the exact count.
@@ -137,6 +149,23 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_totalprice > 480000
 ORDER BY l_orderkey, l_linenumber""",
 
-    "dedup_clusters" -> clustersSql
+    "dedup_clusters" -> clustersSql,
+
+    "profile_orders" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val perCol = cols.flatMap { c =>
+        Seq(
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_$c",
+          s"count(DISTINCT $c) AS distinct_$c")
+      }.mkString(",\n  ")
+      s"""SELECT count(*) AS n_rows,
+  $perCol,
+  CAST(floor(min(o_totalprice) * 100 + 0.5) AS BIGINT) AS min_price_centi,
+  CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) AS max_price_centi,
+  min(o_orderdate) AS min_date,
+  max(o_orderdate) AS max_date
+FROM orders"""
+    }
   )
 }
