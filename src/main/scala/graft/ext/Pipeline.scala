@@ -97,13 +97,25 @@ object Pipeline {
     * round (use reliable checkpointing on a real cluster).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    var edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // size the iteration's parallelism to the edge set, not the session
+    // default: a dedup-candidate graph is orders of magnitude smaller
+    // than the corpus, and each of the ~log(d) rounds otherwise pays
+    // full shuffle-width task overhead on near-empty partitions
+    val edgeCount = edges.count()
+    val parts = math.max(1, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      (edgeCount / 50000L).toInt + 1))
+    edges = edges.repartition(parts, col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+      .repartition(parts, col("node"))
       .localCheckpoint()
     var converged = false
     var i = 0
