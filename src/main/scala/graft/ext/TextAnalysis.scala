@@ -207,27 +207,24 @@ object TextAnalysis {
     * matching without shipping full sets.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.SketchExprs
     val p = DedupConstants.P
-    // posexplode + sliding-window min instead of per-row array
-    // transforms: the array formulation re-evaluated the whole
-    // interpreted hash+slice pipeline once per output column (19 s at
-    // sf0.1); this shape is one codegen projection, one window pass
-    // (O(w) per row), one hash aggregate (~2 s), and it distributes by
-    // (doc, position) instead of whole documents.
-    val wAll = Window.partitionBy(col(idCol))
-    val wSlide = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, FpWindow - 1)
+    // fully row-local: position-ordered shingle hashes (duplicates
+    // kept — winnowing needs positions) then one WinnowMinExpr pass
+    // for the complete-window minima. No explode, no window shuffle,
+    // no regroup. (Evolution: per-output-column interpreted array
+    // transforms 19 s → posexplode + two window passes + hash
+    // aggregate ~2 s → native expression, map-only.)
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), posexplode(Dedup.shingleColOrdered(textCol, FpShingle)).as(Seq("pos", "s")))
-      .withColumn("h", expr(s"cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % $p"))
-      .withColumn("total", count(lit(1)).over(wAll))
-      .withColumn("winmin", min(col("h")).over(wSlide))
-      .filter(col("pos") <= col("total") - FpWindow) // complete windows only
-      .groupBy(col(idCol))
-      .agg(
-        countDistinct(col("winmin")).as("n_fp"),
-        min(col("winmin")).as("min_fp"),
-        max(col("winmin")).as("max_fp"))
+      .select(col(idCol),
+        SketchExprs.winnowMin(
+          SketchExprs.hashShingles(Dedup.shingleColOrdered(textCol, FpShingle), p),
+          FpWindow).as("fp"))
+      .filter(size(col("fp")) > 0)
+      .select(
+        col(idCol),
+        size(array_distinct(col("fp"))).cast("long").as("n_fp"),
+        array_min(col("fp")).as("min_fp"),
+        array_max(col("fp")).as("max_fp"))
   }
 }

@@ -204,6 +204,66 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `array<long> -> array<long>`: the minimum of every complete sliding
+  * window of `w` consecutive elements, in position order — the
+  * winnowing step (Schleimer et al.) as one row-local pass. Inputs
+  * shorter than `w` yield an empty array (no complete window). Replaces
+  * a posexplode + count-window + sliding-min-window + regroup pipeline
+  * (two partition-wide window passes and a shuffle) for fingerprinting.
+  */
+case class WinnowMinExpr(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "window must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = n - w + 1
+    if (m <= 0) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var mn = arr.getLong(i)
+        var j = 1
+        while (j < w) { val v = arr.getLong(i + j); if (v < mn) mn = v; j += 1 }
+        out(i) = mn
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val mn = ctx.freshName("mn")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $c.numElements();
+         |int $m = $n - $w + 1;
+         |long[] $out = ($m <= 0) ? new long[0] : new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long $mn = $c.getLong($i);
+         |  for (int $j = 1; $j < $w; $j++) {
+         |    long $v = $c.getLong($i + $j);
+         |    if ($v < $mn) $mn = $v;
+         |  }
+         |  $out[$i] = $mn;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExprs {
   /** md5-60-bit hash of each array element, mod m. */
   def hashShingles(shingles: Column, m: Long): Column =
@@ -216,4 +276,8 @@ object SketchExprs {
   /** SimHash fingerprint of a hash array. */
   def simhash(hashes: Column): Column =
     GraftShim.column(SimHashExpr(GraftShim.expression(hashes)))
+
+  /** Sliding-window minima (winnowing) of a hash array. */
+  def winnowMin(hashes: Column, w: Int): Column =
+    GraftShim.column(WinnowMinExpr(GraftShim.expression(hashes), w))
 }

@@ -53,6 +53,23 @@ class SketchExprSpec extends SparkSuite {
     assert(mismatch == 0)
   }
 
+  test("winnowMin equals the transform/slice SQL spelling") {
+    val w = ext.TextConstants.FpWindow
+    val hs = docs.withColumn("hs", SketchExprs.hashShingles(col("sh"), P))
+      .filter(size(col("hs")) >= w)
+    val mismatch = hs
+      .withColumn("native", SketchExprs.winnowMin(col("hs"), w))
+      .withColumn("sql",
+        expr(s"transform(sequence(0, size(hs) - $w), i -> array_min(slice(hs, i + 1, $w)))"))
+      .filter(col("native") =!= col("sql"))
+      .count()
+    assert(mismatch == 0)
+    // short input -> empty
+    val short = Seq((1L, Seq(1L, 2L))).toDF("id", "hs")
+      .select(SketchExprs.winnowMin(col("hs"), w).as("fp")).collect()(0)
+    assert(short.getSeq[Long](0).isEmpty)
+  }
+
   test("empty input: hashShingles/minhashSig return empty arrays") {
     val empty = Seq((1L, Seq.empty[String])).toDF("id", "sh")
     val row = empty
