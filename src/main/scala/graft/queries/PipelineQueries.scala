@@ -80,26 +80,43 @@ object PipelineQueries extends QueryGroup {
           max(col("o_orderdate")).as("max_date")))
     }),
 
-    // HLL sketch vs exact distinct per group — rows-only for the driver
-    // (sketch estimates are engine-specific); PipelineSpec bounds the
-    // relative error against the exact count.
+    // HLL sketch per group, gate-checkable: the sketch estimate itself is
+    // engine-specific, so the RECORDED columns are the exact count plus a
+    // boolean asserting the HLL++ estimate (rsd=0.02, deterministic for
+    // fixed data) landed within 5% — the oracle supplies exact + literal
+    // true. PipelineSpec additionally bounds the raw estimate.
     "approx_distinct" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .withColumn("within_5pct",
+          abs(col("approx_users") - col("exact_users")).cast("double")
+            / col("exact_users") < 0.05)
+        .select("event_type", "exact_users", "within_5pct")
         .orderBy("event_type")
     }),
 
-    // Quantile sketch (GK/KLL-style percentile_approx) — rows-only;
-    // PipelineSpec bounds the rank error against exact percentiles.
+    // Quantile sketch (GK percentile_approx), gate-checkable the same
+    // way: the GK guarantee is rank error <= n/accuracy (1.5 ranks at
+    // accuracy=10000, n=15k), so the approx value sits within a couple of
+    // adjacent order statistics of the exact percentile; assert 2%
+    // relative value error and record the boolean.
     "approx_quantile" -> ((s, dir) => {
       Tables.orders(s, dir)
         .agg(
-          percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.95)), lit(10000))
-            .as("approx_p50_p95"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_p50"),
+          percentile_approx(col("o_totalprice"), lit(0.95), lit(10000)).as("approx_p95"),
+          expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+          expr("percentile(o_totalprice, 0.95)").as("exact_p95"),
           count(lit(1)).as("n"))
+        .select(
+          col("n"),
+          (abs(col("approx_p50") - col("exact_p50")) / col("exact_p50") < 0.02)
+            .as("p50_within_2pct"),
+          (abs(col("approx_p95") - col("exact_p95")) / col("exact_p95") < 0.02)
+            .as("p95_within_2pct"))
     })
   )
 
@@ -150,6 +167,15 @@ WHERE o_totalprice > 480000
 ORDER BY l_orderkey, l_linenumber""",
 
     "dedup_clusters" -> clustersSql,
+
+    "approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+  true AS within_5pct
+FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "approx_quantile" ->
+      """SELECT count(*) AS n, true AS p50_within_2pct, true AS p95_within_2pct
+FROM orders""",
 
     "profile_orders" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

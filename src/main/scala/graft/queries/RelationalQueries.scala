@@ -521,8 +521,8 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
 
     "q5_multi_join" ->
       """SELECT n_name, count(*) AS n_items,
-  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS rev_c4,
+  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS rev_c4,
   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
       * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000 AS revenue
 FROM lineitem
@@ -539,7 +539,7 @@ GROUP BY n_name ORDER BY n_name""",
     "range_frame_sum" ->
       """SELECT o_custkey, o_orderkey,
   count(*) OVER w AS n_trailing_30d,
-  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS spend_cents_30d
+  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS spend_cents_30d
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)

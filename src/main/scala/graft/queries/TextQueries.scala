@@ -144,7 +144,7 @@ FROM documents ORDER BY doc_id"""
 
   private val tokenStatsSql =
     """SELECT lang, count(*) AS n_docs,
-  sum(len(string_split(text, ' '))) AS total_tokens,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
   CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens
 FROM documents GROUP BY lang ORDER BY lang"""
 
