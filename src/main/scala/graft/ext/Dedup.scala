@@ -277,4 +277,47 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Embedding near-dup pairs, LSH-bucketed: the scale path. Candidates
+    * share a random-hyperplane sign-bucket in at least one of `tables`
+    * hash tables (row-local fused bucket keys, one map pass), then the
+    * exact cosine >= threshold refine runs only on candidates — the
+    * self-join shuffles on (table, bucket), never all-pairs. Recall vs
+    * [[embeddingCosinePairs]] is the standard SimHash collision bound
+    * ((1 - theta/pi)^bits per table); raise `tables` (recall) or `bits`
+    * (selectivity: expected bucket occupancy n / 2^bits) to taste — at
+    * 10^9 vectors, bits >= 24 keeps buckets sub-linear. Deterministic:
+    * seeded planes, so an external oracle can replay the exact pair set.
+    */
+  def embeddingCosinePairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      tables: Int = 8,
+      bits: Int = 8,
+      seed: Long = 42L,
+      dim: Int = 64
+  ): DataFrame = {
+    import graft.functions.DotProductExpr.dot
+    val planes = Similarity.hyperplanes(tables, bits, dim, seed)
+    val bucketed = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.AnnExprs.lshBuckets(col(vecCol), planes)).as(Seq("t", "b")))
+    val cand = bucketed.select(col("id").as("id_a"), col("t"), col("b"))
+      .join(bucketed.select(col("id").as("id_b"), col("t"), col("b")), Seq("t", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val prep = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    cand
+      .join(prep.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), Seq("id_a"))
+      .join(prep.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
 }

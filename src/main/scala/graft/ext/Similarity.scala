@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   *     per query. The classic 100 TB layout: partition/bucket the
   *     corpus by list id so a query touches nProbe partitions.
   *
-  * Hyperplanes/centroid choice are deterministic (fixed seed / fixed
-  * id-stride) so results are reproducible run-to-run.
+  * Hyperplanes/centroid choice are deterministic (fixed seed / fixed-K
+  * hash-order pick) so results are reproducible run-to-run.
   */
 object Similarity {
 
@@ -106,11 +106,19 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** IVF approximate top-k. Centroids are corpus vectors at a fixed id
-    * stride (deterministic); every corpus vector joins its nearest
-    * centroid's list; each query probes its `nProbe` nearest lists.
-    * At scale: write the corpus bucketed by `list` so probing reads
-    * only nProbe buckets.
+  /** IVF approximate top-k. Centroids are the `numCentroids` corpus
+    * vectors whose portable md5 key hash sorts first (hash order = a
+    * reproducible uniform shuffle, same family as
+    * [[Pipeline.hashSample]], so any engine can replay the choice);
+    * every corpus vector joins its nearest centroid's list; each query
+    * probes its `nProbe` nearest lists. At scale: write the corpus
+    * bucketed by `list` so probing reads only nProbe buckets.
+    *
+    * The centroid pick is a TakeOrdered over `(hash, id)` — per-
+    * partition top-K then a K-row driver merge — so the driver holds
+    * O(K x dim) regardless of corpus size. (The round-2 id-stride rule
+    * collected corpus/stride vectors: linear in the corpus, a driver
+    * OOM at 10^9 vectors.)
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -118,21 +126,27 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      centroidStride: Int = 50,
+      numCentroids: Int = 20,
       nProbe: Int = 3
   ): DataFrame = {
+    val keyHash = expr(
+      s"cast(conv(substr(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
+    val cents = corpus
+      .select(col(idCol).cast("long").as("list"),
+        col(vecCol).cast("array<double>").as("centv"), keyHash.as("h"))
+      .orderBy(col("h"), col("list"))
+      .limit(numCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val centroids = broadcast(
-      corpus.filter(col(idCol) % centroidStride === 0)
-        .select(col(idCol).as("list"), col(vecCol).as("centv")))
+      cents.toSeq.toDF("list", "centv"))
 
     // corpus side: nearest centroid per vector via the row-local
     // argmin expression (same l2sq fold and smaller-id tie-break as
     // the old rank-1 window, which shuffled the whole corpus)
-    val cents = corpus.filter(col(idCol) % centroidStride === 0)
-      .select(col(idCol), col(vecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
     val assigned = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("list",

@@ -49,6 +49,15 @@ object DedupQueries extends QueryGroup {
     "dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Same semantics, scale path: LSH-bucketed candidates (8 tables x 8
+    // bits, seeded planes) then the exact cosine refine — no all-pairs
+    // join anywhere in the plan. The oracle replays the seeded planes,
+    // so the (approximate) pair set is checked exactly.
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      Dedup.embeddingCosinePairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -127,6 +136,46 @@ FROM pairs
 WHERE round(dot / (na * nb), 4) >= 0.45
 ORDER BY id_a, id_b"""
 
+  /** The seeded hyperplanes as DuckDB VALUES rows — Double.toString
+    * round-trips exactly, so the oracle's planes (and therefore buckets)
+    * are bit-identical to the Spark side's (same generation as
+    * [[SimilarityQueries]]' LSH oracle).
+    */
+  private val embLshPlanes: String =
+    graft.ext.Similarity.hyperplanes(tables = 8, bits = 8, dim = 64, seed = 42L)
+      .zipWithIndex.flatMap { case (table, t) =>
+        table.zipWithIndex.map { case (p, bit) =>
+          p.mkString(s"($t, $bit, [", ", ", "])")
+        }
+      }.mkString(",\n")
+
+  private val embLshSql =
+    s"""WITH planes(t, bit, plane) AS (VALUES
+$embLshPlanes),
+buckets AS (
+  SELECT e.vec_id, p.t,
+    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+        i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) >= 0
+      THEN (1 << p.bit) ELSE 0 END) AS BIGINT) AS b
+  FROM embeddings e CROSS JOIN planes p GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM buckets x JOIN buckets y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+pairs AS (
+  SELECT id_a, id_b,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+    sqrt(list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) AS na,
+    sqrt(list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) AS nb
+  FROM cand JOIN embeddings a ON a.vec_id = id_a
+            JOIN embeddings b ON b.vec_id = id_b)
+SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos
+FROM pairs
+WHERE round(dot / (na * nb), 4) >= 0.45
+ORDER BY id_a, id_b"""
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
@@ -134,6 +183,7 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_minhash_lsh" -> minhashSql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> jaccardSql,
-    "dedup_embedding" -> cosineSql
+    "dedup_embedding" -> cosineSql,
+    "dedup_embedding_lsh" -> embLshSql
   )
 }

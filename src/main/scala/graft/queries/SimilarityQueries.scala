@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 /** Similarity-search suite over `embeddings` (64-dim float vectors).
   * ALL three tiers are oracle-checked: the LSH/IVF variants are
   * approximate with respect to the true neighbors, but fully
-  * DETERMINISTIC as algorithms (seeded hyperplanes / stride-sampled
-  * centroids), so the oracle replays the exact algorithm in DuckDB —
+  * DETERMINISTIC as algorithms (seeded hyperplanes / fixed-K
+  * hash-picked centroids), so the oracle replays the exact algorithm in
+  * DuckDB —
   * hyperplane literals are generated from the same seeded values the
   * Spark side uses. SimilaritySpec additionally bounds their recall
   * against the brute baseline.
@@ -50,8 +51,9 @@ object SimilarityQueries extends QueryGroup {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF approximate top-5 (centroid stride 50, nProbe 3) — the
-    // bucketed-layout scale path. Rows-only + recall spec.
+    // IVF approximate top-5 (20 hash-picked centroids, nProbe 3) — the
+    // bucketed-layout scale path; centroid count is fixed-K,
+    // independent of corpus size. Rows-only + recall spec.
     "ann_topk_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K)
@@ -102,7 +104,9 @@ WHERE rank <= $K ORDER BY query_id, rank"""
 
   private val ivfSql =
     s"""WITH centroids AS (
-  SELECT vec_id AS list, embedding FROM embeddings WHERE vec_id % 50 = 0),
+  SELECT vec_id AS list, embedding FROM embeddings
+  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+  LIMIT 20),
 assigned AS (
   SELECT list, neighbor_id FROM (
     SELECT ct.list, c.vec_id AS neighbor_id,

@@ -106,11 +106,26 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("embeddingCosinePairsLsh: subset of exact pairs, high recall, no all-pairs join") {
+    val exact = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshDf = Dedup.embeddingCosinePairsLsh(
+      vecs, "vec_id", "embedding", threshold = 0.95, tables = 8, bits = 4, dim = 8)
+    val lsh = lshDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    assert(exact.nonEmpty)
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+    val plan = lshDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      "LSH dedup plan must not contain an all-pairs join")
+  }
+
   test("ivfTopK recall >= 0.8 vs brute force on the fixture") {
     val queries = vecs.filter(col("vec_id") % 5 === 0)
     val truth = Similarity.bruteTopK(vecs, queries, "vec_id", "embedding", 4)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val approx = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 4, centroidStride = 5, nProbe = 2)
+    val approx = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 4, numCentroids = 8, nProbe = 3)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (truth intersect approx).size.toDouble / truth.size
     assert(recall >= 0.8, s"recall $recall")
