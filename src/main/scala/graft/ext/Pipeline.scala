@@ -117,6 +117,15 @@ object Pipeline {
       .withColumn("label", col("node"))
       .repartition(parts, col("node"))
       .localCheckpoint()
+    // Convergence via the label-sum invariant: every round takes mins,
+    // so per-node labels are monotonically non-increasing and the total
+    // strictly decreases until the fixpoint — equal consecutive sums
+    // IS convergence. The sum rides the round's own materialization as
+    // an Observation metric, so detection costs zero extra jobs (the
+    // round-2 probe was a separate join + count action over the
+    // un-materialized round result, recomputing the jump twice).
+    val labelSum = sum(col("label").cast("decimal(38,0)")).as("label_sum")
+    var prevSum = labels.agg(labelSum).head().getDecimal(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -135,15 +144,20 @@ object Pipeline {
         .join(stepped.select(col("node").as("ln"), col("label").as("ll")).as("y"),
           col("x.label") === col("y.ln"), "left")
         .select(col("x.node"), least(col("x.label"), coalesce(col("y.ll"), col("x.label"))).as("label"))
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0L
+      val obs = org.apache.spark.sql.Observation(s"cc_round_${i}_${java.util.UUID.randomUUID()}")
+      labels = next.observe(obs, labelSum).localCheckpoint()
+      val s = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
+      converged = java.util.Objects.equals(s, prevSum)
+      prevSum = s
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      // an unconverged labeling silently splits components — refuse to
+      // hand it back as if it were a correct clustering
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter pointer-jumping rounds; " +
+          "raise maxIter (rounds needed ~ log2 of the largest component's diameter)")
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 }
