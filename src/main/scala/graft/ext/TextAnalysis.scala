@@ -177,8 +177,11 @@ object TextAnalysis {
     * is an exact integer or one IEEE division, so scores are
     * bit-deterministic across engines; the ranking is the same as
     * tf-idf's for a fixed tf). Two shuffles: the (doc, term) count and
-    * the per-term document frequency; the corpus size joins in as a
-    * broadcast scalar.
+    * the per-term document frequency. Only the one-row corpus count is
+    * broadcast; the term↔docFreq join is left to AQE — `docFreq` has
+    * one row per distinct term, which at corpus scale is billions of
+    * rows and must NOT be forced into a broadcast (AQE still picks a
+    * broadcast at small scale, and a shuffled hash join beyond it).
     */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -191,7 +194,7 @@ object TextAnalysis {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
     terms
-      .join(broadcast(docFreq), "term")
+      .join(docFreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df_t"))
       .withColumn("rank", row_number().over(w))

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.config.ExtractQueryConfig
-import graft.extract.{Extractor, LongTable}
+import graft.extract.{Extractor, LongTable, TzMode}
 import graft.operators.ExtractOps
 import graft.time.DeltaTime
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -33,6 +33,46 @@ object ReferenceQueries extends QueryGroup {
         queryTime = "2024-01-02T00:00:00Z",
         table = ET,
         pivotKeys = Some(EventTypes))
+    }),
+
+    // §2.2 aggregate_function = "mean" + aggregate_window = "1h" — the
+    // config-driven agg path (reference keys, database_extractor.py:145-146).
+    // Window means are discretized to milli-units (floor(x*1000 + 0.5):
+    // the IEEE-exact pattern of COVERAGE.md's float-determinism rule) so
+    // the cross-engine hash is stable.
+    "daily_extract_mean" -> ((s, dir) => {
+      val wide = Extractor.queryDatabase(
+        Tables.events(s, dir),
+        ExtractQueryConfig(
+          deltaTimeEnd = DeltaTime(hours = 24),
+          filter = "r[\"event_type\"] =~ /.*/",
+          columnKey = "event_type",
+          aggregateFunction = "mean",
+          aggregateWindow = "1h",
+          sortBy = Seq("ts")),
+        queryTime = "2024-01-02T00:00:00Z",
+        table = ET,
+        pivotKeys = Some(EventTypes))
+      wide.select(col("ts") +: EventTypes.map(t => floor(col(t) * 1000 + 0.5).cast("long").as(t)): _*)
+        .orderBy("ts")
+    }),
+
+    // F5 — queryDataForDay with the date-derived tz offset (the
+    // reference's production path, database_extractor.py:380-381): a
+    // January date derives -8 under the faithful 2024 rule, so the query
+    // window is [05T08:00Z, 06T08:00Z) and timestamps read as local
+    // wall-clock — provably NOT the cfg default of 0.
+    "daily_extract_dst" -> ((s, dir) => {
+      Extractor.queryDataForDay(
+        Tables.events(s, dir),
+        java.time.LocalDate.of(2024, 1, 5),
+        ExtractQueryConfig(
+          filter = "r[\"event_type\"] =~ /.*/",
+          columnKey = "event_type",
+          sortBy = Seq("ts")),
+        table = ET,
+        tzMode = TzMode.Reference2024,
+        pivotKeys = Some(EventTypes)).get
     }),
 
     // P1 — half-open time-range prune, pushed to the parquet scan.
@@ -137,12 +177,30 @@ object ReferenceQueries extends QueryGroup {
     s"""arg_max(value, ts) FILTER (WHERE event_type = '$t') AS "$t""""
   }.mkString(",\n  ")
 
+  private def meanMilliCols(types: Seq[String]): String = types.map { t =>
+    s"""CAST(floor(avg(value) FILTER (WHERE event_type = '$t') * 1000 + 0.5) AS BIGINT) AS "$t""""
+  }.mkString(",\n  ")
+
   val oracleSql: Map[String, String] = Map(
     "daily_extract" ->
       s"""SELECT date_trunc('second', ts) AS ts,
   ${argMaxCols(EventTypes)}
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+GROUP BY 1 ORDER BY 1""",
+
+    "daily_extract_mean" ->
+      s"""SELECT date_trunc('hour', ts) AS ts,
+  ${meanMilliCols(EventTypes)}
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+GROUP BY 1 ORDER BY 1""",
+
+    "daily_extract_dst" ->
+      s"""SELECT date_trunc('second', ts - INTERVAL 8 HOUR) AS ts,
+  ${argMaxCols(EventTypes)}
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 08:00:00' AND ts < TIMESTAMP '2024-01-06 08:00:00'
 GROUP BY 1 ORDER BY 1""",
 
     "time_range_filter" ->

@@ -10,9 +10,9 @@ class ContractSpec extends SparkSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("rows-only queries are the documented approximate ones") {
+  test("every query is oracle-checked (no rows-only queries)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("approx_distinct", "approx_quantile"), rowsOnly.toString)
+    assert(rowsOnly.isEmpty, s"queries without an oracle: $rowsOnly")
   }
 
   test("entry() (driver smoke) returns rows") {

@@ -117,6 +117,49 @@ class ExtractOpsSpec extends SparkSuite {
     assert(rows.map(_.getAs[Double]("temp_01")).toSeq == Seq(2.0))
   }
 
+  test("queryDatabase honors aggregate_function; unknown names throw (§2.2)") {
+    val cfg = ExtractQueryConfig(
+      deltaTimeEnd = DeltaTime(hours = 1),
+      filter = "r[\"_measurement\"] == \"liner_heater\"",
+      columnKey = "id",
+      aggregateFunction = "mean",
+      sortBy = Seq("_time"))
+    val got = Extractor.queryDatabase(fixture, cfg, "2024-05-16T10:00:00Z").collect()
+    // bin :00 has temp_01 points 1.0 and 2.0 → mean 1.5 (vs last = 2.0)
+    assert(got.map(_.getAs[Double]("temp_01")).toSeq == Seq(1.5))
+    intercept[IllegalArgumentException] {
+      Extractor.queryDatabase(fixture, cfg.copy(aggregateFunction = "bogus"), "2024-05-16T10:00:00Z")
+    }
+  }
+
+  test("queryDataForDay derives tz from the date (F5: July → -7, not cfg's 0)") {
+    import graft.extract.TzMode
+    val rows = (0 until 12).map { i =>
+      Row(ts(f"2024-07-01T10:${i}%02d:00.000Z"), i.toDouble, "f", "m", "temp_01", "c1")
+    } ++ Seq(
+      // inside [Jul1 07:00Z, Jul2 07:00Z) — the -7 window — but OUTSIDE
+      // the -8 window [08:00Z, ...) and far from the tz=0 window start
+      Row(ts("2024-07-01T07:30:00.000Z"), 99.0, "f", "m", "temp_01", "c1"),
+      // inside the -8 window, outside the -7 window (>= Jul2 07:00Z stop)
+      Row(ts("2024-07-02T07:30:00.000Z"), 50.0, "f", "m", "temp_01", "c1"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val cfg = ExtractQueryConfig(
+      filter = "r[\"id\"] =~ /.*/", columnKey = "id", sortBy = Seq("_time"))
+
+    val got = Extractor.queryDataForDay(
+      df, java.time.LocalDate.of(2024, 7, 1), cfg, tzMode = TzMode.Reference2024).get
+    val vals = got.collect().map(_.getAs[Double]("temp_01")).toSet
+    assert(vals.contains(99.0) && !vals.contains(50.0), s"expected the -7 window, got values $vals")
+    // timestamps read as local wall-clock: the 07:30Z marker shifts to 00:30
+    val minTs = got.agg(min(col("_time"))).collect()(0).getTimestamp(0)
+    assert(minTs == ts("2024-07-01T00:30:00Z"))
+
+    // the general zone-rules path agrees with the faithful 2024 rule here
+    val zone = Extractor.queryDataForDay(
+      df, java.time.LocalDate.of(2024, 7, 1), cfg, tzMode = TzMode.Zone()).get
+    assert(zone.collect().map(_.getAs[Double]("temp_01")).toSet == vals)
+  }
+
   test("timeShift moves timestamps by whole hours") {
     val got = fixture.transform(timeShift("_time", -8)).orderBy("_time").collect()
     assert(got(0).getTimestamp(0) == ts("2024-05-16T02:00:00.100Z"))

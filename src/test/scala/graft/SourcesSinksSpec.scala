@@ -95,7 +95,10 @@ class SourcesSinksSpec extends SparkSuite {
     val start = java.time.LocalDate.of(2024, 1, 2)
     val end = java.time.LocalDate.of(2024, 1, 5)
     val one = Extractor.backfillRange(ev, start, end, cfg, graft.extract.LongTable("ts", "value"))
-    val loop = Extractor.backfillUnion(ev, start, end, cfg, graft.extract.LongTable("ts", "value")).get
+    // TzMode.Fixed pins tz to cfg.tzOffset: backfillRange's single-plan
+    // path has no per-day derivation, so the comparison fixes the offset
+    val loop = Extractor.backfillUnion(ev, start, end, cfg, graft.extract.LongTable("ts", "value"),
+      tzMode = graft.extract.TzMode.Fixed).get
     assert(one.count() == loop.count())
     val a = one.collect().map(_.toSeq).toSet
     val b = loop.collect().map(_.toSeq).toSet
