@@ -104,13 +104,16 @@ object Dedup {
     * ANY band of 4 consecutive signature slots become candidates; pairs
     * are scored by signature agreement (estimated Jaccard) and
     * thresholded. The candidate join shuffles on (band, band-signature)
-    * — bucket sizes, not document pairs.
+    * — bucket sizes, not document pairs; buckets above `maxBucket` are
+    * salt-split per band ([[BucketCap.subSplit]]) so a boilerplate hot
+    * bucket costs ~size·cap, not size².
     */
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucket: Int = 100000
   ): DataFrame = {
     val rows = K / Bands
     // self-joined below: persist so the signature pipeline (explode +
@@ -122,10 +125,12 @@ object Dedup {
       col(idCol), col("sig"),
       explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> struct(b as band, slice(sig, b * $rows + 1, $rows) as bsig))")).as("e"))
       .select(col(idCol), col("sig"), col("e.band").as("band"), col("e.bsig").as("bsig"))
+    val salted = BucketCap.subSplit(bands, Seq("band", "bsig"),
+      concat_ws("#", col(idCol).cast("string"), col("band").cast("string")), maxBucket)
 
-    val x = bands.select(col(idCol).as("doc_a"), col("sig").as("siga"), col("band"), col("bsig"))
-    val y = bands.select(col(idCol).as("doc_b"), col("sig").as("sigb"), col("band"), col("bsig"))
-    x.join(y, Seq("band", "bsig"))
+    val x = salted.select(col(idCol).as("doc_a"), col("sig").as("siga"), col("band"), col("bsig"), col("_salt"))
+    val y = salted.select(col(idCol).as("doc_b"), col("sig").as("sigb"), col("band"), col("bsig"), col("_salt"))
+    x.join(y, Seq("band", "bsig", "_salt"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "siga", "sigb").distinct()
       .withColumn("est_jaccard",
@@ -158,7 +163,8 @@ object Dedup {
     * exact popcount filter. `maxHamming` above SimChunks-1 would lose
     * recall; enforced.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      maxBucket: Int = 100000): DataFrame = {
     require(maxHamming <= SimChunks - 1, s"banding complete only up to hamming ${SimChunks - 1}")
     val bitsPerChunk = SimBits / SimChunks
     // persisted for the same self-join reason as minhashLshPairs
@@ -168,9 +174,11 @@ object Dedup {
       col(idCol), col("simhash"),
       explode(expr(s"transform(sequence(0, ${SimChunks - 1}), c -> struct(c as chunk, cast(floor(simhash / power(2, c * $bitsPerChunk)) as bigint) % ${1 << bitsPerChunk} as cval))")).as("e"))
       .select(col(idCol), col("simhash"), col("e.chunk").as("chunk"), col("e.cval").as("cval"))
-    val x = chunks.select(col(idCol).as("doc_a"), col("simhash").as("ha"), col("chunk"), col("cval"))
-    val y = chunks.select(col(idCol).as("doc_b"), col("simhash").as("hb"), col("chunk"), col("cval"))
-    x.join(y, Seq("chunk", "cval"))
+    val salted = BucketCap.subSplit(chunks, Seq("chunk", "cval"),
+      concat_ws("#", col(idCol).cast("string"), col("chunk").cast("string")), maxBucket)
+    val x = salted.select(col(idCol).as("doc_a"), col("simhash").as("ha"), col("chunk"), col("cval"), col("_salt"))
+    val y = salted.select(col(idCol).as("doc_b"), col("simhash").as("hb"), col("chunk"), col("cval"), col("_salt"))
+    x.join(y, Seq("chunk", "cval", "_salt"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "ha", "hb").distinct()
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
@@ -297,7 +305,8 @@ object Dedup {
       tables: Int = 8,
       bits: Int = 8,
       seed: Long = 42L,
-      dim: Int = 64
+      dim: Int = 64,
+      maxBucket: Int = 100000
   ): DataFrame = {
     import graft.functions.DotProductExpr.dot
     val planes = Similarity.hyperplanes(tables, bits, dim, seed)
@@ -305,8 +314,10 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
         posexplode(graft.functions.AnnExprs.lshBuckets(col(vecCol), planes)).as(Seq("t", "b")))
-    val cand = bucketed.select(col("id").as("id_a"), col("t"), col("b"))
-      .join(bucketed.select(col("id").as("id_b"), col("t"), col("b")), Seq("t", "b"))
+    val salted = BucketCap.subSplit(bucketed, Seq("t", "b"),
+      concat_ws("#", col("id").cast("string"), col("t").cast("string")), maxBucket)
+    val cand = salted.select(col("id").as("id_a"), col("t"), col("b"), col("_salt"))
+      .join(salted.select(col("id").as("id_b"), col("t"), col("b"), col("_salt")), Seq("t", "b", "_salt"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 

@@ -76,7 +76,11 @@ object Similarity {
   /** LSH-bucketed approximate top-k: candidates share a bucket with the
     * query in at least one of the `tables` hash tables; exact cosine
     * re-rank on the candidate set. Recall grows with `tables`, bucket
-    * selectivity with `bits`.
+    * selectivity with `bits`. Corpus buckets above `maxBucket` are
+    * dropped ([[BucketCap.dropHot]]) — a bucket holding a large corpus
+    * fraction is non-discriminative (stop-word semantics) and would
+    * otherwise flood every matching query's candidate set; the other
+    * tables keep supplying candidates.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -87,13 +91,15 @@ object Similarity {
       tables: Int = 8,
       bits: Int = 8,
       seed: Long = 42L,
-      dim: Int = 64
+      dim: Int = 64,
+      maxBucket: Int = 100000
   ): DataFrame = {
     val planes = hyperplanes(tables, bits, dim, seed)
 
-    val c = withBuckets(
+    val c = BucketCap.dropHot(withBuckets(
       corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv", planes)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv", planes),
+      Seq("t", "b"), maxBucket)
     val q = broadcast(withBuckets(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv", planes))
 
