@@ -51,13 +51,20 @@ object FilterSpec {
   }
 }
 
-/** Minimal TOML-subset / properties reader sufficient for
-  * `application.toml`-shaped files
-  * (`/root/reference/config/application.toml`): `[section]` headers,
-  * `key = value` with string / int / bool / homogeneous inline-array
-  * values, `#` comments. Offline build — no external TOML dependency is
-  * resolvable (see build.sbt), and the reference's own loader is likewise
-  * a thin format switch (`database_extractor.py:91-128`).
+/** Config reader mirroring the reference's `load_config` format switch
+  * (`database_extractor.py:91-128`): `.json` and `.yaml`/`.yml` parse
+  * via the Jackson already on the Spark classpath, `.toml` via the
+  * built-in TOML-subset parser (offline build — no external TOML
+  * dependency is resolvable, see build.sbt; the subset covers
+  * `application.toml`-shaped files: `[section]` headers, `key = value`
+  * with string / int / bool / homogeneous inline-array values, `#`
+  * comments), and any other extension loads raw bytes
+  * ([[ConfigLoader.loadRaw]], the reference's else branch).
+  *
+  * All formats normalize to the same `Map[section, Map[key, value]]`
+  * with TOML's value types (String / Long / Double / Boolean / List),
+  * so [[ConfigLoader.queryConfig]] is format-agnostic; top-level scalar
+  * keys land in the `""` section.
   */
 object ConfigLoader {
   type Section = Map[String, Any]
@@ -84,8 +91,63 @@ object ConfigLoader {
     out.map { case (k, v) => k -> v.toMap }.toMap
   }
 
-  def load(path: String): Map[String, Section] =
-    parseToml(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+  def load(path: String): Map[String, Section] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p))
+      throw new java.io.FileNotFoundException(s"File not found: $path")
+    lazy val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    if (path.endsWith(".json")) parseJson(text)
+    else if (path.endsWith(".yaml") || path.endsWith(".yml")) parseYaml(text)
+    else if (path.endsWith(".toml")) parseToml(text)
+    else
+      throw new IllegalArgumentException(
+        s"Unsupported config extension for $path (expected .json/.yaml/.toml); " +
+          "for the reference's raw-bytes else branch use loadRaw")
+  }
+
+  /** The reference's unknown-extension fallback: raw bytes
+    * (`database_extractor.py:126-128`).
+    */
+  def loadRaw(path: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+
+  def parseJson(text: String): Map[String, Section] =
+    fromTree(new com.fasterxml.jackson.databind.ObjectMapper().readTree(text))
+
+  def parseYaml(text: String): Map[String, Section] =
+    fromTree(new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory()).readTree(text))
+
+  /** Normalize a Jackson tree to the TOML-shaped section map: one-level
+    * object fields become sections, top-level scalars the "" section;
+    * numbers map to Long/Double exactly as [[parseValue]] does.
+    */
+  private def fromTree(root: com.fasterxml.jackson.databind.JsonNode): Map[String, Section] = {
+    import com.fasterxml.jackson.databind.JsonNode
+    def value(n: JsonNode): Any =
+      if (n.isTextual) n.asText
+      else if (n.isBoolean) n.asBoolean
+      else if (n.isIntegralNumber) n.asLong
+      else if (n.isFloatingPointNumber) n.asDouble
+      else if (n.isArray) (0 until n.size).map(i => value(n.get(i))).toList
+      else if (n.isNull) null
+      else if (n.isObject) fields(n).map { case (k, v) => k -> value(v) }.toMap
+      else throw new IllegalArgumentException(s"Unsupported config value: $n")
+    def fields(n: JsonNode): Seq[(String, JsonNode)] = {
+      val it = n.fields()
+      val buf = scala.collection.mutable.ListBuffer[(String, JsonNode)]()
+      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+      buf.toSeq
+    }
+    require(root != null && root.isObject, "config root must be an object")
+    val (sections, scalars) = fields(root).partition(_._2.isObject)
+    val out = scala.collection.mutable.Map[String, Section]()
+    out("") = scalars.map { case (k, v) => k -> value(v) }.toMap
+    sections.foreach { case (name, node) =>
+      out(name) = fields(node).map { case (k, v) => k -> value(v) }.toMap
+    }
+    out.toMap
+  }
 
   private def stripComment(line: String): String = {
     // '#' outside of quotes starts a comment

@@ -68,18 +68,33 @@ object Pipeline {
       .join(small, big(bigKey) === small(smallKey))
   }
 
-  /** One-pass table profile: row count plus a null count and an exact
-    * distinct count per column (all integers — deterministic under any
-    * partitioning), with optional caller-supplied extra aggregates
+  /** One-pass table profile: row count plus a null count and a distinct
+    * count per column, with optional caller-supplied extra aggregates
     * (e.g. discretized min/max of a measure). The data-quality gate a
     * pipeline runs before/after every stage; one aggregate, map-side
     * partials, no joins.
+    *
+    * `approxDistinct = false` uses exact `countDistinct` — Catalyst
+    * plans N distinct aggregates as an Expand ×(2·ncols) of the input,
+    * which at 100 TB multiplies the scan into the shuffle. The approx
+    * mode swaps in HLL++ (`approx_count_distinct`, relative error
+    * `rsd`): constant-size sketches, one ordinary aggregate pass, no
+    * Expand — the profile a production pipeline should run at scale.
+    * Both modes are deterministic for fixed data (HLL++ is seedless).
     */
-  def profile(df: DataFrame, extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+  def profile(
+      df: DataFrame,
+      extra: Seq[org.apache.spark.sql.Column] = Nil,
+      approxDistinct: Boolean = false,
+      rsd: Double = 0.02
+  ): DataFrame = {
     val perCol = df.columns.flatMap { c =>
+      val distinct =
+        if (approxDistinct) approx_count_distinct(col(c), rsd)
+        else countDistinct(col(c))
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
-        countDistinct(col(c)).as(s"distinct_$c"))
+        distinct.as(s"distinct_$c"))
     }
     val aggs = (count(lit(1)).as("n_rows") +: perCol.toSeq) ++ extra
     df.agg(aggs.head, aggs.tail: _*)
@@ -93,10 +108,28 @@ object Pipeline {
     * (label := label-of-label) — the doubling step that makes rounds
     * O(log diameter) instead of O(diameter), so a 1M-node path needs
     * ~20 rounds, not 1M. Per round: two equi-joins + one min-aggregate
-    * on the edge set; lineage truncated with localCheckpoint every
-    * round (use reliable checkpointing on a real cluster).
+    * on the edge set; lineage is truncated every round.
+    *
+    * `checkpointDir = None` truncates with `localCheckpoint` — fast, but
+    * blocks live only on the executors that computed them: an executor
+    * loss mid-iteration kills the job, and the blocks pin those
+    * executors (bad with dynamic allocation). On a real cluster pass
+    * `Some(dir)` (HDFS/S3) to use reliable checkpointing instead —
+    * each round's labels are persisted to the shared store and survive
+    * executor loss.
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // both variants run through Dataset.checkpoint's action, so the
+    // Observation-based convergence metric below fires either way
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     var edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -113,10 +146,10 @@ object Pipeline {
     edges = edges.repartition(parts, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .repartition(parts, col("node"))
-      .localCheckpoint()
+    var labels = truncate(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .repartition(parts, col("node")))
     // Convergence via the label-sum invariant: every round takes mins,
     // so per-node labels are monotonically non-increasing and the total
     // strictly decreases until the fixpoint — equal consecutive sums
@@ -135,9 +168,9 @@ object Pipeline {
       // checkpoint before the self-join: truncates lineage AND gives the
       // two join sides distinct attribute ids (a raw self-join of the
       // union+agg plan trips the analyzer's constraint rewrite)
-      val stepped = labels.union(prop)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint()
+      val stepped = truncate(
+        labels.union(prop)
+          .groupBy("node").agg(min("label").as("label")))
       // (b) pointer jumping: labels are node ids, so chase one hop —
       // label := label(label) when the target node has a smaller label
       val next = stepped.as("x")
@@ -145,7 +178,7 @@ object Pipeline {
           col("x.label") === col("y.ln"), "left")
         .select(col("x.node"), least(col("x.label"), coalesce(col("y.ll"), col("x.label"))).as("label"))
       val obs = org.apache.spark.sql.Observation(s"cc_round_${i}_${java.util.UUID.randomUUID()}")
-      labels = next.observe(obs, labelSum).localCheckpoint()
+      labels = truncate(next.observe(obs, labelSum))
       val s = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
       converged = java.util.Objects.equals(s, prevSum)
       prevSum = s

@@ -80,6 +80,25 @@ object PipelineQueries extends QueryGroup {
           max(col("o_orderdate")).as("max_date")))
     }),
 
+    // The 100 TB profile: HLL++ distinct counts (no Expand ×2·ncols in
+    // the plan). Gate-checked like the other sketches: the recorded
+    // columns are the EXACT distincts plus per-column booleans asserting
+    // the approx estimate (rsd=0.02, deterministic for fixed data)
+    // landed within 5%; the oracle supplies exact + literal true.
+    "profile_orders_approx" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val approx = Pipeline.profile(o, approxDistinct = true)
+      val exact = Pipeline.profile(o)
+      val a = approx.select(approx.columns.map(c => col(c).as(s"a_$c")): _*)
+      val checks = o.columns.toSeq.flatMap { c =>
+        Seq(
+          col(s"distinct_$c"),
+          (abs(col(s"a_distinct_$c") - col(s"distinct_$c")).cast("double")
+            / col(s"distinct_$c") < 0.05).as(s"within_5pct_$c"))
+      }
+      exact.crossJoin(a).select(col("n_rows") +: checks: _*)
+    }),
+
     // HLL sketch per group, gate-checkable: the sketch estimate itself is
     // engine-specific, so the RECORDED columns are the exact count plus a
     // boolean asserting the HLL++ estimate (rsd=0.02, deterministic for
@@ -176,6 +195,19 @@ FROM events GROUP BY event_type ORDER BY event_type""",
     "approx_quantile" ->
       """SELECT count(*) AS n, true AS p50_within_2pct, true AS p95_within_2pct
 FROM orders""",
+
+    "profile_orders_approx" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val perCol = cols.flatMap { c =>
+        Seq(
+          s"count(DISTINCT $c) AS distinct_$c",
+          s"true AS within_5pct_$c")
+      }.mkString(",\n  ")
+      s"""SELECT count(*) AS n_rows,
+  $perCol
+FROM orders"""
+    },
 
     "profile_orders" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

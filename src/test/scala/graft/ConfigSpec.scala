@@ -32,6 +32,53 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.sortBy == Seq("_time", "_field")) // dataclass default (database_extractor.py:153-155)
   }
 
+  test("JSON and YAML configs load the same query config as TOML (load_config format switch)") {
+    val appJson =
+      """{"query": {
+        |  "time_format": "%Y-%m-%dT%H:%M:%SZ",
+        |  "delta_time_start": [0, 0, 0, 0],
+        |  "delta_time_end": [0, 24, 0, 0],
+        |  "tz_offset": -8,
+        |  "columns_to_drop": ["result", "table", "_start", "_stop", "_measurement"],
+        |  "column_key": "id",
+        |  "bucket": "prototype-zero",
+        |  "aggregate_function": "last",
+        |  "aggregate_window": "1s",
+        |  "filter": "r[\"id\"] =~ /.*/"
+        |}}""".stripMargin
+    val appYaml =
+      """query:
+        |  time_format: "%Y-%m-%dT%H:%M:%SZ"
+        |  delta_time_start: [0, 0, 0, 0]
+        |  delta_time_end: [0, 24, 0, 0]
+        |  tz_offset: -8
+        |  columns_to_drop: [result, table, _start, _stop, _measurement]
+        |  column_key: id
+        |  bucket: prototype-zero
+        |  aggregate_function: last
+        |  aggregate_window: 1s
+        |  filter: 'r["id"] =~ /.*/'
+        |""".stripMargin
+    val fromToml = ConfigLoader.queryConfig(ConfigLoader.parseToml(appToml)("query"))
+    val fromJson = ConfigLoader.queryConfig(ConfigLoader.parseJson(appJson)("query"))
+    val fromYaml = ConfigLoader.queryConfig(ConfigLoader.parseYaml(appYaml)("query"))
+    assert(fromJson == fromToml)
+    assert(fromYaml == fromToml)
+  }
+
+  test("load switches on extension; unknown extensions point at loadRaw") {
+    val dir = java.nio.file.Files.createTempDirectory("cfg")
+    val json = dir.resolve("app.json")
+    java.nio.file.Files.writeString(json, """{"query": {"bucket": "b1", "tz_offset": -7}}""")
+    val cfg = ConfigLoader.queryConfig(ConfigLoader.load(json.toString)("query"))
+    assert(cfg.bucket == "b1" && cfg.tzOffset == -7)
+    val raw = dir.resolve("blob.bin")
+    java.nio.file.Files.write(raw, Array[Byte](1, 2, 3))
+    intercept[IllegalArgumentException](ConfigLoader.load(raw.toString))
+    assert(ConfigLoader.loadRaw(raw.toString).toSeq == Seq[Byte](1, 2, 3))
+    intercept[java.io.FileNotFoundException](ConfigLoader.load(dir.resolve("nope.toml").toString))
+  }
+
   test("defaults match the reference dataclass") {
     val cfg = ExtractQueryConfig()
     assert(cfg.filter == "r[\"_measurement\"] =~ /.*/")

@@ -101,6 +101,32 @@ class PipelineSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("connectedComponents reliable-checkpoint mode agrees with localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val pairs = ((1L until 12L).map(i => (i, i + 1)) ++ Seq((20L, 21L))).toDF("a", "b")
+    val reliable = Pipeline.connectedComponents(pairs, "a", "b", checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    val local = Pipeline.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    // the reliable path actually wrote checkpoint data to the shared dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, s"no checkpoint files under $dir")
+  }
+
+  test("approx profile mode bounds relative error vs the exact profile") {
+    val o = Tables.orders(spark, sf)
+    val exact = Pipeline.profile(o).collect()(0)
+    val approx = Pipeline.profile(o, approxDistinct = true).collect()(0)
+    for (c <- o.columns) {
+      val e = exact.getAs[Long](s"distinct_$c").toDouble
+      val a = approx.getAs[Long](s"distinct_$c").toDouble
+      assert(math.abs(a - e) / e < 0.05, s"$c: approx $a vs exact $e")
+      assert(exact.getAs[Long](s"null_$c") == approx.getAs[Long](s"null_$c"))
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val ev = Tables.events(spark, sf)
     val row = ev.agg(
