@@ -45,7 +45,13 @@ object DedupQueries extends QueryGroup {
     }),
 
     // Embedding-cosine near-dup pairs (threshold calibrated to the
-    // corpus: max pairwise cosine is ~0.51).
+    // corpus: max pairwise cosine is ~0.51). GROUND-TRUTH BASELINE,
+    // sf-bounded by design: the all-pairs theta join is O(n²) and must
+    // never run at corpus scale — it exists so the oracle can pin exact
+    // semantics and so dedup_embedding_lsh (the production path, below)
+    // has a recall target. ScaleBehaviorSpec asserts this is the only
+    // registered query with an unbounded nested-loop join; SCALE.md
+    // documents the bound.
     "dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
         .orderBy("id_a", "id_b")

@@ -74,6 +74,44 @@ class ScaleBehaviorSpec extends SparkSuite {
     assert(joinIdx >= 0 && udfIdx > joinIdx, plan.take(1500))
   }
 
+  test("dedup_embedding is the ONLY registered query with an unbounded all-pairs join") {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    // an equi conjunct keys the shuffle/broadcast hash join: one side's
+    // attrs on the left, the other side's on the right (either order)
+    def hasEquiKey(j: Join): Boolean =
+      j.condition.toSeq.flatMap(conjuncts).exists {
+        case eq @ (_: EqualTo | _: EqualNullSafe) =>
+          val Seq(l, r) = eq.children
+          (l.references.subsetOf(j.left.outputSet) && r.references.subsetOf(j.right.outputSet) ||
+            l.references.subsetOf(j.right.outputSet) && r.references.subsetOf(j.left.outputSet)) &&
+            l.references.nonEmpty && r.references.nonEmpty
+        case _ => false
+      }
+    // all-pairs = a join with no equi key where BOTH sides are unbounded:
+    // a side is bounded if it's a scalar aggregate (maxRows <= 1 — nDocs,
+    // profile checks) or carries an explicit broadcast hint (the author
+    // declaring it driver-small: ANN query sets, IVF centroids/probes)
+    import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.optimizedPlan
+      plan.collect {
+        case j: Join
+            if !hasEquiKey(j) &&
+              j.left.maxRows.forall(_ > 1) && j.right.maxRows.forall(_ > 1) &&
+              !j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
+              !j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) => j
+      }.nonEmpty
+    }
+    assert(offenders == Seq("dedup_embedding"),
+      s"unbounded all-pairs joins outside the documented baseline: $offenders")
+  }
+
   test("co-bucketed tables sort-merge join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
