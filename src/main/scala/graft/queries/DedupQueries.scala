@@ -64,6 +64,20 @@ object DedupQueries extends QueryGroup {
     "dedup_embedding_lsh" -> ((s, dir) => {
       Dedup.embeddingCosinePairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Train/eval decontamination: docs sharing >= 5 distinct 3-gram
+    // hashes with the held-out "benchmark" slice (doc_id % 20 = 0 —
+    // deterministic split; the corpus's built-in near-dups straddle it,
+    // so contamination genuinely exists). Eval grams broadcast; the
+    // only shuffle is matched grams (see ext/Decontaminate).
+    "decontaminate_ngram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.Decontaminate.ngramContamination(
+        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+        minShared = 5L)
+        .orderBy("doc_id", "eval_id")
     })
   )
 
@@ -190,6 +204,29 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_embedding" -> cosineSql,
-    "dedup_embedding_lsh" -> embLshSql
+    "dedup_embedding_lsh" -> embLshSql,
+    "decontaminate_ngram" -> decontaminateSql
   )
+
+  /** Replays the corpus/eval split, the md5-60-bit gram hash, and the
+    * shared-gram counts exactly. `n_grams` counts DISTINCT SHINGLE
+    * STRINGS (Spark hashes the distinct-shingle array, so its size is
+    * string-distinct even if two strings hash-collide); `shared_grams`
+    * counts distinct HASHES on both sides.
+    */
+  private lazy val decontaminateSql =
+    s"""WITH split AS (
+  SELECT doc_id, string_split(text, ' ') w, (doc_id % 20 = 0) AS is_eval FROM documents),
+idx AS (SELECT doc_id, is_eval, w, unnest(generate_series(1, len(w) - 2)) AS i FROM split),
+sh AS (SELECT DISTINCT doc_id, is_eval, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+hg AS (SELECT doc_id, is_eval, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $P AS g FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh WHERE NOT is_eval GROUP BY 1),
+cg AS (SELECT DISTINCT doc_id, g FROM hg WHERE NOT is_eval),
+eg AS (SELECT DISTINCT doc_id AS eval_id, g FROM hg WHERE is_eval),
+j AS (SELECT c.doc_id, e.eval_id, count(DISTINCT c.g) AS shared_grams
+      FROM cg c JOIN eg e ON c.g = e.g GROUP BY 1, 2)
+SELECT j.doc_id, eval_id, shared_grams, n_grams
+FROM j JOIN sizes ON j.doc_id = sizes.doc_id
+WHERE shared_grams >= 5
+ORDER BY j.doc_id, eval_id"""
 }
