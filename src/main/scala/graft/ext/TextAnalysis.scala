@@ -121,6 +121,62 @@ object TextAnalysis {
       round(size(array_distinct(w)).cast("double") / size(w), 4).as("uniq_ratio"))
   }
 
+  /** Gopher-style document quality filter (Rae et al. 2021, §A1.1 —
+    * the rule set most open training pipelines reuse): per-document
+    * booleans for each rule plus the composite `keep` verdict. Entirely
+    * row-local single-pass projection — at 100 TB this is a map-only
+    * scan, no shuffle, codegen end to end. Booleans (not float scores)
+    * keep the cross-engine hash trivially stable: every ratio is one
+    * IEEE-exact division compared to a threshold, identical in DuckDB.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [minMeanWordLen, maxMeanWordLen]; symbol-to-word ratio ('#' and
+    * '...') <= maxSymbolRatio; fraction of words with an alphabetic
+    * char >= minAlphaRatio; >= minStopwords distinct stopwords present;
+    * fraction of bullet-started lines <= maxBulletRatio; fraction of
+    * ellipsis-ended lines <= maxEllipsisRatio.
+    */
+  def gopherFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaRatio: Double = 0.8,
+      minStopwords: Int = 2,
+      maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3
+  ): DataFrame = {
+    val w = wordsCol(textCol)
+    val lines = split(col(textCol), "\n")
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nWords = size(w)
+    val nLines = size(lines)
+    val meanWl = (length(col(textCol)) - (nWords - 1)).cast("double") / nWords
+    val symbols = (length(col(textCol)) - length(regexp_replace(col(textCol), "#", ""))) +
+      (length(col(textCol)) - length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3
+    val alphaWords = size(filter(w, x => x.rlike("[a-zA-Z]")))
+    val stopHits = size(filter(stopArr, s => array_contains(w, s)))
+    val bulletLines = size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    df.select(
+      col(idCol),
+      nWords.cast("long").as("n_words"),
+      (nWords >= minWords && nWords <= maxWords).as("word_count_ok"),
+      (meanWl >= minMeanWordLen && meanWl <= maxMeanWordLen).as("mean_word_len_ok"),
+      (symbols.cast("double") / nWords <= maxSymbolRatio).as("symbol_ok"),
+      (alphaWords.cast("double") / nWords >= minAlphaRatio).as("alpha_ok"),
+      (stopHits >= minStopwords).as("stopword_ok"),
+      (bulletLines.cast("double") / nLines <= maxBulletRatio).as("bullet_ok"),
+      (ellipsisLines.cast("double") / nLines <= maxEllipsisRatio).as("ellipsis_ok"))
+      .withColumn("keep",
+        col("word_count_ok") && col("mean_word_len_ok") && col("symbol_ok") &&
+          col("alpha_ok") && col("stopword_ok") && col("bullet_ok") && col("ellipsis_ok"))
+  }
+
   /** Token counts: whitespace tokens and BPE-ish regex tokens. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

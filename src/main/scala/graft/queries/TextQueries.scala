@@ -33,6 +33,15 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Gopher-rules composite keep/drop filter (row-local, all booleans;
+    // thresholds tuned so the synthetic corpus genuinely splits:
+    // 30-90 words keeps the bulk, drops the short/long tails).
+    "quality_filter_gopher" -> ((s, dir) => {
+      TextAnalysis.gopherFilter(Tables.documents(s, dir), "doc_id", "text",
+        minWords = 30, maxWords = 90)
+        .orderBy("doc_id")
+    }),
+
     "token_count" -> ((s, dir) => {
       TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
@@ -136,6 +145,43 @@ FROM scored ORDER BY doc_id"""
 FROM documents ORDER BY doc_id"""
   }
 
+  /** Replays every Gopher rule with the same IEEE-exact divisions and
+    * thresholds (30/90 words, 3-10 mean len, 0.1/0.8/0.9/0.3 ratios, 2
+    * stopwords). DuckDB `/` on integers is float division like Spark's
+    * `/`; the '...' count diff is an exact multiple of 3 so `/ 3` is
+    * exact on both engines.
+    */
+  private val gopherSql = {
+    val rules = Seq(
+      "nw >= 30 AND nw <= 90" -> "word_count_ok",
+      "mean_wl >= 3.0 AND mean_wl <= 10.0" -> "mean_word_len_ok",
+      "CAST(symbols AS DOUBLE) / nw <= 0.1" -> "symbol_ok",
+      "CAST(alpha_words AS DOUBLE) / nw >= 0.8" -> "alpha_ok",
+      "stop_hits >= 2" -> "stopword_ok",
+      "CAST(bullet_lines AS DOUBLE) / nl <= 0.9" -> "bullet_ok",
+      "CAST(ell_lines AS DOUBLE) / nl <= 0.3" -> "ellipsis_ok")
+    val ruleCols = rules.map { case (e, n) => s"($e) AS $n" }.mkString(",\n  ")
+    val keep = rules.map { case (e, _) => s"($e)" }.mkString(" AND ")
+    s"""WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w, string_split(text, chr(10)) AS ls
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    len(w) AS nw, len(ls) AS nl,
+    CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS mean_wl,
+    (length(text) - length(regexp_replace(text, '#', '', 'g'))) +
+      (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS symbols,
+    len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
+    len(list_filter(${markerList(Stopwords)}, s -> list_contains(w, s))) AS stop_hits,
+    len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS bullet_lines,
+    len(list_filter(ls, l -> l LIKE '%...')) AS ell_lines
+  FROM t)
+SELECT doc_id, nw AS n_words,
+  $ruleCols,
+  ($keep) AS keep
+FROM m ORDER BY doc_id"""
+  }
+
   private val tokenSql =
     s"""SELECT doc_id,
   len(string_split(text, ' ')) AS ws_tokens,
@@ -211,6 +257,7 @@ FROM scored WHERE rank <= 3 ORDER BY doc_id, rank"""
     "text_langid" -> langidSql,
     "text_langid_ngram" -> langidNgramSql,
     "text_quality" -> qualitySql,
+    "quality_filter_gopher" -> gopherSql,
     "token_count" -> tokenSql,
     "token_stats_by_lang" -> tokenStatsSql,
     "doc_fingerprint" -> fingerprintSql,

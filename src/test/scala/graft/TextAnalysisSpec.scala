@@ -56,4 +56,31 @@ class TextAnalysisSpec extends SparkSuite {
     // 4 words → 2 shingles < window of 4 → filtered
     assert(got.count() == 0)
   }
+
+  test("gopherFilter: each rule fires on its crafted document") {
+    val docs = docsOf(
+      1L -> "the data is in a table and the scan is fast so keep it whole here now",
+      2L -> "- alpha\n- beta\n- gamma",        // every line bullet-started
+      3L -> "so...\nmaybe...\nyes...\nplain",  // 3/4 lines ellipsis-ended
+      4L -> "#### #### #### the of",           // symbol-heavy, low alpha
+      5L -> "zz yy xx ww vv"                   // no stopwords
+    )
+    val rows = TextAnalysis.gopherFilter(docs, "doc_id", "text", minWords = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(rows(1L).getAs[Boolean]("keep"))
+    assert(!rows(2L).getAs[Boolean]("bullet_ok") && !rows(2L).getAs[Boolean]("keep"))
+    assert(!rows(3L).getAs[Boolean]("ellipsis_ok"))
+    assert(!rows(4L).getAs[Boolean]("symbol_ok"))
+    assert(!rows(4L).getAs[Boolean]("alpha_ok"))
+    assert(rows(4L).getAs[Boolean]("stopword_ok")) // "the" + "of" = 2 hits
+    assert(!rows(5L).getAs[Boolean]("stopword_ok"))
+    assert(rows(5L).getAs[Boolean]("alpha_ok"))
+    // keep is exactly the conjunction of the seven rule columns
+    for ((_, r) <- rows) {
+      val conj = Seq("word_count_ok", "mean_word_len_ok", "symbol_ok", "alpha_ok",
+        "stopword_ok", "bullet_ok", "ellipsis_ok").forall(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("keep") == conj)
+    }
+  }
 }
