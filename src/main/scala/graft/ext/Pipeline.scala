@@ -30,6 +30,29 @@ object Pipeline {
   def hashSample(df: DataFrame, keyCol: String, permille: Int): DataFrame =
     df.filter(keyHash(keyCol) % 1000 < permille)
 
+  /** Domain-mixing sample: per-stratum deterministic hash-sample rates
+    * in permille — the mixture-weights step of a training-data pipeline
+    * (upweight scarce high-quality domains, downweight boilerplate).
+    * Same scan-side shape as [[hashSample]]: a stateless predicate, no
+    * shuffle, no exchange; the rate table rides a when-chain (mixture
+    * configs are dozens of strata, not data-scale). Strata absent from
+    * `ratesPermille` keep `defaultPermille`. Membership is stable
+    * under reruns and partial reprocessing, and monotone: lowering a
+    * stratum's rate yields a subset of the higher-rate sample.
+    */
+  def weightedSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      ratesPermille: Map[String, Int],
+      defaultPermille: Int = 0
+  ): DataFrame = {
+    val rate = ratesPermille.foldLeft(lit(defaultPermille)) {
+      case (acc, (s, p)) => when(col(strataCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(keyHash(keyCol) % 1000 < rate)
+  }
+
   /** Deterministic stratified sample: the `perStratum` rows with the
     * smallest key hashes within each stratum (hash-order = uniform
     * random order, but reproducible). One shuffle on the stratum key;

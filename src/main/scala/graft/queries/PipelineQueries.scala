@@ -34,6 +34,45 @@ object PipelineQueries extends QueryGroup {
         .orderBy("lang", "doc_id")
     }),
 
+    // Domain-mixing weights: en 500‰, zh 300‰, fr 150‰, others 50‰ —
+    // the deterministic mixture-sampling step of a training pipeline.
+    "sample_weighted" -> ((s, dir) => {
+      Pipeline.weightedSample(Tables.documents(s, dir), "lang", "doc_id",
+        Map("en" -> 500, "zh" -> 300, "fr" -> 150), defaultPermille = 50)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // The flagship composition: a realistic LLM training-data pipeline
+    // — Gopher quality gate → exact dedup (canonical per text) →
+    // decontaminate vs the benchmark slice → mixture-weight sample —
+    // as ONE lazy Catalyst plan with a single action. Every stage is
+    // the already-oracle-checked operator; this query proves they
+    // compose (the oracle replays the whole chain in SQL). Shuffles:
+    // dedup's text groupBy, the two semi/anti joins on doc_id, and the
+    // matched-grams agg — the quality gate and the sampler are
+    // scan-side and add none.
+    "pipeline_end_to_end" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(col("doc_id") % 20 === 0)
+      val kept = graft.ext.TextAnalysis
+        .gopherFilter(docs, "doc_id", "text", minWords = 30, maxWords = 90)
+        .filter(col("keep")).select("doc_id")
+      val corpus = docs.join(kept, Seq("doc_id"), "left_semi")
+        .filter(col("doc_id") % 20 =!= 0)
+      val canon = graft.ext.Dedup.exact(corpus, "doc_id", Seq("text"))
+        .select(col("canonical_id").as("doc_id"))
+      val deduped = corpus.join(canon, Seq("doc_id"), "left_semi")
+      val contaminated = graft.ext.Decontaminate.ngramContamination(
+        deduped, "doc_id", "text", evalSet, "doc_id", "text", minShared = 5L)
+        .select("doc_id").distinct()
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      Pipeline.weightedSample(clean, "lang", "doc_id",
+        Map("en" -> 500, "zh" -> 300, "fr" -> 150), defaultPermille = 50)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // Melt wide metric columns to long (metric, value) rows.
     "unpivot_long" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -157,6 +196,62 @@ FROM reach GROUP BY a ORDER BY node"""
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE ${duckHash("o_orderkey")} % 1000 < 50
 ORDER BY o_orderkey""",
+
+    // Replays the full four-stage pipeline: Gopher rules (same
+    // thresholds as quality_filter_gopher), min-id-per-text dedup, the
+    // md5-60-bit gram-hash contamination check (shared >= 5 vs the
+    // doc_id % 20 = 0 slice), and the per-lang permille hash sample.
+    "pipeline_end_to_end" ->
+      s"""WITH t AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') w, string_split(text, chr(10)) ls
+  FROM documents),
+m AS (
+  SELECT doc_id, lang, text, w,
+    len(w) nw, len(ls) nl,
+    CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) mean_wl,
+    (length(text) - length(regexp_replace(text, '#', '', 'g'))) +
+      (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 symbols,
+    len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) alpha_words,
+    len(list_filter(['the', 'a', 'of', 'and', 'in', 'to', 'is'], s2 -> list_contains(w, s2))) stop_hits,
+    len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* '))) bullet_lines,
+    len(list_filter(ls, l -> l LIKE '%...')) ell_lines
+  FROM t),
+kept AS (
+  SELECT doc_id, lang, text, w FROM m
+  WHERE nw >= 30 AND nw <= 90 AND mean_wl >= 3.0 AND mean_wl <= 10.0
+    AND CAST(symbols AS DOUBLE) / nw <= 0.1
+    AND CAST(alpha_words AS DOUBLE) / nw >= 0.8
+    AND stop_hits >= 2
+    AND CAST(bullet_lines AS DOUBLE) / nl <= 0.9
+    AND CAST(ell_lines AS DOUBLE) / nl <= 0.3),
+corpus AS (SELECT * FROM kept WHERE doc_id % 20 <> 0),
+dedup AS (SELECT * FROM corpus
+  WHERE doc_id IN (SELECT min(doc_id) FROM corpus GROUP BY text)),
+cidx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) i FROM dedup),
+csh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] s FROM cidx),
+cg AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % ${graft.ext.DedupConstants.P} g FROM csh),
+ev AS (SELECT doc_id, string_split(text, ' ') w FROM documents WHERE doc_id % 20 = 0),
+eidx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) i FROM ev),
+esh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] s FROM eidx),
+eg AS (SELECT DISTINCT doc_id eval_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % ${graft.ext.DedupConstants.P} g FROM esh),
+contam AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id, e2.eval_id, count(DISTINCT c.g) shared
+    FROM cg c JOIN eg e2 USING (g) GROUP BY 1, 2) x
+  WHERE shared >= 5)
+SELECT doc_id, lang FROM dedup
+WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+  AND ${duckHash("doc_id")} % 1000 <
+    CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 300
+         WHEN lang = 'fr' THEN 150 ELSE 50 END
+ORDER BY doc_id""",
+
+    "sample_weighted" ->
+      s"""SELECT doc_id, lang FROM documents
+WHERE ${duckHash("doc_id")} % 1000 <
+  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 300
+       WHEN lang = 'fr' THEN 150 ELSE 50 END
+ORDER BY doc_id""",
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM (

@@ -101,6 +101,31 @@ class PipelineSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("weightedSample: per-stratum rates, monotone subsets, no exchange") {
+    val docs = Tables.documents(spark, sf)
+    val rates = Map("en" -> 500, "zh" -> 300, "fr" -> 150)
+    val got = Pipeline.weightedSample(docs, "lang", "doc_id", rates, defaultPermille = 50)
+    // rate per stratum lands near the target (hash-uniform; generous tolerance)
+    val byLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, total) <- totals) {
+      val want = rates.getOrElse(lang, 50) / 1000.0
+      val have = byLang.getOrElse(lang, 0L).toDouble / total
+      assert(math.abs(have - want) < 0.15, s"$lang: $have vs $want")
+    }
+    // monotone: halving every rate selects a subset
+    val half = Pipeline.weightedSample(docs, "lang", "doc_id",
+      rates.map { case (k, v) => k -> v / 2 }, defaultPermille = 25)
+      .select("doc_id").as[Long].collect().toSet
+    val full = got.select("doc_id").as[Long].collect().toSet
+    assert(half.subsetOf(full))
+    // scan-side predicate: no shuffle in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(600))
+  }
+
   test("connectedComponents reliable-checkpoint mode agrees with localCheckpoint") {
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
     val pairs = ((1L until 12L).map(i => (i, i + 1)) ++ Seq((20L, 21L))).toDF("a", "b")
