@@ -58,6 +58,18 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Row-level form of [[exact]]: keep each duplicate group's canonical
+    * (min-id) ROW with all its columns — ONE shuffle (row_number over
+    * the key partition) instead of groupBy + semi-join back, the shape
+    * a pipeline wants when it filters dups inline.
+    */
+  def exactCanonical(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Word n-gram shingles of `textCol` in document order (duplicates
     * kept — winnowing needs positions).
     */

@@ -150,6 +150,46 @@ object TextAnalysis {
       maxBulletRatio: Double = 0.9,
       maxEllipsisRatio: Double = 0.3
   ): DataFrame = {
+    val rules = gopherRules(textCol, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      maxSymbolRatio, minAlphaRatio, minStopwords, maxBulletRatio, maxEllipsisRatio)
+    df.select(
+      Seq(col(idCol), size(wordsCol(textCol)).cast("long").as("n_words")) ++
+        rules.map { case (name, c) => c.as(name) }: _*)
+      .withColumn("keep", rules.map(r => col(r._1)).reduce(_ && _))
+  }
+
+  /** The composite keep predicate as ONE column expression — for
+    * pipelines that gate on quality inline (a pure scan-side filter,
+    * no projection of the rule columns, no join back).
+    */
+  def gopherKeep(
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaRatio: Double = 0.8,
+      minStopwords: Int = 2,
+      maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3
+  ): Column =
+    gopherRules(textCol, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      maxSymbolRatio, minAlphaRatio, minStopwords, maxBulletRatio, maxEllipsisRatio)
+      .map(_._2).reduce(_ && _)
+
+  private def gopherRules(
+      textCol: String,
+      minWords: Int,
+      maxWords: Int,
+      minMeanWordLen: Double,
+      maxMeanWordLen: Double,
+      maxSymbolRatio: Double,
+      minAlphaRatio: Double,
+      minStopwords: Int,
+      maxBulletRatio: Double,
+      maxEllipsisRatio: Double
+  ): Seq[(String, Column)] = {
     val w = wordsCol(textCol)
     val lines = split(col(textCol), "\n")
     val stopArr = array(Stopwords.map(lit): _*)
@@ -162,19 +202,14 @@ object TextAnalysis {
     val stopHits = size(filter(stopArr, s => array_contains(w, s)))
     val bulletLines = size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ")))
     val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
-    df.select(
-      col(idCol),
-      nWords.cast("long").as("n_words"),
-      (nWords >= minWords && nWords <= maxWords).as("word_count_ok"),
-      (meanWl >= minMeanWordLen && meanWl <= maxMeanWordLen).as("mean_word_len_ok"),
-      (symbols.cast("double") / nWords <= maxSymbolRatio).as("symbol_ok"),
-      (alphaWords.cast("double") / nWords >= minAlphaRatio).as("alpha_ok"),
-      (stopHits >= minStopwords).as("stopword_ok"),
-      (bulletLines.cast("double") / nLines <= maxBulletRatio).as("bullet_ok"),
-      (ellipsisLines.cast("double") / nLines <= maxEllipsisRatio).as("ellipsis_ok"))
-      .withColumn("keep",
-        col("word_count_ok") && col("mean_word_len_ok") && col("symbol_ok") &&
-          col("alpha_ok") && col("stopword_ok") && col("bullet_ok") && col("ellipsis_ok"))
+    Seq(
+      "word_count_ok" -> (nWords >= minWords && nWords <= maxWords),
+      "mean_word_len_ok" -> (meanWl >= minMeanWordLen && meanWl <= maxMeanWordLen),
+      "symbol_ok" -> (symbols.cast("double") / nWords <= maxSymbolRatio),
+      "alpha_ok" -> (alphaWords.cast("double") / nWords >= minAlphaRatio),
+      "stopword_ok" -> (stopHits >= minStopwords),
+      "bullet_ok" -> (bulletLines.cast("double") / nLines <= maxBulletRatio),
+      "ellipsis_ok" -> (ellipsisLines.cast("double") / nLines <= maxEllipsisRatio))
   }
 
   /** Token counts: whitespace tokens and BPE-ish regex tokens. */

@@ -48,21 +48,26 @@ object PipelineQueries extends QueryGroup {
     // decontaminate vs the benchmark slice → mixture-weight sample —
     // as ONE lazy Catalyst plan with a single action. Every stage is
     // the already-oracle-checked operator; this query proves they
-    // compose (the oracle replays the whole chain in SQL). Shuffles:
-    // dedup's text groupBy, the two semi/anti joins on doc_id, and the
-    // matched-grams agg — the quality gate and the sampler are
-    // scan-side and add none.
+    // compose (the oracle replays the whole chain in SQL). Shuffle
+    // budget: the quality gate (gopherKeep) and the sampler are pure
+    // scan-side predicates, dedup is ONE row_number shuffle on text
+    // (exactCanonical, not groupBy + join-back), so the whole pipeline
+    // is that shuffle plus the decontamination matched-grams agg and
+    // one anti join (AQE broadcasts the small contaminated set).
+    // Plan notes (audited via graft.Explain): the gate predicate sits
+    // in the scan's Filter; the dedup window plans as WindowGroupLimit
+    // — map-side top-1 per text BEFORE its exchange. The dedup subtree
+    // appears twice (the contamination branch and the output branch
+    // prune different columns, so Catalyst can't reuse the exchange);
+    // a production run persists `deduped` between stages — same
+    // operators, one materialization — see SCALE.md.
     "pipeline_end_to_end" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val evalSet = docs.filter(col("doc_id") % 20 === 0)
-      val kept = graft.ext.TextAnalysis
-        .gopherFilter(docs, "doc_id", "text", minWords = 30, maxWords = 90)
-        .filter(col("keep")).select("doc_id")
-      val corpus = docs.join(kept, Seq("doc_id"), "left_semi")
+      val corpus = docs
+        .filter(graft.ext.TextAnalysis.gopherKeep("text", minWords = 30, maxWords = 90))
         .filter(col("doc_id") % 20 =!= 0)
-      val canon = graft.ext.Dedup.exact(corpus, "doc_id", Seq("text"))
-        .select(col("canonical_id").as("doc_id"))
-      val deduped = corpus.join(canon, Seq("doc_id"), "left_semi")
+      val deduped = graft.ext.Dedup.exactCanonical(corpus, "doc_id", Seq("text"))
       val contaminated = graft.ext.Decontaminate.ngramContamination(
         deduped, "doc_id", "text", evalSet, "doc_id", "text", minShared = 5L)
         .select("doc_id").distinct()

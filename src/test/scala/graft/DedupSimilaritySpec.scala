@@ -28,6 +28,15 @@ class DedupSimilaritySpec extends SparkSuite {
       Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
   }
 
+  test("exactCanonical keeps the same canonical rows in one window shuffle") {
+    val rows = Dedup.exactCanonical(docs, "doc_id", Seq("text"))
+    assert(rows.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+    assert(rows.columns.toSeq == docs.columns.toSeq) // full rows, no helper cols
+    // rank-limit pushdown: the partial WindowGroupLimit prunes map-side
+    val plan = rows.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
   test("ngram jaccard finds exact and near dups, skips tiny docs") {
     val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .orderBy("doc_a", "doc_b").collect()
