@@ -159,4 +159,25 @@ object ExtractOps {
   def writePartitionedByDay(df: DataFrame, timeCol: String, path: String): Unit =
     df.withColumn("date", to_date(col(timeCol)))
       .write.mode("overwrite").partitionBy("date").parquet(path)
+
+  /** Idempotent day upsert into a day-partitioned dataset: DYNAMIC
+    * partition overwrite replaces only the partitions present in `df`
+    * and leaves every other day untouched — so a cron re-run (late
+    * data, a failed night retried) replaces its day instead of
+    * duplicating it or truncating the table, the property a nightly
+    * job needs to be safely re-entrant. Static overwrite (the
+    * [[writePartitionedByDay]] default) would drop ALL days first.
+    */
+  def upsertDays(df: DataFrame, timeCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      df.withColumn("date", to_date(col(timeCol)))
+        .write.mode("overwrite").partitionBy("date").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

@@ -104,4 +104,25 @@ class SourcesSinksSpec extends SparkSuite {
     val b = loop.collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("upsertDays replaces only its day; re-runs are idempotent") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/data"
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val d2 = ev.filter(to_date(col("ts")) === "2024-01-02")
+    val d3 = ev.filter(to_date(col("ts")) === "2024-01-03")
+    ExtractOps.writePartitionedByDay(d2.union(d3), "ts", dir)
+    val before = spark.read.parquet(dir).count()
+
+    // re-upsert day 3 only: day 2 untouched, day 3 replaced not doubled
+    ExtractOps.upsertDays(d3, "ts", dir)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == before)
+    assert(after.filter(col("date") === "2024-01-02").count() == d2.count())
+    assert(after.filter(col("date") === "2024-01-03").count() == d3.count())
+
+    // static overwrite for contrast would have dropped day 2; prove the
+    // dynamic path kept it
+    assert(after.select("date").distinct().count() == 2)
+  }
 }
