@@ -90,6 +90,44 @@ object DailyCron {
         }
     }
 
+  /** The reference's `batched_data` loop (`main.py:115-149`): one
+    * extract + dated CSV per day of `[start, end)`, with its
+    * data_threshold=20 guard. Returns the per-day outcomes in date
+    * order; one bad day logs and continues (same posture as [[runForDay]]).
+    * This is the faithful serial shape — for a large backfill prefer
+    * [[Extractor.backfillRange]] + [[graft.operators.ExtractOps.upsertDays]]
+    * (one plan, one shuffle, partitioned sink).
+    */
+  def runRange(
+      source: DataFrame,
+      start: java.time.LocalDate,
+      end: java.time.LocalDate,
+      cfg: ExtractQueryConfig,
+      outDir: String,
+      prefix: String = "prototype-zero_realtime-data",
+      table: LongTable = LongTable(),
+      tzMode: TzMode = TzMode.Reference2024,
+      minRows: Long = 20L
+  ): Seq[(java.time.LocalDate, Outcome)] =
+    graft.time.TimeArithmetic.datesInRange(start, end).map { date =>
+      val out = Extractor.queryDataForDay(source, date, cfg, table, tzMode) match {
+        case Some(df) if df.count() >= minRows =>
+          val path = s"$outDir/${prefix}_$date.csv"
+          try {
+            graft.operators.ExtractOps.writeDailyCsv(df, outDir, prefix, date)
+            log.info(s"csv created for $date.")
+            Outcome.Written(path)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              log.error(e.toString); Outcome.SinkFailed(e)
+          }
+        case _ =>
+          log.info(s"Less than $minRows rows for $date; Ignoring results.")
+          Outcome.BelowThreshold
+      }
+      date -> out
+    }
+
   /** The full `main()` flow: load the application config (any
     * `load_config` format), derive the previous day from `now`, extract,
     * sink. `now` is a parameter rather than a clock read so runs are

@@ -62,6 +62,26 @@ class DailyCronSpec extends SparkSuite {
       java.nio.file.Paths.get(dir, "p0_2030-06-06.csv")))
   }
 
+  test("runRange writes one dated CSV per qualifying day (batched_data, main.py:115-149)") {
+    val dir = java.nio.file.Files.createTempDirectory("cron-range").toString
+    val outcomes = DailyCron.runRange(
+      Tables.events(spark, "/root/testdata/sf0.001"),
+      java.time.LocalDate.of(2024, 1, 2), java.time.LocalDate.of(2024, 1, 5),
+      cfg, dir, prefix = "p0", table = ET, tzMode = TzMode.Fixed)
+    assert(outcomes.map(_._1) == (2 to 4).map(d => java.time.LocalDate.of(2024, 1, d)))
+    // sf0.001 has data on each of these days; every day lands
+    assert(outcomes.forall(_._2.isInstanceOf[DailyCron.Outcome.Written]), outcomes.toString)
+    for (d <- 2 to 4)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, s"p0_2024-01-0$d.csv")), s"missing day $d")
+    // a data-free range: every day below threshold, nothing written
+    val empty = DailyCron.runRange(
+      Tables.events(spark, "/root/testdata/sf0.001"),
+      java.time.LocalDate.of(2030, 1, 1), java.time.LocalDate.of(2030, 1, 3),
+      cfg, dir, prefix = "p0", table = ET)
+    assert(empty.forall(_._2 == DailyCron.Outcome.BelowThreshold))
+  }
+
   test("sink failure is logged and swallowed, not thrown (database_extractor.py:352-353)") {
     // outDir is a regular FILE: the csv dir create fails with ENOTDIR
     // (robust even as root, where permission bits don't block writes)
