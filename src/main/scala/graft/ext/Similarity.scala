@@ -126,18 +126,67 @@ object Similarity {
     * collected corpus/stride vectors: linear in the corpus, a driver
     * OOM at 10^9 vectors.)
     */
-  def ivfTopK(
+  /** Deterministic Lloyd (k-means) refinement of the hash-picked IVF
+    * seeds — the production upgrade SCALE.md's IVF note promises.
+    * Each round: row-local nearest-centroid assignment
+    * ([[graft.functions.AnnExprs.nearestCentroid]], no corpus×centroid
+    * join), then per-(list, dim) means via a posexplode + ONE hash
+    * aggregate. Determinism: components are discretized row-local to
+    * `floor(v·scale + 0.5)` longs, so the shuffled sum is exact
+    * integer arithmetic — order-independent under any partitioning —
+    * and the mean divides two exact integers (IEEE-exact). The driver
+    * only ever holds the k×dim aggregate (rows = k·dim, bounded by
+    * the IVF contract that centroids are small). Empty clusters keep
+    * their previous centroid.
+    */
+  def kmeansCentroids(
       corpus: DataFrame,
-      queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
       numCentroids: Int = 20,
-      nProbe: Int = 3
-  ): DataFrame = {
+      iters: Int = 5,
+      scale: Double = 1e6
+  ): Seq[(Long, Array[Double])] = {
+    var cents = seedCentroids(corpus, idCol, vecCol, numCentroids)
+    val dvec = col(vecCol).cast("array<double>")
+    for (_ <- 1 to iters) {
+      val byList = corpus
+        .select(graft.functions.AnnExprs
+          .nearestCentroid(dvec, cents.map(_._1).toArray, cents.map(_._2).toArray).as("list"),
+          posexplode(dvec).as(Seq("pos", "v")))
+        .withColumn("sv", floor(col("v") * scale + 0.5).cast("long"))
+        .groupBy("list", "pos")
+        .agg(sum("sv").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getLong(0))
+      cents = cents.map { case (id, prev) =>
+        byList.get(id) match {
+          case Some(rows) =>
+            val next = prev.clone()
+            rows.foreach { r =>
+              next(r.getInt(1)) = r.getLong(2).toDouble / scale / r.getLong(3)
+            }
+            (id, next)
+          case None => (id, prev) // empty cluster: keep previous centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** The hash-picked seeds shared by [[ivfTopK]] and [[kmeansCentroids]]:
+    * a TakeOrdered over the portable md5 key hash (per-partition top-K +
+    * K-row driver merge — O(K×dim) on the driver at any corpus size).
+    */
+  private def seedCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int
+  ): Seq[(Long, Array[Double])] = {
     val keyHash = expr(
       s"cast(conv(substr(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
-    val cents = corpus
+    corpus
       .select(col(idCol).cast("long").as("list"),
         col(vecCol).cast("array<double>").as("centv"), keyHash.as("h"))
       .orderBy(col("h"), col("list"))
@@ -145,6 +194,21 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+      .toSeq
+  }
+
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 20,
+      nProbe: Int = 3,
+      trainedCentroids: Option[Seq[(Long, Array[Double])]] = None
+  ): DataFrame = {
+    val cents = trainedCentroids.getOrElse(
+      seedCentroids(corpus, idCol, vecCol, numCentroids)).toArray
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = broadcast(

@@ -139,4 +139,32 @@ class DedupSimilaritySpec extends SparkSuite {
     val recall = (truth intersect approx).size.toDouble / truth.size
     assert(recall >= 0.8, s"recall $recall")
   }
+
+  test("kmeansCentroids: deterministic, lowers SSE, and feeds ivfTopK") {
+    def sse(cents: Seq[(Long, Array[Double])]): Double =
+      vecs.collect().map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        cents.map(c => c._2.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      }.sum
+    val seeds = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      numCentroids = 8, iters = 0)
+    val trained = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      numCentroids = 8, iters = 5)
+    val again = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      numCentroids = 8, iters = 5)
+    // exact determinism: integer-discretized sums make reruns bit-equal
+    assert(trained.map(_._1) == again.map(_._1))
+    for (((_, a), (_, b)) <- trained.zip(again)) assert(a.sameElements(b))
+    assert(sse(trained) < sse(seeds), s"${sse(trained)} !< ${sse(seeds)}")
+
+    // trained centroids slot into ivfTopK unchanged
+    val queries = vecs.filter(col("vec_id") % 5 === 0)
+    val truth = Similarity.bruteTopK(vecs, queries, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 4,
+      numCentroids = 8, nProbe = 3, trainedCentroids = Some(trained))
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (truth intersect approx).size.toDouble / truth.size
+    assert(recall >= 0.8, s"trained-centroid recall $recall")
+  }
 }
