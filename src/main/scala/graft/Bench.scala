@@ -36,11 +36,29 @@ object Bench {
     // contended box inflates the cold pass far more than the warm one.
     val cold = onePass()
     val warm = onePass()
-    def js(m: Map[String, Double]) =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The harness that records this line keeps only the LAST ~2000
+    // characters of output, so the line must fit in that window:
+    // 2-decimal values, per-query map for the cold pass only (warm is
+    // summarized as one total), queries ascending by duration so the
+    // slowest — the ones worth reading — sit nearest the end, and the
+    // headline "value" total is the final key so it survives even if
+    // the front of the line is ever clipped.
+    def f(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // Fit the per-query map to a byte budget by dropping the FASTEST
+    // queries first (ascending order ⇒ drop from the front): the
+    // slowest entries — the ones a reader compares against the
+    // baseline — are always present, however many queries get added.
+    def js(m: Map[String, Double], budget: Int) = {
+      val asc = m.toSeq.sortBy(_._2).map { case (k, v) => "\"" + k + "\":" + f(v) }
+      var kept = asc
+      while (kept.map(_.length + 1).sum > budget && kept.nonEmpty) kept = kept.tail
+      (kept.mkString("{", ",", "}"), asc.length - kept.length)
+    }
     val total = if (cold.nonEmpty) cold.values.sum else 0.0
     val warmTotal = if (warm.nonEmpty) warm.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"warm_total":$warmTotal,"warm_queries":${js(warm)},"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    val (qjs, dropped) = js(cold, 1700)
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfName","dropped_fastest":$dropped,"queries":$qjs,"warm_total":${f(warmTotal)},"value":${f(total)}}""")
     spark.stop()
   }
 }

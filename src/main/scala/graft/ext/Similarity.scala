@@ -112,20 +112,6 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** IVF approximate top-k. Centroids are the `numCentroids` corpus
-    * vectors whose portable md5 key hash sorts first (hash order = a
-    * reproducible uniform shuffle, same family as
-    * [[Pipeline.hashSample]], so any engine can replay the choice);
-    * every corpus vector joins its nearest centroid's list; each query
-    * probes its `nProbe` nearest lists. At scale: write the corpus
-    * bucketed by `list` so probing reads only nProbe buckets.
-    *
-    * The centroid pick is a TakeOrdered over `(hash, id)` — per-
-    * partition top-K then a K-row driver merge — so the driver holds
-    * O(K x dim) regardless of corpus size. (The round-2 id-stride rule
-    * collected corpus/stride vectors: linear in the corpus, a driver
-    * OOM at 10^9 vectors.)
-    */
   /** Deterministic Lloyd (k-means) refinement of the hash-picked IVF
     * seeds — the production upgrade SCALE.md's IVF note promises.
     * Each round: row-local nearest-centroid assignment
@@ -197,6 +183,22 @@ object Similarity {
       .toSeq
   }
 
+  /** IVF approximate top-k. Default centroids are the `numCentroids`
+    * corpus vectors whose portable md5 key hash sorts first (hash
+    * order = a reproducible uniform shuffle, same family as
+    * [[Pipeline.hashSample]], so any engine can replay the choice);
+    * pass `trainedCentroids` (e.g. from [[kmeansCentroids]]) to probe
+    * refined lists instead. Every corpus vector joins its nearest
+    * centroid's list; each query probes its `nProbe` nearest lists.
+    * At scale: write the corpus bucketed by `list` so probing reads
+    * only nProbe buckets.
+    *
+    * The centroid pick is a TakeOrdered over `(hash, id)` — per-
+    * partition top-K then a K-row driver merge — so the driver holds
+    * O(K x dim) regardless of corpus size. (The round-2 id-stride rule
+    * collected corpus/stride vectors: linear in the corpus, a driver
+    * OOM at 10^9 vectors.)
+    */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
