@@ -275,6 +275,65 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental dedup gate: flag NEW (batch) documents that exactly or
+    * nearly duplicate an already-ingested HISTORY corpus — the daily-
+    * ingest shape at 100 TB. History is only ever STREAMED: the exact
+    * tier joins it against the broadcast batch texts, the near tier
+    * joins its band keys against the broadcast batch band keys, and the
+    * per-batch-doc results are batch-sized so the final assembly
+    * broadcasts too — no history shuffle, no history self-join
+    * anywhere. (In production the history side of the near tier reads a
+    * persisted signature table — [[minhashSignature]] materialized once
+    * per ingest — instead of re-hashing the corpus per batch.)
+    *
+    * Near-dup = minhash-estimated Jaccard >= `threshold` among LSH band
+    * candidates, same constants and signatures as [[minhashLshPairs]].
+    * One row per batch document: its exact duplicate's min history id
+    * (null if none), its best near-dup history id and estimated Jaccard
+    * (best = highest estimate, ties to the smaller id; null if none),
+    * and the `is_new` verdict a pipeline gates on.
+    */
+  def incrementalDups(
+      history: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val rows = K / Bands
+    def withBands(sigs: DataFrame, sigCol: String): DataFrame =
+      sigs.select(col("*"),
+        explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> struct(b as band, slice($sigCol, b * $rows + 1, $rows) as piece))")).as("e"))
+        .select(sigs.columns.map(col) :+ col("e.band").as("band") :+ col("e.piece").as("piece"): _*)
+
+    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val exactM = history.select(col(idCol).as("hid"), col(textCol).as("__text"))
+      .join(broadcast(b), "__text")
+      .groupBy("doc_id").agg(min("hid").as("exact_dup_id"))
+
+    val hBands = withBands(
+      minhashSignature(history, idCol, textCol)
+        .select(col(idCol).as("hid"), col("sig").as("hsg")), "hsg")
+    val bBands = withBands(
+      minhashSignature(batch, idCol, textCol)
+        .select(col(idCol).as("doc_id"), col("sig").as("bsg")), "bsg")
+
+    val scored = hBands.join(broadcast(bBands), Seq("band", "piece"))
+      .select("doc_id", "bsg", "hid", "hsg").distinct()
+      .withColumn("est", round(
+        expr(s"aggregate(zip_with(bsg, hsg, (p, q) -> CASE WHEN p = q THEN 1.0 ELSE 0.0 END), cast(0.0 as double), (acc, v) -> acc + v) / $K"), 4))
+      .filter(col("est") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("est").desc, col("hid").asc)
+    val best = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("doc_id"), col("hid").as("near_dup_id"), col("est").as("near_est"))
+
+    b.select("doc_id")
+      .join(broadcast(exactM), Seq("doc_id"), "left")
+      .join(broadcast(best), Seq("doc_id"), "left")
+      .withColumn("is_new", col("exact_dup_id").isNull && col("near_dup_id").isNull)
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold over an all-pairs
     * join. Correct baseline at any SF that fits a broadcast; the scale
     * path is LSH bucketing (Similarity.lshBuckets) to cut the pair space

@@ -66,6 +66,20 @@ object DedupQueries extends QueryGroup {
         .orderBy("id_a", "id_b")
     }),
 
+    // Incremental ingest gate: batch docs (doc_id % 5 = 0) checked for
+    // exact / minhash near-dups against the already-ingested history
+    // (doc_id % 5 != 0). History streams against the broadcast batch —
+    // the daily-ingest shape where history is 100 TB and never
+    // reshuffles (see Dedup.incrementalDups).
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalDups(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // Train/eval decontamination: docs sharing >= 5 distinct 3-gram
     // hashes with the held-out "benchmark" slice (doc_id % 20 = 0 —
     // deterministic split; the corpus's built-in near-dups straddle it,
@@ -205,8 +219,49 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_embedding" -> cosineSql,
     "dedup_embedding_lsh" -> embLshSql,
+    "dedup_incremental" -> incrementalSql,
     "decontaminate_ngram" -> decontaminateSql
   )
+
+  /** Replays the %5 history/batch split, the exact-text tier, and the
+    * band-candidate + signature-agreement near tier. Estimates are
+    * k/16 — exactly representable at 4 decimals, so the round() is
+    * bit-safe in both engines; best-match ties break to the smaller
+    * history id in both.
+    */
+  private lazy val incrementalSql = {
+    val rows = K / Bands
+    s"""${shingleCtes(P)},
+sigs AS (SELECT doc_id, $sigList AS sig FROM hs),
+hb AS (
+  SELECT doc_id AS hid, sig AS hsg, b, list_slice(sig, b * $rows + 1, b * $rows + $rows) AS piece
+  FROM sigs, (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) WHERE doc_id % 5 <> 0),
+bb AS (
+  SELECT doc_id, sig AS bsg, b, list_slice(sig, b * $rows + 1, b * $rows + $rows) AS piece
+  FROM sigs, (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) WHERE doc_id % 5 = 0),
+cand AS (
+  SELECT DISTINCT bb.doc_id, bb.bsg, hb.hid, hb.hsg
+  FROM hb JOIN bb ON hb.b = bb.b AND hb.piece = bb.piece),
+scored AS (
+  SELECT doc_id, hid,
+    round(list_sum(list_transform(generate_series(1, $K),
+      i -> CASE WHEN bsg[i] = hsg[i] THEN 1.0 ELSE 0.0 END)) / $K, 4) AS est
+  FROM cand),
+best AS (
+  SELECT doc_id, hid AS near_dup_id, est AS near_est,
+    row_number() OVER (PARTITION BY doc_id ORDER BY est DESC, hid ASC) AS r
+  FROM scored WHERE est >= 0.5),
+ex AS (
+  SELECT b.doc_id, min(h.doc_id) AS exact_dup_id
+  FROM documents b JOIN documents h ON b.text = h.text AND h.doc_id % 5 <> 0
+  WHERE b.doc_id % 5 = 0 GROUP BY 1)
+SELECT d.doc_id, ex.exact_dup_id, bs.near_dup_id, bs.near_est,
+  (ex.exact_dup_id IS NULL AND bs.near_dup_id IS NULL) AS is_new
+FROM documents d
+LEFT JOIN ex ON d.doc_id = ex.doc_id
+LEFT JOIN (SELECT doc_id, near_dup_id, near_est FROM best WHERE r = 1) bs ON d.doc_id = bs.doc_id
+WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id"""
+  }
 
   /** Replays the corpus/eval split, the md5-60-bit gram hash, and the
     * shared-gram counts exactly. `n_grams` counts DISTINCT SHINGLE

@@ -79,6 +79,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(ham(sh(1L), sh(4L)) > 6)
   }
 
+  test("incrementalDups flags exact / near / novel batch docs against history") {
+    val history = docs.filter(col("doc_id").isin(1L, 4L, 5L))
+    val batch = docs.filter(col("doc_id").isin(2L, 3L)).union(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(6L, "totally novel content sharing nothing with anything ingested before now"))),
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))))
+    val got = Dedup.incrementalDups(history, batch, "doc_id", "text", threshold = 0.5)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L, 3L, 6L))
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    // doc 2 is byte-identical to history doc 1: exact AND near (est 1.0)
+    assert(byId(2L).getAs[java.lang.Long]("exact_dup_id") == 1L)
+    assert(byId(2L).getAs[java.lang.Long]("near_dup_id") == 1L)
+    assert(byId(2L).getAs[Double]("near_est") == 1.0)
+    assert(!byId(2L).getAs[Boolean]("is_new"))
+    // doc 3 is a near dup of 1, not an exact one
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("exact_dup_id")))
+    assert(byId(3L).getAs[java.lang.Long]("near_dup_id") == 1L)
+    assert(!byId(3L).getAs[Boolean]("is_new"))
+    // doc 6 matches nothing
+    assert(byId(6L).getAs[Boolean]("is_new"))
+  }
+
   // deterministic synthetic vectors: 10 clusters of 5 near-identical
   // 8-dim vectors → ANN ground truth is the cluster
   private lazy val vecs = {
