@@ -58,8 +58,26 @@ object SimilarityQueries extends QueryGroup {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K)
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF with k-means-trained lists: the hash-picked seeds refined by
+    // KmIters deterministic Lloyd rounds (integer-discretized means —
+    // order-independent under any partitioning), then the same probe
+    // path. The oracle UNROLLS the training loop: each round is an
+    // assignment CTE + a discretized-mean CTE, so DuckDB replays the
+    // trained centroids bit-exactly from the raw table.
+    "ann_topk_ivf_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val trained = Similarity.kmeansCentroids(
+        emb, "vec_id", "embedding", numCentroids = 20, iters = KmIters)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K,
+        numCentroids = 20, nProbe = 3, trainedCentroids = Some(trained))
+        .orderBy("query_id", "rank")
     })
   )
+
+  /** Lloyd rounds the kmeans query runs and its oracle unrolls. */
+  private val KmIters = 2
 
   /** The seeded hyperplanes as DuckDB VALUES rows — Double.toString
     * round-trips exactly, so the oracle's planes are bit-identical to
@@ -132,6 +150,78 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, cos FROM ranked
 WHERE rank <= $K ORDER BY query_id, rank"""
 
+  /** l2sq between a raw float-vector row alias and a double-list
+    * centroid alias (the trained-centroid probe spelling).
+    */
+  private def l2sqToCv(vec: String, cv: String): String =
+    s"""list_sum(list_transform(generate_series(1, $Dim),
+      i -> (CAST($vec.embedding[i] AS DOUBLE) - $cv.cv[i])
+         * (CAST($vec.embedding[i] AS DOUBLE) - $cv.cv[i])))"""
+
+  /** Replays kmeansCentroids + ivfTopK end to end: hash-picked seeds
+    * (c0), then per round t an argmin assignment (a_t) and the
+    * integer-discretized per-(list, pos) mean (m_t → c_t, empty lists
+    * keeping the previous centroid), then the standard IVF
+    * assign/probe/rank against the final centroids. All arithmetic is
+    * the same IEEE-exact sequence the Spark side runs: float→double
+    * casts, sequential fold sums, floor(v·1e6 + 0.5) longs summed as
+    * integers, and (sum/1e6)/n double division.
+    */
+  private val ivfKmeansSql = {
+    val iterCtes = (1 to KmIters).map { t =>
+      val prev = s"c${t - 1}"
+      s"""a$t AS (
+  SELECT list, vec_id FROM (
+    SELECT ct.list, e.vec_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${l2sqToCv("e", "ct")} ASC, ct.list ASC) AS r
+    FROM embeddings e CROSS JOIN $prev ct) t WHERE r = 1),
+m$t AS (
+  SELECT a$t.list, comp.pos,
+    CAST(CAST(sum(CAST(floor(comp.v * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      / 1000000.0 / count(*) AS mv
+  FROM a$t JOIN comp USING (vec_id) GROUP BY 1, 2),
+c$t AS (
+  SELECT p.list, coalesce(m.cv, p.cv) AS cv
+  FROM $prev p LEFT JOIN
+    (SELECT list, list(mv ORDER BY pos) AS cv FROM m$t GROUP BY list) m
+  ON p.list = m.list)"""
+    }.mkString(",\n")
+    s"""WITH c0 AS (
+  SELECT vec_id AS list, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+  LIMIT 20),
+comp AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i)),
+$iterCtes,
+assigned AS (
+  SELECT list, neighbor_id FROM (
+    SELECT ct.list, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY c.vec_id
+        ORDER BY ${l2sqToCv("c", "ct")} ASC, ct.list ASC) AS r
+    FROM embeddings c CROSS JOIN c$KmIters ct) t WHERE r = 1),
+probes AS (
+  SELECT query_id, list FROM (
+    SELECT q.vec_id AS query_id, ct.list,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY ${l2sqToCv("q", "ct")} ASC, ct.list ASC) AS r
+    FROM embeddings q CROSS JOIN c$KmIters ct WHERE q.vec_id < 10) t WHERE r <= 3),
+pairs AS (
+  SELECT p.query_id, a.neighbor_id, ${cosSql("q", "c")} AS cos
+  FROM probes p JOIN assigned a USING (list)
+       JOIN embeddings q ON q.vec_id = p.query_id
+       JOIN embeddings c ON c.vec_id = a.neighbor_id
+  WHERE p.query_id <> a.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs)
+SELECT query_id, rank, neighbor_id, cos FROM ranked
+WHERE rank <= $K ORDER BY query_id, rank"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "ann_topk_brute" ->
       s"""WITH pairs AS (
@@ -144,6 +234,7 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, cos FROM ranked
 WHERE rank <= $K ORDER BY query_id, rank""",
     "ann_topk_lsh" -> lshSql,
-    "ann_topk_ivf" -> ivfSql
+    "ann_topk_ivf" -> ivfSql,
+    "ann_topk_ivf_kmeans" -> ivfKmeansSql
   )
 }
