@@ -160,6 +160,77 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization ADC top-k: the compressed-exhaustive-scan ANN
+    * tier. The corpus is represented as `m` small codes per vector
+    * (64 floats → 8 codes here — a 32× memory cut, the reason PQ is the
+    * 10^9-vector answer when even an IVF list won't fit in RAM);
+    * queries precompute a per-subspace distance TABLE to every
+    * codeword, so the per-pair cost is `m` array lookups + adds
+    * instead of a full-dimension dot product (asymmetric distance
+    * computation, Jégou et al., IEEE TPAMI 2011).
+    *
+    * Codebooks are hash-seeded for oracle replayability (the `ks`
+    * corpus vectors whose md5 key hash sorts first, codeword id =
+    * 1-based position in that order; production would k-means each
+    * subspace — [[kmeansCentroids]] shows the deterministic recipe).
+    * Encoding is `m` row-local argmin expressions (one codegen pass,
+    * no shuffle); the scan streams the corpus against the broadcast
+    * query tables and the only shuffle is the per-query rank, exactly
+    * [[bruteTopK]]'s shape but over codes.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      ks: Int = 16,
+      dim: Int = 64
+  ): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val keyHash = expr(
+      s"cast(conv(substr(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
+    val seeds: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"), keyHash.as("h"),
+        col(idCol).cast("long").as("id"))
+      .orderBy(col("h"), col("id")).limit(ks)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(mi => seeds.map(s => s.slice(mi * sub, (mi + 1) * sub)))
+    val codeIds = Array.tabulate(ks)(_ + 1L)
+
+    val vd = col(vecCol).cast("array<double>")
+    val encoded = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id") +: (0 until m).map(mi =>
+        graft.functions.AnnExprs.nearestCentroid(
+          slice(vd, mi * sub + 1, sub), codeIds, codebooks(mi)).as(s"code_$mi")): _*)
+
+    // literal-codeword l2sq, folded in index order — bit-identical to
+    // the oracle's generate_series fold; runs only on the query rows
+    def l2sqLit(subv: Column, cw: Array[Double]): Column =
+      cw.zipWithIndex.map { case (c, i) =>
+        (element_at(subv, i + 1) - lit(c)) * (element_at(subv, i + 1) - lit(c))
+      }.reduce(_ + _)
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id") +: (0 until m).map { mi =>
+        array(codebooks(mi).map(cw =>
+          l2sqLit(slice(vd, mi * sub + 1, sub), cw)): _*).as(s"dt_$mi")
+      }: _*))
+
+    val adist = (0 until m).map(mi =>
+      element_at(col(s"dt_$mi"), col(s"code_$mi").cast("int"))).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    encoded.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(adist, 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
   /** The hash-picked seeds shared by [[ivfTopK]] and [[kmeansCentroids]]:
     * a TakeOrdered over the portable md5 key hash (per-partition top-K +
     * K-row driver merge — O(K×dim) on the driver at any corpus size).

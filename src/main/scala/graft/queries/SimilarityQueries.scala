@@ -73,6 +73,17 @@ object SimilarityQueries extends QueryGroup {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K,
         numCentroids = 20, nProbe = 3, trainedCentroids = Some(trained))
         .orderBy("query_id", "rank")
+    }),
+
+    // Product-quantization ADC top-5: corpus compressed to 8 codes per
+    // vector (hash-seeded 16-codeword books), queries carry per-
+    // subspace distance tables, per-pair cost is 8 lookups — the
+    // memory-bound compressed-scan tier for 10^9-vector corpora. The
+    // oracle replays codebooks, codes, and the m-ordered distance fold.
+    "ann_topk_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -222,6 +233,57 @@ SELECT query_id, rank, neighbor_id, cos FROM ranked
 WHERE rank <= $K ORDER BY query_id, rank"""
   }
 
+  /** PQ parameters mirrored by [[graft.ext.Similarity.pqTopK]]'s
+    * defaults: 8 subspaces of 8 dims, 16 codewords.
+    */
+  private val PqM = 8
+  private val PqSub = Dim / PqM
+  private val PqKs = 16
+
+  /** l2sq between subspace `m` of a raw vector row alias and a codeword
+    * list alias, folded in index order.
+    */
+  private def pqSubDist(vec: String): String =
+    s"""list_sum(list_transform(generate_series(1, $PqSub),
+      i -> (CAST($vec.embedding[cb.m * $PqSub + i] AS DOUBLE) - cb.cw[i])
+         * (CAST($vec.embedding[cb.m * $PqSub + i] AS DOUBLE) - cb.cw[i])))"""
+
+  private val pqSql =
+    s"""WITH seedv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+  LIMIT $PqKs),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY
+    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS k, v
+  FROM seedv),
+cb AS (
+  SELECT k, m, list_slice(v, m * $PqSub + 1, m * $PqSub + $PqSub) AS cw
+  FROM seeds, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+enc AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT e.vec_id, cb.m, cb.k,
+      row_number() OVER (PARTITION BY e.vec_id, cb.m
+        ORDER BY ${pqSubDist("e")} ASC, cb.k ASC) AS r
+    FROM embeddings e CROSS JOIN cb) t WHERE r = 1),
+dt AS (
+  SELECT q.vec_id AS query_id, cb.m, cb.k, ${pqSubDist("q")} AS d
+  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10),
+pd AS (
+  SELECT dt.query_id, enc.vec_id AS neighbor_id, enc.m, dt.d
+  FROM enc JOIN dt ON dt.m = enc.m AND dt.k = enc.code
+  WHERE dt.query_id <> enc.vec_id),
+ad AS (
+  SELECT query_id, neighbor_id, round(list_sum(list(d ORDER BY m)), 4) AS adist
+  FROM pd GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, neighbor_id, adist,
+    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM ad)
+SELECT query_id, rank, neighbor_id, adist FROM ranked
+WHERE rank <= $K ORDER BY query_id, rank"""
+
   val oracleSql: Map[String, String] = Map(
     "ann_topk_brute" ->
       s"""WITH pairs AS (
@@ -235,6 +297,7 @@ SELECT query_id, rank, neighbor_id, cos FROM ranked
 WHERE rank <= $K ORDER BY query_id, rank""",
     "ann_topk_lsh" -> lshSql,
     "ann_topk_ivf" -> ivfSql,
-    "ann_topk_ivf_kmeans" -> ivfKmeansSql
+    "ann_topk_ivf_kmeans" -> ivfKmeansSql,
+    "ann_topk_pq" -> pqSql
   )
 }

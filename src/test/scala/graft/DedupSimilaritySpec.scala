@@ -164,6 +164,21 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("pqTopK: compressed-scan ranking recovers cluster neighbors") {
+    val queries = vecs.filter(col("vec_id") % 5 === 0)
+    val truth = Similarity.bruteTopK(vecs, queries, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = Similarity.pqTopK(vecs, queries, "vec_id", "embedding", 4,
+      m = 4, ks = 16, dim = 8)
+    val approx = pq.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (truth intersect approx).size.toDouble / truth.size
+    assert(recall >= 0.6, s"recall $recall")
+    // the scan must stream the corpus against broadcast query tables —
+    // no shuffle before the rank
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
   test("kmeansCentroids: deterministic, lowers SSE, and feeds ivfTopK") {
     def sse(cents: Seq[(Long, Array[Double])]): Double =
       vecs.collect().map { r =>
