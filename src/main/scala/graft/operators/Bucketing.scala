@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed (pre-shuffled) table layout — the co-located join answer at
+  * 100 TB. A fact table written `bucketBy(n, key)` is hash-partitioned
+  * on disk once; every later equi-join or aggregation on that key reads
+  * the buckets as its required distribution and skips the Exchange
+  * entirely — the shuffle is paid once at ingest, not per query. With
+  * `sortBy(key)` the per-bucket files are also sorted, so sort-merge
+  * joins can skip their Sort. This is the storage-level counterpart of
+  * the runtime techniques in SCALE.md (broadcast for small dims, AQE
+  * skew splits for hot keys): reach for it when the SAME large-table
+  * join key appears in query after query — e.g. `doc_id` across the
+  * dedup/decontaminate/sample chain, or `list` for persisted IVF
+  * buckets.
+  *
+  * The reference has no bucketing concept (its InfluxDB server owns
+  * layout); this is engine-level capability the Spark build adds.
+  */
+object Bucketing {
+
+  /** Write `df` into the session catalog as `table`, hash-bucketed and
+    * per-bucket sorted by `key`. Parquet under the warehouse dir; both
+    * sides of a future join must use the same bucket count (or an
+    * integer multiple) for the exchange to be elided.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Join two same-key bucketed tables — plans with zero Exchange when
+    * bucket counts line up (assert via `.explain`; BucketingSpec pins
+    * it).
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

@@ -12,6 +12,8 @@ trait SparkSuite extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
