@@ -67,6 +67,35 @@ object StreamingExtract {
     df.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join: each left event matched to right
+    * events with the same key arriving within `[0, within]` after it —
+    * e.g. clicks joined to the purchases they led to. Both sides carry
+    * event-time watermarks and the time bound is part of the JOIN
+    * condition, so Spark can expire join state: left rows are held for
+    * watermark + `within`, right rows for the watermark — state is
+    * (horizon x arrival rate) per side, independent of history. An
+    * unbounded-condition stream join would accumulate forever; the
+    * interval bound is what makes the operator viable at 100 TB/day.
+    * Output columns are prefixed `l_` / `r_`.
+    */
+  def intervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      within: String = "1 hour",
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val l = left.toDF(left.columns.map("l_" + _): _*)
+      .withWatermark(s"l_$timeCol", watermark)
+    val r = right.toDF(right.columns.map("r_" + _): _*)
+      .withWatermark(s"r_$timeCol", watermark)
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$timeCol") >= col(s"l_$timeCol") &&
+        col(s"r_$timeCol") <= col(s"l_$timeCol") + expr(s"INTERVAL $within"))
+  }
+
   /** File sink with the daily layout (`partitionBy(date)`), append mode
     * (only watermark-closed windows are emitted — the streaming
     * equivalent of the reference's end-of-day CSV).

@@ -68,6 +68,41 @@ class StreamingSpec extends SparkSuite {
     assert(got.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream4").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val clicks = events.filter(col("event_type") === "click")
+    val purchases = events.filter(col("event_type") === "purchase")
+    clicks.write.mode("overwrite").parquet(s"$tmp/clicks")
+    purchases.write.mode("overwrite").parquet(s"$tmp/purchases")
+
+    val joined = StreamingExtract.intervalJoinStream(
+      StreamingExtract.source(spark, s"$tmp/clicks", clicks.schema),
+      StreamingExtract.source(spark, s"$tmp/purchases", purchases.schema),
+      keyCol = "user_id", timeCol = "ts", within = "6 hours", watermark = "10 minutes")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("join_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      df.select(col(a), col(b)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(spark.table("join_out"), "l_event_id", "r_event_id")
+    val want = pairs(
+      clicks.toDF(clicks.columns.map("l_" + _): _*).join(
+        purchases.toDF(purchases.columns.map("r_" + _): _*),
+        col("l_user_id") === col("r_user_id") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 6 hours")),
+      "l_event_id", "r_event_id")
+    assert(want.nonEmpty, "fixture must produce at least one interval match")
+    assert(got == want, s"stream vs batch diff: ${((got -- want) ++ (want -- got)).take(5)}")
+  }
+
   test("file sink writes daily-partitioned parquet with checkpoint") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
