@@ -208,16 +208,21 @@ object Similarity {
         graft.functions.AnnExprs.nearestCentroid(
           slice(vd, mi * sub + 1, sub), codeIds, codebooks(mi)).as(s"code_$mi")): _*)
 
-    // literal-codeword l2sq, folded in index order — bit-identical to
-    // the oracle's generate_series fold; runs only on the query rows
-    def l2sqLit(subv: Column, cw: Array[Double]): Column =
-      cw.zipWithIndex.map { case (c, i) =>
-        (element_at(subv, i + 1) - lit(c)) * (element_at(subv, i + 1) - lit(c))
-      }.reduce(_ + _)
-    val q = broadcast(queries.select(
-      col(idCol).as("query_id") +: (0 until m).map { mi =>
-        array(codebooks(mi).map(cw =>
-          l2sqLit(slice(vd, mi * sub + 1, sub), cw)): _*).as(s"dt_$mi")
+    // Query-side distance tables via higher-order functions over the
+    // codebook as a literal: HOFs evaluate interpreted, which is the
+    // RIGHT trade here — the query set is tiny (rows, not corpus), and
+    // the literal-unrolled spelling was a 1024-term expression tree
+    // that cost ~5 s of Janino compile per run (measured; the whole
+    // query is ~0.5 s without it). Fold order (zip_with + sequential
+    // aggregate) is bit-identical to the oracle's generate_series fold.
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id") +: (0 until m).map(mi =>
+        slice(vd, mi * sub + 1, sub).as(s"sub_$mi")): _*)
+      .select(col("query_id") +: (0 until m).map { mi =>
+        val cbLit = typedlit(codebooks(mi).map(_.toSeq).toSeq)
+        transform(cbLit, cw =>
+          aggregate(zip_with(col(s"sub_$mi"), cw, (x, c) => (x - c) * (x - c)),
+            lit(0.0), (acc, v) => acc + v)).as(s"dt_$mi")
       }: _*))
 
     val adist = (0 until m).map(mi =>
