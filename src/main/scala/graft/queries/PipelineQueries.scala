@@ -19,6 +19,21 @@ object PipelineQueries extends QueryGroup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Z-order clustering key over (customer, order-day): the layout
+    // that makes range predicates on EITHER dimension prune files —
+    // sort/repartitionByRange by this key at write time (ZorderSpec
+    // pins the locality win; here the oracle pins every bit of the
+    // interleave).
+    "zorder_key" -> ((s, dir) => {
+      import graft.operators.Zorder
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        Zorder.zkey(Seq(
+          (col("o_custkey"), 0L, 200000L),
+          (datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long"), 0L, 4096L)), bits = 16).as("zkey"))
+        .orderBy("zkey", "o_orderkey")
+    }),
+
     // Deterministic 5% hash sample — membership is a pure function of
     // the key, reproducible at any scale / partitioning.
     "sample_hash" -> ((s, dir) => {
@@ -201,6 +216,13 @@ FROM reach GROUP BY a ORDER BY node"""
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE ${duckHash("o_orderkey")} % 1000 < 50
 ORDER BY o_orderkey""",
+
+    "zorder_key" ->
+      s"""SELECT o_orderkey,
+  ${graft.operators.Zorder.zkeySql(Seq(
+        ("o_custkey", 0L, 200000L),
+        ("CAST(o_orderdate AS DATE) - DATE '1995-01-01'", 0L, 4096L)), bits = 16)} AS zkey
+FROM orders ORDER BY zkey, o_orderkey""",
 
     // Replays the full four-stage pipeline: Gopher rules (same
     // thresholds as quality_filter_gopher), min-id-per-text dedup, the
