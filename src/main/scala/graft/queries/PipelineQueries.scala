@@ -34,6 +34,23 @@ object PipelineQueries extends QueryGroup {
         .orderBy("zkey", "o_orderkey")
     }),
 
+    // Count-min heavy hitters: token frequencies estimated from a
+    // fixed 4x256 counter matrix (mergeable, cardinality-independent
+    // memory — the sketch answer when the exact per-token shuffle is
+    // the bottleneck), reported for the exact top-20 with the
+    // one-sided overcount. Oracle replays every counter.
+    "heavy_hitters_cms" -> ((s, dir) => {
+      import graft.ext.CountMin
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+      val cms = CountMin.sketch(toks, "token")
+      val truth = toks.groupBy("token").agg(count(lit(1)).as("true_count"))
+        .orderBy(col("true_count").desc, col("token").asc).limit(20)
+      CountMin.estimate(cms, truth, "token")
+        .withColumn("overcount", col("est_count") - col("true_count"))
+        .orderBy(col("true_count").desc, col("token").asc)
+    }),
+
     // Deterministic 5% hash sample — membership is a pure function of
     // the key, reproducible at any scale / partitioning.
     "sample_hash" -> ((s, dir) => {
@@ -216,6 +233,28 @@ FROM reach GROUP BY a ORDER BY node"""
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE ${duckHash("o_orderkey")} % 1000 < 50
 ORDER BY o_orderkey""",
+
+    "heavy_hitters_cms" -> {
+      val P = graft.ext.DedupConstants.P
+      val aL = (0 until 4).map(graft.ext.DedupConstants.a).mkString("[", ", ", "]")
+      val bL = (0 until 4).map(graft.ext.DedupConstants.b).mkString("[", ", ", "]")
+      def slots(src: String) =
+        s"""SELECT $src.*, d, (($aL[d + 1] * h + $bL[d + 1]) % $P) % 256 AS slot
+  FROM $src, (SELECT unnest(generate_series(0, 3)) AS d)"""
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+th0 AS (SELECT token, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % $P AS h FROM toks),
+slots AS (${slots("th0")}),
+cms AS (SELECT d, slot, count(*) AS cnt FROM slots GROUP BY 1, 2),
+truth AS (SELECT token, count(*) AS true_count FROM toks
+          GROUP BY 1 ORDER BY count(*) DESC, token LIMIT 20),
+th AS (SELECT token, true_count,
+         CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % $P AS h FROM truth),
+ts AS (${slots("th")}),
+est AS (SELECT token, true_count, min(cnt) AS est_count
+        FROM ts JOIN cms USING (d, slot) GROUP BY 1, 2)
+SELECT token, true_count, est_count, est_count - true_count AS overcount
+FROM est ORDER BY true_count DESC, token"""
+    },
 
     "zorder_key" ->
       s"""SELECT o_orderkey,

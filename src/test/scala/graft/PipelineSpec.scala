@@ -208,4 +208,28 @@ class PipelineSpec extends SparkSuite {
     // "common" appears in every doc (df=3); each rare term in one (df=1)
     assert(got == Map(1L -> "rare1", 2L -> "rare2", 3L -> "other"))
   }
+
+  test("count-min estimates overcount only; a wide sketch is exact") {
+    import graft.ext.CountMin
+    val toks = (Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma"))
+      .toDF("token")
+    val truth = toks.groupBy("token").agg(count(lit(1)).as("true_count"))
+
+    // cramped sketch: collisions allowed, but never an undercount
+    val narrow = CountMin.estimate(
+      CountMin.sketch(toks, "token", depth = 2, width = 4),
+      truth, "token", depth = 2, width = 4)
+      .select("token", "true_count", "est_count")
+      .as[(String, Long, Long)].collect()
+    assert(narrow.length == 3)
+    narrow.foreach { case (t, tc, est) => assert(est >= tc, s"$t undercounted") }
+
+    // ample width: no collisions, exact counts
+    val wide = CountMin.estimate(
+      CountMin.sketch(toks, "token", width = 1024),
+      truth, "token", width = 1024)
+      .select("token", "true_count", "est_count")
+      .as[(String, Long, Long)].collect()
+    wide.foreach { case (t, tc, est) => assert(est == tc, s"$t: $est != $tc") }
+  }
 }
