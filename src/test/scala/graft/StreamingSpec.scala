@@ -103,6 +103,33 @@ class StreamingSpec extends SparkSuite {
     assert(got == want, s"stream vs batch diff: ${((got -- want) ++ (want -- got)).take(5)}")
   }
 
+  test("count-min sketch maintains incrementally on a stream") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream5").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$tmp/in")
+
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split(col("text"), " ")).as("token"))
+    // the counter matrix is a plain sum aggregate, so Structured
+    // Streaming maintains it incrementally — the streaming form of the
+    // sketch's mergeability (shard sketches add)
+    val streaming = graft.ext.CountMin.sketch(
+      toks(StreamingExtract.source(spark, s"$tmp/in", docs.schema)), "token")
+    val q = streaming.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("cms_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(spark.table("cms_stream")) ==
+      rows(graft.ext.CountMin.sketch(toks(docs), "token")))
+  }
+
   test("file sink writes daily-partitioned parquet with checkpoint") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
