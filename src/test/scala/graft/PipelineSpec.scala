@@ -232,4 +232,24 @@ class PipelineSpec extends SparkSuite {
       .as[(String, Long, Long)].collect()
     wide.foreach { case (t, tc, est) => assert(est == tc, s"$t: $est != $tc") }
   }
+
+  test("count-min never undercounts on random multisets (property)") {
+    import graft.ext.CountMin
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val tokenGen = Gen.listOfN(60,
+      Gen.oneOf("a", "b", "c", "dd", "ee", "ff", "g1", "g2", "h!", "i?"))
+    val prop = Prop.forAll(tokenGen) { words =>
+      val toks = words.toDF("token")
+      val truth = toks.groupBy("token").agg(count(lit(1)).as("true_count"))
+      val est = CountMin.estimate(
+        CountMin.sketch(toks, "token", depth = 3, width = 8),
+        truth, "token", depth = 3, width = 8)
+        .select("token", "true_count", "est_count")
+        .as[(String, Long, Long)].collect()
+      est.length == words.distinct.length &&
+        est.forall { case (_, tc, e) => e >= tc }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -2,8 +2,39 @@ package graft
 
 import graft.operators.Zorder
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 class ZorderSpec extends SparkSuite {
+
+  test("zkey matches a reference Morton implementation on random inputs") {
+    import spark.implicits._
+    val bits = 12
+    val maxRank = (1L << bits) - 1
+    def refKey(dims: Seq[(Long, Long, Long)]): Long = {
+      val ranks = dims.map { case (v, mn, mx) =>
+        // same scale-then-clamp as the expression; Scala Long division
+        // truncates toward zero exactly like Spark's
+        math.min(maxRank, math.max(0L, (v - mn) * maxRank / (mx - mn)))
+      }
+      (0 until bits).flatMap { i =>
+        ranks.zipWithIndex.map { case (r, d) => ((r >> i) & 1L) << (i * dims.size + d) }
+      }.sum
+    }
+    // values deliberately beyond [mn, mx) to exercise the clamps
+    val rowGen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(-100L, 1200L), Gen.choose(-5L, 300L)))
+    val prop = Prop.forAll(rowGen) { rows =>
+      val df = rows.toDF("x", "y")
+      val got = df.select(col("x"), col("y"),
+        Zorder.zkey(Seq((col("x"), 0L, 1000L), (col("y"), 0L, 256L)), bits).as("z"))
+        .as[(Long, Long, Long)].collect()
+      got.forall { case (x, y, z) =>
+        z == refKey(Seq((x, 0L, 1000L), (y, 0L, 256L)))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 
   test("z-ordered layout clusters BOTH dimensions; single-column sort only one") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
