@@ -236,6 +236,87 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "adist")
   }
 
+  /** IVF-PQ: the two approximations composed — the standard layout for
+    * 10^9-vector serving (FAISS's IVFPQ index family). IVF prunes the
+    * search to `nProbe` of `numCentroids` lists; within them distances
+    * come from the PQ code lookup instead of the raw vectors, so the
+    * scan reads `m` bytes-ish per candidate and the full-precision
+    * vectors never leave storage. One corpus pass computes BOTH the
+    * list assignment and the codes (m+1 row-local argmins, no
+    * shuffle); the probe side joins each query's nProbe lists with its
+    * distance tables and broadcasts. Everything is hash-seeded, so the
+    * oracle replays lists, codes, and the m-ordered fold bit-exactly.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 20,
+      nProbe: Int = 3,
+      m: Int = 8,
+      ks: Int = 16,
+      dim: Int = 64
+  ): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = seedCentroids(corpus, idCol, vecCol, numCentroids).toArray
+    val keyHash = expr(
+      s"cast(conv(substr(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
+    val seeds: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"), keyHash.as("h"),
+        col(idCol).cast("long").as("id"))
+      .orderBy(col("h"), col("id")).limit(ks)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(mi => seeds.map(s => s.slice(mi * sub, (mi + 1) * sub)))
+    val codeIds = Array.tabulate(ks)(_ + 1L)
+
+    val vd = col(vecCol).cast("array<double>")
+    // one corpus pass: list + m codes, all row-local argmins
+    val encoded = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), vd.as("v"))
+      .select(col("neighbor_id") +:
+        graft.functions.AnnExprs.nearestCentroid(col("v"), cents.map(_._1), cents.map(_._2)).as("list") +:
+        (0 until m).map(mi =>
+          graft.functions.AnnExprs.nearestCentroid(
+            slice(col("v"), mi * sub + 1, sub), codeIds, codebooks(mi)).as(s"code_$mi")): _*)
+
+    val centroids = broadcast(cents.toSeq.toDF("list", "centv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("list").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(centroids, col("query_id") =!= lit(-1))
+      .withColumn("d", VectorOps.l2sq(col("qv"), col("centv")))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nProbe)
+      .select("query_id", "list")
+
+    val dtables = queries
+      .select(col(idCol).as("query_id") +: (0 until m).map(mi =>
+        slice(vd, mi * sub + 1, sub).as(s"sub_$mi")): _*)
+      .select(col("query_id") +: (0 until m).map { mi =>
+        val cbLit = typedlit(codebooks(mi).map(_.toSeq).toSeq)
+        transform(cbLit, cw =>
+          aggregate(zip_with(col(s"sub_$mi"), cw, (x, c) => (x - c) * (x - c)),
+            lit(0.0), (acc, v) => acc + v)).as(s"dt_$mi")
+      }: _*)
+
+    val adist = (0 until m).map(mi =>
+      element_at(col(s"dt_$mi"), col(s"code_$mi").cast("int"))).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    encoded.join(broadcast(probes.join(dtables, Seq("query_id"))), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(adist, 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
   /** The hash-picked seeds shared by [[ivfTopK]] and [[kmeansCentroids]]:
     * a TakeOrdered over the portable md5 key hash (per-partition top-K +
     * K-row driver merge — O(K×dim) on the driver at any corpus size).

@@ -84,6 +84,15 @@ object SimilarityQueries extends QueryGroup {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K)
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ: list pruning x code lookups — the composed 10^9-vector
+    // serving layout (nProbe/numCentroids of the corpus scanned, m
+    // lookups per candidate, raw vectors never read at query time).
+    "ann_topk_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -284,6 +293,67 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, adist FROM ranked
 WHERE rank <= $K ORDER BY query_id, rank"""
 
+  /** IVF-PQ oracle: ivfSql's centroid/assign/probe CTEs composed with
+    * pqSql's codebook/encode/distance-table CTEs — candidates come from
+    * probed lists, distances from code lookups, both replayed exactly.
+    */
+  private val ivfPqSql =
+    s"""WITH centroids AS (
+  SELECT vec_id AS list, embedding FROM embeddings
+  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+  LIMIT 20),
+assigned AS (
+  SELECT list, neighbor_id FROM (
+    SELECT ct.list, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY c.vec_id
+        ORDER BY ${l2sqSql("c", "ct")} ASC, ct.list ASC) AS r
+    FROM embeddings c CROSS JOIN centroids ct) t WHERE r = 1),
+probes AS (
+  SELECT query_id, list FROM (
+    SELECT q.vec_id AS query_id, ct.list,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY ${l2sqSql("q", "ct")} ASC, ct.list ASC) AS r
+    FROM embeddings q CROSS JOIN centroids ct WHERE q.vec_id < 10) t WHERE r <= 3),
+seedv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+  LIMIT $PqKs),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY
+    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS k, v
+  FROM seedv),
+cb AS (
+  SELECT k, m, list_slice(v, m * $PqSub + 1, m * $PqSub + $PqSub) AS cw
+  FROM seeds, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+enc AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT e.vec_id, cb.m, cb.k,
+      row_number() OVER (PARTITION BY e.vec_id, cb.m
+        ORDER BY ${pqSubDist("e")} ASC, cb.k ASC) AS r
+    FROM embeddings e CROSS JOIN cb) t WHERE r = 1),
+dt AS (
+  SELECT q.vec_id AS query_id, cb.m, cb.k, ${pqSubDist("q")} AS d
+  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10),
+cand AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM probes p JOIN assigned a USING (list)
+  WHERE p.query_id <> a.neighbor_id),
+pd AS (
+  SELECT c.query_id, c.neighbor_id, e.m, dt.d
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.neighbor_id
+  JOIN dt ON dt.query_id = c.query_id AND dt.m = e.m AND dt.k = e.code),
+ad AS (
+  SELECT query_id, neighbor_id, round(list_sum(list(d ORDER BY m)), 4) AS adist
+  FROM pd GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, neighbor_id, adist,
+    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM ad)
+SELECT query_id, rank, neighbor_id, adist FROM ranked
+WHERE rank <= $K ORDER BY query_id, rank"""
+
   val oracleSql: Map[String, String] = Map(
     "ann_topk_brute" ->
       s"""WITH pairs AS (
@@ -298,6 +368,7 @@ WHERE rank <= $K ORDER BY query_id, rank""",
     "ann_topk_lsh" -> lshSql,
     "ann_topk_ivf" -> ivfSql,
     "ann_topk_ivf_kmeans" -> ivfKmeansSql,
-    "ann_topk_pq" -> pqSql
+    "ann_topk_pq" -> pqSql,
+    "ann_topk_ivfpq" -> ivfPqSql
   )
 }

@@ -179,6 +179,17 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
   }
 
+  test("ivfPqTopK: composed pruning still recovers cluster neighbors") {
+    val queries = vecs.filter(col("vec_id") % 5 === 0)
+    val truth = Similarity.bruteTopK(vecs, queries, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.ivfPqTopK(vecs, queries, "vec_id", "embedding", 4,
+      numCentroids = 8, nProbe = 3, m = 4, ks = 16, dim = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (truth intersect approx).size.toDouble / truth.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("kmeansCentroids: deterministic, lowers SSE, and feeds ivfTopK") {
     def sse(cents: Seq[(Long, Array[Double])]): Double =
       vecs.collect().map { r =>
