@@ -114,6 +114,39 @@ object ExtractOps {
       .agg(max_by(col(valueCol), when(col(valueCol).isNotNull, col(timeCol))).as(valueCol))
       .select(col("w.start").as(timeCol), col(seriesCol), col(valueCol))
 
+  /** Gap-filled forward-fill resample: [[resampleLastLong]] plus the
+    * empty bins the reference's `createEmpty: false` path never
+    * materializes, each filled with the series' most recent value —
+    * what a consumer of the 1 s grid wants when "no new point" means
+    * "value unchanged" (sensor state) rather than "no data". Pure value
+    * COPIES, no arithmetic, so the output hashes engine-identically.
+    *
+    * Scale shape: the dense grid is generated per series over that
+    * series' OWN [min, max] span (`sequence` + explode — bounded by
+    * span/every per series, never global-span x all-series), then one
+    * window pass per series does the fill. Two shuffles total: the bin
+    * aggregate and the series window.
+    */
+  def resampleFfill(
+      timeCol: String,
+      every: String,
+      seriesCol: String,
+      valueCol: String
+  )(df: DataFrame): DataFrame = {
+    val binned = resampleLastLong(timeCol, every, seriesCol, valueCol)(df)
+    val grid = binned.groupBy(col(seriesCol))
+      .agg(min(col(timeCol)).as("__t0"), max(col(timeCol)).as("__t1"))
+      .select(col(seriesCol),
+        explode(expr(s"sequence(__t0, __t1, interval $every)")).as(timeCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(seriesCol)).orderBy(col(timeCol))
+      .rowsBetween(Long.MinValue, 0)
+    grid.join(binned, Seq(seriesCol, timeCol), "left")
+      .withColumn("__filled", last(col(valueCol), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col(valueCol).isNull)
+      .select(col(timeCol), col(seriesCol), col("__filled").as(valueCol), col("is_gap"))
+  }
+
   /** P5 — `dropna(axis=0, how="all")` (`database_extractor.py:348`): drop
     * a row only when **every** value column is null (the time column is a
     * pandas index, excluded from the check — SURVEY §7.4.3).

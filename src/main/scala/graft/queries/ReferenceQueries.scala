@@ -125,6 +125,15 @@ object ReferenceQueries extends QueryGroup {
         .orderBy("ts", "event_type")
     }),
 
+    // Gap-filled forward-fill variant: dense per-series 1 h grid, empty
+    // bins carry the previous value (flagged is_gap) — "no new point
+    // means unchanged", the sensor-state reading of the 1 s grid.
+    "resample_ffill" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .transform(ExtractOps.resampleFfill("ts", "1 hour", "event_type", "value"))
+        .orderBy("ts", "event_type")
+    }),
+
     // A1 — tumbling-window aggregate with a coarser grid (the disabled
     // aggregateWindow path, database_extractor.py:299), 1 h window count+last.
     "window_agg_1h" -> ((s, dir) => {
@@ -231,6 +240,22 @@ GROUP BY 1 ORDER BY 1""",
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-05 00:00:00'
 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "resample_ffill" ->
+      """WITH binned AS (
+  SELECT date_trunc('hour', ts) AS ts, event_type, arg_max(value, ts) AS value
+  FROM events GROUP BY 1, 2),
+spans AS (SELECT event_type, min(ts) AS t0, max(ts) AS t1 FROM binned GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM spans),
+j AS (
+  SELECT g.ts, g.event_type, b.value
+  FROM grid g LEFT JOIN binned b ON g.ts = b.ts AND g.event_type = b.event_type)
+SELECT ts, event_type,
+  last_value(value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+  (value IS NULL) AS is_gap
+FROM j ORDER BY ts, event_type""",
 
     "window_agg_1h" ->
       """SELECT date_trunc('hour', ts) AS ts, event_type,

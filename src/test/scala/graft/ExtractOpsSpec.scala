@@ -172,4 +172,26 @@ class ExtractOpsSpec extends SparkSuite {
       fixture, java.time.LocalDate.of(2024, 5, 16), java.time.LocalDate.of(2024, 5, 17), cfg)
     assert(got.count() == 3) // bins :00, :01, 11:30; :03 all-null dropped
   }
+
+  test("resampleFfill carries the previous value across empty bins") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(ts("2024-05-16T00:00:10Z"), "a", 1.0),
+        Row(ts("2024-05-16T02:00:05Z"), "a", 3.0), // gap at hour 1
+        Row(ts("2024-05-16T00:30:00Z"), "b", 5.0)
+      )),
+      StructType(Seq(
+        StructField("t", TimestampType),
+        StructField("series", StringType),
+        StructField("v", DoubleType))))
+    val got = resampleFfill("t", "1 hour", "series", "v")(df)
+      .orderBy("series", "t")
+      .collect().map(r => (r.getString(1), r.getTimestamp(0).toString,
+        r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      ("a", "2024-05-16 00:00:00.0", 1.0, false),
+      ("a", "2024-05-16 01:00:00.0", 1.0, true), // filled, flagged
+      ("a", "2024-05-16 02:00:00.0", 3.0, false),
+      ("b", "2024-05-16 00:00:00.0", 5.0, false)))
+  }
 }
