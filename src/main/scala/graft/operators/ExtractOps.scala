@@ -147,6 +147,48 @@ object ExtractOps {
       .select(col(timeCol), col(seriesCol), col("__filled").as(valueCol), col("is_gap"))
   }
 
+  /** Linearly interpolated resample: like [[resampleFfill]] but interior
+    * gaps take the lerp between the surrounding observed bins
+    * (pandas `interpolate(method="linear")` on the reference's grid).
+    * Every gap is interior by construction — the per-series grid spans
+    * [min, max] of OBSERVED bins, so both neighbors always exist. The
+    * lerp is `v0 + (v1 - v0) * (i / n)` with i, n exact bin-count
+    * integers: the same IEEE op sequence in any engine, so results
+    * hash identically. Same two-shuffle shape as the fill (bin
+    * aggregate + series window).
+    */
+  def resampleInterp(
+      timeCol: String,
+      every: String,
+      seriesCol: String,
+      valueCol: String
+  )(df: DataFrame): DataFrame = {
+    val binned = resampleLastLong(timeCol, every, seriesCol, valueCol)(df)
+    val grid = binned.groupBy(col(seriesCol))
+      .agg(min(col(timeCol)).as("__t0"), max(col(timeCol)).as("__t1"))
+      .select(col(seriesCol),
+        explode(expr(s"sequence(__t0, __t1, interval $every)")).as(timeCol))
+    val W = org.apache.spark.sql.expressions.Window
+    val ordered = W.partitionBy(col(seriesCol)).orderBy(col(timeCol))
+    val back = ordered.rowsBetween(Long.MinValue, 0)
+    val fwd = ordered.rowsBetween(0, Long.MaxValue)
+    grid.join(binned, Seq(seriesCol, timeCol), "left")
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("__v0", last(col(valueCol), ignoreNulls = true).over(back))
+      .withColumn("__v1", first(col(valueCol), ignoreNulls = true).over(fwd))
+      .withColumn("__i0",
+        last(when(col(valueCol).isNotNull, col("__rn")), ignoreNulls = true).over(back))
+      .withColumn("__i1",
+        first(when(col(valueCol).isNotNull, col("__rn")), ignoreNulls = true).over(fwd))
+      .withColumn("is_gap", col(valueCol).isNull)
+      .withColumn("__out",
+        when(col(valueCol).isNotNull, col(valueCol))
+          .otherwise(col("__v0") + (col("__v1") - col("__v0")) *
+            ((col("__rn") - col("__i0")).cast("double") /
+              (col("__i1") - col("__i0")).cast("double"))))
+      .select(col(timeCol), col(seriesCol), col("__out").as(valueCol), col("is_gap"))
+  }
+
   /** P5 — `dropna(axis=0, how="all")` (`database_extractor.py:348`): drop
     * a row only when **every** value column is null (the time column is a
     * pandas index, excluded from the check — SURVEY §7.4.3).

@@ -134,6 +134,14 @@ object ReferenceQueries extends QueryGroup {
         .orderBy("ts", "event_type")
     }),
 
+    // Linear interpolation variant (pandas interpolate on the grid):
+    // interior gaps lerped between the surrounding observed bins.
+    "resample_interp" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .transform(ExtractOps.resampleInterp("ts", "1 hour", "event_type", "value"))
+        .orderBy("ts", "event_type")
+    }),
+
     // A1 — tumbling-window aggregate with a coarser grid (the disabled
     // aggregateWindow path, database_extractor.py:299), 1 h window count+last.
     "window_agg_1h" -> ((s, dir) => {
@@ -256,6 +264,39 @@ SELECT ts, event_type,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
   (value IS NULL) AS is_gap
 FROM j ORDER BY ts, event_type""",
+
+    "resample_interp" ->
+      """WITH binned AS (
+  SELECT date_trunc('hour', ts) AS ts, event_type, arg_max(value, ts) AS value
+  FROM events GROUP BY 1, 2),
+spans AS (SELECT event_type, min(ts) AS t0, max(ts) AS t1 FROM binned GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM spans),
+j AS (
+  SELECT g.ts, g.event_type, b.value
+  FROM grid g LEFT JOIN binned b ON g.ts = b.ts AND g.event_type = b.event_type),
+rns AS (
+  SELECT ts, event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+  FROM j),
+wdw AS (
+  SELECT ts, event_type, value, rn,
+    last_value(value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+    first_value(value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+    last_value(CASE WHEN value IS NOT NULL THEN rn END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i0,
+    first_value(CASE WHEN value IS NOT NULL THEN rn END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY ts
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS i1
+  FROM rns)
+SELECT ts, event_type,
+  CASE WHEN value IS NOT NULL THEN value
+       ELSE v0 + (v1 - v0) * (CAST(rn - i0 AS DOUBLE) / CAST(i1 - i0 AS DOUBLE)) END AS value,
+  (value IS NULL) AS is_gap
+FROM wdw ORDER BY ts, event_type""",
 
     "window_agg_1h" ->
       """SELECT date_trunc('hour', ts) AS ts, event_type,

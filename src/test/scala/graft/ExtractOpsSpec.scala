@@ -194,4 +194,24 @@ class ExtractOpsSpec extends SparkSuite {
       ("a", "2024-05-16 02:00:00.0", 3.0, false),
       ("b", "2024-05-16 00:00:00.0", 5.0, false)))
   }
+
+  test("resampleInterp lerps interior gaps between observed bins") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(ts("2024-05-16T00:00:10Z"), "a", 1.0),
+        Row(ts("2024-05-16T03:00:05Z"), "a", 4.0) // 2-bin interior gap
+      )),
+      StructType(Seq(
+        StructField("t", TimestampType),
+        StructField("series", StringType),
+        StructField("v", DoubleType))))
+    val got = resampleInterp("t", "1 hour", "series", "v")(df)
+      .orderBy("t")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      ("2024-05-16 00:00:00.0", 1.0, false),
+      ("2024-05-16 01:00:00.0", 2.0, true),
+      ("2024-05-16 02:00:00.0", 3.0, true),
+      ("2024-05-16 03:00:00.0", 4.0, false)))
+  }
 }
