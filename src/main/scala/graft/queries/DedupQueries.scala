@@ -66,6 +66,20 @@ object DedupQueries extends QueryGroup {
         .orderBy("id_a", "id_b")
     }),
 
+    // Character-level verification of the minhash candidates: edit
+    // distance over the first 80 chars (Levenshtein is O(len²) per
+    // pair — affordable exactly BECAUSE it runs on the LSH candidate
+    // set, never all pairs; the truncation bounds the per-pair cost).
+    "dedup_fuzzy_edit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("__ta")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("__tb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(substring(col("__ta"), 1, 80), substring(col("__tb"), 1, 80)).as("edit80"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Incremental ingest gate: batch docs (doc_id % 5 = 0) checked for
     // exact / minhash near-dups against the already-ingested history
     // (doc_id % 5 != 0). History streams against the broadcast batch —
@@ -109,7 +123,8 @@ hs AS (SELECT doc_id, list(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $m)
     .map(i => s"list_min(list_transform(hs, x -> (${a(i)} * x + ${b(i)}) % $P))")
     .mkString("[", ", ", "]")
 
-  private[queries] val minhashSql = {
+  /** Shared CTE prefix: signatures → LSH bands → candidate pairs. */
+  private val minhashCandCtes = {
     val rows = K / Bands
     s"""${shingleCtes(P)},
 sigs AS (SELECT doc_id, $sigList AS sig FROM hs),
@@ -118,14 +133,28 @@ bands AS (
   FROM sigs, (SELECT unnest(generate_series(0, ${Bands - 1})) AS b)),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS siga, y.sig AS sigb
-  FROM bands x JOIN bands y ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
-SELECT doc_a, doc_b,
-  round(list_sum(list_transform(generate_series(1, $K),
-    i -> CASE WHEN siga[i] = sigb[i] THEN 1.0 ELSE 0.0 END)) / $K, 4) AS est_jaccard
-FROM cand
-WHERE est_jaccard >= 0.5
-ORDER BY doc_a, doc_b"""
+  FROM bands x JOIN bands y ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id)"""
   }
+
+  private val estExpr =
+    s"""round(list_sum(list_transform(generate_series(1, $K),
+    i -> CASE WHEN siga[i] = sigb[i] THEN 1.0 ELSE 0.0 END)) / $K, 4)"""
+
+  private[queries] val minhashSql =
+    s"""$minhashCandCtes
+SELECT doc_a, doc_b, $estExpr AS est_jaccard
+FROM cand
+WHERE $estExpr >= 0.5
+ORDER BY doc_a, doc_b"""
+
+  private val fuzzyEditSql =
+    s"""$minhashCandCtes,
+sel AS (SELECT doc_a, doc_b FROM cand WHERE $estExpr >= 0.5)
+SELECT doc_a, doc_b,
+  levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS edit80
+FROM sel JOIN documents a ON a.doc_id = doc_a
+         JOIN documents b ON b.doc_id = doc_b
+ORDER BY doc_a, doc_b"""
 
   private val simhashSql =
     s"""${shingleCtes(SimMod)},
@@ -219,6 +248,7 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_embedding" -> cosineSql,
     "dedup_embedding_lsh" -> embLshSql,
+    "dedup_fuzzy_edit" -> fuzzyEditSql,
     "dedup_incremental" -> incrementalSql,
     "decontaminate_ngram" -> decontaminateSql
   )

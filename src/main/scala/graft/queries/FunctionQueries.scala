@@ -14,6 +14,20 @@ object FunctionQueries extends QueryGroup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Custom typed Aggregator UDAF (§2.11): quantity-weighted mean
+    // price per return flag — exact Long accumulation, one final IEEE
+    // division pair, hash-deterministic despite a DOUBLE output.
+    "weighted_mean_udaf" -> ((s, dir) => {
+      val wavg = udaf(graft.functions.WeightedMeanCents)
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+          floor(col("l_quantity") + 0.5).cast("long").as("qty"))
+        .groupBy("l_returnflag")
+        .agg(wavg(col("cents"), col("qty")).as("wavg_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // CUBE grouping sets (all 4 combinations), nulls coalesced.
     "cube_agg" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -116,6 +130,15 @@ object FunctionQueries extends QueryGroup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "weighted_mean_udaf" ->
+      """SELECT l_returnflag,
+  CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+    / 100.0
+    / CAST(CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+    AS wavg_price
+FROM lineitem GROUP BY 1 ORDER BY 1""",
+
     "cube_agg" ->
       """SELECT coalesce(y, -1) AS y,
   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,

@@ -134,6 +134,21 @@ object RelationalQueries extends QueryGroup {
         .orderBy("c_mktsegment", "rank")
     }),
 
+    // Distribution windows — ntile / percent_rank / cume_dist per
+    // priority band (all exact-integer-derived: ntile is integer
+    // bucketing, the two ratios are (rank-1)/(n-1) and rank/n IEEE
+    // divisions — hash-identical across engines).
+    "window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
     // Analytic window — lag within an ordered per-user series.
     "window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
@@ -436,6 +451,15 @@ WHERE rank <= 3 ORDER BY c_mktsegment, rank""",
       """SELECT event_id, user_id, value,
   lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value
 FROM events ORDER BY event_id""",
+
+    "window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+  ntile(4) OVER w AS quartile,
+  percent_rank() OVER w AS pr,
+  cume_dist() OVER w AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+ORDER BY o_orderkey""",
 
     "running_sum" ->
       """SELECT event_id, user_id,
