@@ -53,6 +53,64 @@ object Pipeline {
     df.filter(keyHash(keyCol) % 1000 < rate)
   }
 
+  /** Deterministic train/val/test split: hash-permille thresholds over
+    * the key — the same stateless scan-side shape as [[hashSample]],
+    * so the assignment is stable across reruns, engines, partitioning,
+    * and incremental corpus growth (a new document never moves an old
+    * one between splits — the leakage-safety property a random split
+    * lacks). `valPermille`/`testPermille` carve the tail of the hash
+    * range; everything below is train.
+    */
+  def datasetSplit(
+      df: DataFrame,
+      keyCol: String,
+      valPermille: Int = 50,
+      testPermille: Int = 50
+  ): DataFrame = {
+    val h = keyHash(keyCol) % 1000
+    df.withColumn("split",
+      when(h >= 1000 - testPermille, "test")
+        .when(h >= 1000 - testPermille - valPermille, "val")
+        .otherwise("train"))
+  }
+
+  /** Sequence packing: lay documents end-to-end in `idCol` order and
+    * cut the stream into fixed `seqLen`-token training windows — each
+    * row gets its global start offset, its window (`bin`), and the
+    * offset inside that window. The global prefix sum is computed the
+    * DISTRIBUTED way: per-block cumulative sums (window partitioned by
+    * a `blockSize`-id block — parallel), block totals rolled up in one
+    * tiny block-level window (rows = n/blockSize), broadcast back.
+    * A naive `Window.orderBy(id)` with no partition would funnel the
+    * corpus through ONE task; this two-phase shape is the standard
+    * prefix-sum fix and every number is an exact integer.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCountCol: String,
+      seqLen: Long,
+      blockSize: Long = 4096L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val block = floor(col(idCol) / blockSize).as("__block")
+    val within = Window.partitionBy(col("__block"))
+      .orderBy(col(idCol)).rowsBetween(Long.MinValue, -1)
+    val perBlock = Window.orderBy(col("__block")).rowsBetween(Long.MinValue, -1)
+    val blockPrefix = df.select(block, col(tokenCountCol))
+      .groupBy("__block").agg(sum(col(tokenCountCol)).as("__btotal"))
+      .withColumn("__bprefix",
+        coalesce(sum(col("__btotal")).over(perBlock), lit(0L)))
+      .select("__block", "__bprefix")
+    df.withColumn("__block", floor(col(idCol) / blockSize))
+      .withColumn("__within", coalesce(sum(col(tokenCountCol)).over(within), lit(0L)))
+      .join(broadcast(blockPrefix), Seq("__block"))
+      .withColumn("start_offset", col("__bprefix") + col("__within"))
+      .withColumn("bin", floor(col("start_offset") / seqLen).cast("long"))
+      .withColumn("bin_offset", col("start_offset") % seqLen)
+      .drop("__block", "__within", "__bprefix")
+  }
+
   /** Deterministic stratified sample: the `perStratum` rows with the
     * smallest key hashes within each stratum (hash-order = uniform
     * random order, but reproducible). One shuffle on the stratum key;

@@ -293,6 +293,32 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df_t"), col("score"), col("rank"))
   }
 
+  /** Fixed-size document chunking with overlap — the window-splitting
+    * step before tokenized training: each document becomes
+    * ⌈n / (size - overlap)⌉-ish word chunks of up to `size` words,
+    * consecutive chunks sharing `overlap` words. Entirely row-local
+    * (sequence + slice + one explode) — no shuffle, linear at any
+    * scale; chunk_id is the 0-based position so downstream packing is
+    * deterministic.
+    */
+  def chunkDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 40,
+      overlap: Int = 10
+  ): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0, s"need chunkSize > overlap >= 0")
+    val step = chunkSize - overlap
+    df.withColumn("__w", wordsCol(textCol))
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, cast(floor((size(__w) - 1) / $step) as int)), " +
+            s"i -> array_join(slice(__w, i * $step + 1, $chunkSize), ' '))"))
+          .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_words", size(split(col("chunk_text"), " ")))
+  }
+
   /** Winnowing document fingerprint (Schleimer et al.'s local algorithm
     * shape): hash k-word shingles (md5-derived, as the dedup family),
     * take the minimum in every sliding window of w consecutive shingle

@@ -51,6 +51,26 @@ object PipelineQueries extends QueryGroup {
         .orderBy(col("true_count").desc, col("token").asc)
     }),
 
+    // Deterministic train/val/test split: hash-permille assignment —
+    // stable under reruns and corpus growth (a new doc never moves an
+    // old one between splits, the leakage-safety property).
+    "dataset_split" -> ((s, dir) => {
+      Pipeline.datasetSplit(Tables.documents(s, dir).select("doc_id", "lang"),
+        "doc_id", valPermille = 100, testPermille = 100)
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing: documents laid end-to-end in id order, cut
+    // into 512-token training windows via the two-phase distributed
+    // prefix sum (per-block cumsum + tiny block rollup — never a
+    // single-task global window).
+    "pack_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Pipeline.packSequences(docs, "doc_id", "n_tokens", seqLen = 512L)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic 5% hash sample — membership is a pure function of
     // the key, reproducible at any scale / partitioning.
     "sample_hash" -> ((s, dir) => {
@@ -233,6 +253,30 @@ FROM reach GROUP BY a ORDER BY node"""
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE ${duckHash("o_orderkey")} % 1000 < 50
 ORDER BY o_orderkey""",
+
+    "dataset_split" ->
+      s"""SELECT doc_id, lang,
+  CASE WHEN ${duckHash("doc_id")} % 1000 >= 900 THEN 'test'
+       WHEN ${duckHash("doc_id")} % 1000 >= 800 THEN 'val'
+       ELSE 'train' END AS split
+FROM documents ORDER BY doc_id""",
+
+    "pack_sequences" ->
+      """WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+b AS (SELECT doc_id, n_tokens, CAST(floor(doc_id / 4096) AS BIGINT) AS blk FROM d),
+w AS (SELECT doc_id, n_tokens, blk,
+  coalesce(sum(n_tokens) OVER (PARTITION BY blk ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS within
+  FROM b),
+bt AS (SELECT blk, sum(n_tokens) AS btotal FROM b GROUP BY 1),
+bp AS (SELECT blk, coalesce(sum(btotal) OVER (ORDER BY blk
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bprefix FROM bt)
+SELECT w.doc_id, w.n_tokens,
+  CAST(bp.bprefix + w.within AS BIGINT) AS start_offset,
+  CAST(floor((bp.bprefix + w.within) / 512) AS BIGINT) AS bin,
+  CAST((bp.bprefix + w.within) % 512 AS BIGINT) AS bin_offset
+FROM w JOIN bp USING (blk) ORDER BY w.doc_id""",
 
     "heavy_hitters_cms" -> {
       val P = graft.ext.DedupConstants.P

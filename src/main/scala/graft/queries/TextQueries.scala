@@ -81,6 +81,14 @@ object TextQueries extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // fixed-size training-window chunking: 40-word chunks, 10-word
+    // overlap — row-local sequence+slice, no shuffle
+    "doc_chunks" -> ((s, dir) => {
+      TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 40, overlap = 10)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // top-3 distinctive terms per doc by tf * N / df (log-free idf)
     "tfidf_top_terms" -> ((s, dir) => {
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
@@ -253,7 +261,19 @@ scored AS (
 SELECT doc_id, term, tf, df_t, score, rank
 FROM scored WHERE rank <= 3 ORDER BY doc_id, rank"""
 
+  private val chunksSql =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ch AS (SELECT doc_id, w,
+  unnest(generate_series(0, CAST(floor((len(w) - 1) / 30) AS BIGINT))) AS cid
+  FROM docs)
+SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+  array_to_string(list_slice(w, cid * 30 + 1, cid * 30 + 40), ' ') AS chunk_text,
+  CAST(len(string_split(array_to_string(list_slice(w, cid * 30 + 1, cid * 30 + 40), ' '), ' '))
+    AS INTEGER) AS n_words
+FROM ch ORDER BY doc_id, chunk_id"""
+
   val oracleSql: Map[String, String] = Map(
+    "doc_chunks" -> chunksSql,
     "text_langid" -> langidSql,
     "text_langid_ngram" -> langidNgramSql,
     "text_quality" -> qualitySql,

@@ -233,6 +233,40 @@ class PipelineSpec extends SparkSuite {
     wide.foreach { case (t, tc, est) => assert(est == tc, s"$t: $est != $tc") }
   }
 
+  test("packSequences start offsets are the exact token prefix sums") {
+    import graft.ext.Pipeline
+    val docs = (0L until 100L).map(id => (id, (id % 7) + 1)).toDF("doc_id", "n")
+    // blockSize 16 forces multiple blocks, exercising the two-phase
+    // prefix sum's block rollup and not just the within-block window
+    val got = Pipeline.packSequences(docs, "doc_id", "n", seqLen = 10L, blockSize = 16L)
+      .orderBy("doc_id")
+      .select("doc_id", "n", "start_offset", "bin", "bin_offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val tokens = (0L until 100L).map(id => (id % 7) + 1)
+    val prefix = tokens.scanLeft(0L)(_ + _).init
+    got.zipWithIndex.foreach { case ((id, n, start, bin, off), i) =>
+      assert(id == i && n == tokens(i))
+      assert(start == prefix(i), s"doc $id start $start != ${prefix(i)}")
+      assert(bin == prefix(i) / 10 && off == prefix(i) % 10)
+    }
+  }
+
+  test("datasetSplit is exhaustive, stable under subsetting, and never moves rows") {
+    import graft.ext.Pipeline
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val split = Pipeline.datasetSplit(docs, "doc_id", valPermille = 100, testPermille = 100)
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"), counts.toString)
+    assert(counts.values.sum == docs.count())
+    // assignment is a pure function of the key: a subset corpus (e.g.
+    // an earlier snapshot) assigns every shared doc identically
+    val subset = Pipeline.datasetSplit(
+      docs.filter(col("doc_id") < 100), "doc_id", valPermille = 100, testPermille = 100)
+      .as[(Long, String)].collect().toMap
+    val full = split.filter(col("doc_id") < 100).as[(Long, String)].collect().toMap
+    assert(subset == full)
+  }
+
   test("count-min never undercounts on random multisets (property)") {
     import graft.ext.CountMin
     import org.scalacheck.{Gen, Prop, Test => SCTest}

@@ -83,4 +83,20 @@ class TextAnalysisSpec extends SparkSuite {
       assert(r.getAs[Boolean]("keep") == conj)
     }
   }
+
+  test("chunkDocs: stride, overlap, and tail coverage") {
+    import spark.implicits._
+    val words = (0 until 100).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" "))).toDF("id", "t")
+    val got = graft.ext.TextAnalysis.chunkDocs(df, "id", "t", chunkSize = 40, overlap = 10)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_text", "n_words")
+      .as[(Int, String, Int)].collect()
+    // starts 0, 30, 60, 90: three full 40-word chunks + a 10-word tail
+    assert(got.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(got.map(_._3).toSeq == Seq(40, 40, 40, 10))
+    assert(got(0)._2.startsWith("w0 ") && got(0)._2.endsWith(" w39"))
+    assert(got(1)._2.startsWith("w30 ")) // 10-word overlap with chunk 0
+    assert(got(3)._2 == (90 until 100).map(i => s"w$i").mkString(" "))
+  }
 }
