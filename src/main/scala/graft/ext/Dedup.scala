@@ -275,6 +275,48 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Span-level dedup (the C4 paper's repeated-span removal, block
+    * form): documents are cut into consecutive non-overlapping
+    * `blockWords`-word blocks; every DISTINCT block content keeps only
+    * its first global occurrence (min doc id, then min position) and
+    * all other occurrences are counted as removed — catching the
+    * boilerplate that document-level dedup can't (a footer shared by a
+    * million otherwise-distinct pages). Per document: block total and
+    * removed-block count (the removal rate a pipeline gates on).
+    *
+    * Shape at 100 TB: blocks are row-local (sequence + slice + one
+    * explode), the canonical pick is one hash aggregate on the 60-bit
+    * block hash, and the verdict joins back on that hash — shuffle
+    * volume ∝ blocks, never pairs; the md5-derived hash keys uniformly
+    * so no hot buckets.
+    */
+  def spanDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockWords: Int = 5
+  ): DataFrame = {
+    val blocks = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__w", split(col(textCol), " "))
+      .select(col(idCol).as("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(floor((size(__w) - 1) / $blockWords) as int)), " +
+            s"i -> array_join(slice(__w, i * $blockWords + 1, $blockWords), ' '))"))
+          .as(Seq("bidx", "btext")))
+      .withColumn("h", expr(s"cast(conv(substr(md5(btext), 1, 15), 16, 10) as bigint)"))
+      .select("doc_id", "bidx", "h")
+    val canon = blocks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("bidx"))).as("first"))
+      .select(col("h"), col("first.doc_id").as("cdoc"), col("first.bidx").as("cbidx"))
+    blocks.join(canon, Seq("h"))
+      .withColumn("kept", col("doc_id") === col("cdoc") && col("bidx") === col("cbidx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Incremental dedup gate: flag NEW (batch) documents that exactly or
     * nearly duplicate an already-ingested HISTORY corpus — the daily-
     * ingest shape at 100 TB. History is only ever STREAMED: the exact

@@ -317,6 +317,29 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "adist")
   }
 
+  /** Per-label embedding statistics: class counts and the mean vector,
+    * exact-deterministic via the same integer discretization as
+    * [[kmeansCentroids]] (components become `floor(v·scale + 0.5)`
+    * longs, so the shuffled sums are exact integer arithmetic and the
+    * mean is one engine-identical division chain). Long format — one
+    * row per (label, pos) — keeps the schema fixed at any dimension
+    * and the whole thing is ONE hash aggregate with map-side partials:
+    * the embedding-drift / class-balance dashboard for a corpus of any
+    * size.
+    */
+  def labelCentroids(
+      df: DataFrame,
+      labelCol: String,
+      vecCol: String,
+      scale: Double = 1e6
+  ): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .withColumn("sv", floor(col("v") * scale + 0.5).cast("long"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"),
+        (sum("sv").cast("double") / scale / count(lit(1))).as("mean_v"))
+
   /** The hash-picked seeds shared by [[ivfTopK]] and [[kmeansCentroids]]:
     * a TakeOrdered over the portable md5 key hash (per-partition top-K +
     * K-row driver merge — O(K×dim) on the driver at any corpus size).

@@ -66,6 +66,14 @@ object DedupQueries extends QueryGroup {
         .orderBy("id_a", "id_b")
     }),
 
+    // C4-style span dedup: every distinct 5-word block keeps only its
+    // first global occurrence — catches shared boilerplate that
+    // document-level dedup can't. Shuffle ∝ blocks, never pairs.
+    "dedup_spans" -> ((s, dir) => {
+      Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text", blockWords = 5)
+        .orderBy("doc_id")
+    }),
+
     // Character-level verification of the minhash candidates: edit
     // distance over the first 80 chars (Levenshtein is O(len²) per
     // pair — affordable exactly BECAUSE it runs on the LSH candidate
@@ -146,6 +154,29 @@ SELECT doc_a, doc_b, $estExpr AS est_jaccard
 FROM cand
 WHERE $estExpr >= 0.5
 ORDER BY doc_a, doc_b"""
+
+  /** Replays the block cut (non-overlapping 5-word slices), the 60-bit
+    * md5 block hash, and the (min doc, min position) canonical pick.
+    */
+  private val spanSql =
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idxd AS (
+  SELECT doc_id, w,
+    unnest(generate_series(0, CAST(floor((len(w) - 1) / 5) AS BIGINT))) AS i
+  FROM docs),
+blocks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS bidx,
+    CAST(('0x' || substr(md5(
+      array_to_string(list_slice(w, i * 5 + 1, i * 5 + 5), ' ')), 1, 15)) AS BIGINT) AS h
+  FROM idxd),
+canon AS (
+  SELECT h, min(struct_pack(doc_id := doc_id, bidx := bidx)) AS first
+  FROM blocks GROUP BY h)
+SELECT b.doc_id, count(*) AS n_blocks,
+  CAST(sum(CASE WHEN b.doc_id = c.first.doc_id AND b.bidx = c.first.bidx
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM blocks b JOIN canon c USING (h)
+GROUP BY b.doc_id ORDER BY b.doc_id"""
 
   private val fuzzyEditSql =
     s"""$minhashCandCtes,
@@ -248,6 +279,7 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_embedding" -> cosineSql,
     "dedup_embedding_lsh" -> embLshSql,
+    "dedup_spans" -> spanSql,
     "dedup_fuzzy_edit" -> fuzzyEditSql,
     "dedup_incremental" -> incrementalSql,
     "decontaminate_ngram" -> decontaminateSql

@@ -86,6 +86,13 @@ object SimilarityQueries extends QueryGroup {
         .orderBy("query_id", "rank")
     }),
 
+    // Per-label class counts + mean vector (long format, one hash
+    // aggregate) — exact-deterministic via integer-discretized sums.
+    "embedding_label_stats" -> ((s, dir) => {
+      Similarity.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy("label", "pos")
+    }),
+
     // IVF-PQ: list pruning x code lookups — the composed 10^9-vector
     // serving layout (nProbe/numCentroids of the corpus scanned, m
     // lookups per candidate, raw vectors never read at query time).
@@ -365,6 +372,15 @@ ranked AS (
   FROM pairs)
 SELECT query_id, rank, neighbor_id, cos FROM ranked
 WHERE rank <= $K ORDER BY query_id, rank""",
+    "embedding_label_stats" ->
+      s"""WITH comp AS (
+  SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS sv
+  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i))
+SELECT label, pos, count(*) AS n,
+  CAST(CAST(sum(sv) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*) AS mean_v
+FROM comp GROUP BY 1, 2 ORDER BY label, pos""",
+
     "ann_topk_lsh" -> lshSql,
     "ann_topk_ivf" -> ivfSql,
     "ann_topk_ivf_kmeans" -> ivfKmeansSql,

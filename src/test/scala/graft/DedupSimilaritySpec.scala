@@ -79,6 +79,18 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(ham(sh(1L), sh(4L)) > 6)
   }
 
+  test("spanDedup keeps only each distinct block's first occurrence") {
+    val got = Dedup.spanDedup(docs, "doc_id", "text", blockWords = 5)
+      .orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 13-word docs cut into blocks of 5/5/3
+    assert(got(1L) == ((3L, 0L)))            // canonical: nothing removed
+    assert(got(2L) == ((3L, 3L)))            // exact dup of 1: every block removed
+    assert(got(3L) == ((3L, 2L)))            // near dup: last block differs
+    assert(got(4L) == ((2L, 0L)))            // distinct content (10 words)
+    assert(got(5L) == ((1L, 0L)))            // "tiny doc": one short block
+  }
+
   test("incrementalDups flags exact / near / novel batch docs against history") {
     val history = docs.filter(col("doc_id").isin(1L, 4L, 5L))
     val batch = docs.filter(col("doc_id").isin(2L, 3L)).union(
