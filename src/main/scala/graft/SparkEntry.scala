@@ -20,7 +20,10 @@ object SparkEntry {
     TextQueries,
     MultimodalQueries,
     FunctionQueries,
-    PipelineQueries
+    PipelineQueries,
+    WarehouseQueries,
+    GraphQueries,
+    LexicalQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

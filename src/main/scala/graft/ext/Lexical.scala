@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lexical corpus models: an n-gram language-model quality score (the
+  * CCNet/KenLM-style "does this read like the corpus" filter) and a
+  * BM25-family ranked retrieval probe (the lexical side of a training
+  * -data search/decontamination stack).
+  *
+  * Repo-wide determinism rule: both operators keep every score in
+  * integer MICRO units (`(a*1000000) div b` forms only), so shuffled
+  * sums are exact, order-independent, and a SQL oracle replays them
+  * bit-for-bit — no `log`/float whose libm rounding differs between
+  * engines.
+  */
+object Lexical {
+
+  /** Bigram-LM fluency score per document.
+    *
+    * Trains on the corpus itself (the CCNet recipe trains on a trusted
+    * reference corpus — same plan, different input): unigram counts
+    * c1(w), bigram counts c2(w1,w2), and each document scores the mean
+    * conditional probability of its own bigrams,
+    * `mean_i (c2(w_i, w_{i+1}) · 1e6) div c1(w_i)` — a rational
+    * stand-in for perplexity (higher = more fluent/typical; low
+    * scores flag gibberish and boilerplate, exactly what the LM
+    * quality gate drops).
+    *
+    * Scale shape: bigram extraction is row-local (one `transform` over
+    * the token array, no shuffle); the count tables are plain hash
+    * aggregates; the score joins are VOCABULARY-keyed shuffle joins —
+    * deliberately NOT broadcast (a corpus-scale n-gram table is the
+    * tf-idf-broadcast mistake; AQE may still elect broadcast when the
+    * vocab is provably small). Docs with fewer than 2 tokens are
+    * dropped (no bigrams to score).
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = t.select(col("doc_id"), explode(expr(
+      """transform(sequence(1, size(toks) - 1),
+         i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = t.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    bg.join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .select(col("doc_id"), expr("(c2 * 1000000) div c1").as("p_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_micro) div count(1)").as("lm_score_micro"))
+  }
+
+  /** BM25-family top-k retrieval for a fixed bag of query terms.
+    *
+    * Same shape as Robertson–Spärck Jones BM25 (k1 = 1.2, b = 0.75)
+    * with one documented deviation: idf is the RATIONAL surrogate
+    * `(N − df + 0.5)/(df + 1)` in micro units rather than its log —
+    * log is engine-libm-dependent and ranking only needs a monotone
+    * df-penalty. All arithmetic is integer (milli/micro fixed-point).
+    * (Bound: idf_micro·tfpart_micro must fit a signed 64-bit long —
+    * fine to ~10^11 docs; beyond that keep idf in milli.)
+    *
+    * Scale shape: the explode is pruned to the query terms at the scan
+    * (`isin` pushes through the generator), so per-doc cost is
+    * O(matched terms), and the only corpus-scale shuffle is the
+    * (doc, term) tf aggregate — exactly the posting-list build. A
+    * standing search system materializes that tf table bucketed by
+    * term (the inverted index); this operator is the same plan
+    * downstream of the scan. df and the corpus stats are tiny
+    * (|terms| rows / 1 row) and ride broadcasts.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int
+  ): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .select(col("n_docs"), expr("(sum_dl * 1000) div n_docs").as("avgdl_milli"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("norm_milli",
+        expr("250 + (750 * ((dl * 1000000) div avgdl_milli)) div 1000"))
+      .withColumn("tfpart_micro",
+        expr("(tf * 2200 * 1000) div (tf * 1000 + (1200 * norm_milli) div 1000)"))
+      .withColumn("idf_micro",
+        expr("((n_docs - df) * 1000000 + 500000) div (df + 1)"))
+      .select(col("doc_id"),
+        expr("(idf_micro * tfpart_micro) div 1000000").as("s_micro"))
+      .groupBy("doc_id")
+      .agg(sum("s_micro").as("score_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

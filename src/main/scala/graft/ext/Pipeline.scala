@@ -125,6 +125,30 @@ object Pipeline {
       .drop("__rn")
   }
 
+  /** Per-domain document cap (the Common Crawl pipeline rule "at most N
+    * pages per registered domain"): keep the `maxPerDomain` best rows of
+    * each domain, "best" = highest `orderCol` (a quality proxy such as
+    * doc length or a scorer output), ties broken by id so the kept set
+    * is deterministic. One shuffle on the domain key; skewed hot
+    * domains stay parallel because row_number sorts per-partition after
+    * the hash exchange, and the output of a hot domain is bounded at N
+    * regardless of its input size — this operator REDUCES skew for
+    * everything downstream of it.
+    */
+  def domainCap(
+      df: DataFrame,
+      domainCol: String,
+      orderCol: String,
+      idCol: String,
+      maxPerDomain: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("domain_rank", row_number().over(w))
+      .filter(col("domain_rank") <= maxPerDomain)
+  }
+
   /** Inner equi-join where the big side is pre-filtered by a bloom
     * filter built from the small side's keys. The result is IDENTICAL
     * to the plain join (bloom filters have no false negatives); the

@@ -421,4 +421,50 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  /** SemDeDup (Abbas et al., 2023): semantic dedup by k-means
+    * clustering + within-cluster cosine pruning against one
+    * representative — the embedding-space dedup that catches
+    * paraphrases exact/MinHash dedup can't, at a cost LINEAR in the
+    * corpus (vs the quadratic all-pairs baseline): after the k-means
+    * rounds, every vector does ONE row-local centroid argmin and ONE
+    * cosine against its cluster's representative.
+    *
+    * Representative = smallest id in the cluster (the paper keeps a
+    * random member; smallest-id is the deterministic, oracle-
+    * replayable choice). `keep` = representative itself, or cosine to
+    * the representative below `tau`. Scale shape: centroids are
+    * trained by [[kmeansCentroids]] (driver holds k×dim only),
+    * assignment is the row-local [[graft.functions.AnnExprs.nearestCentroid]]
+    * expression, the representative table is k rows riding a
+    * broadcast, and the only corpus shuffle is the per-list min-id
+    * aggregate. (The full paper prunes against ALL kept members of a
+    * cluster — that refinement is a within-cluster join, still
+    * cluster-bucketed, never all-pairs.)
+    */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 20,
+      iters: Int = 2,
+      tau: Double = 0.2
+  ): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, numCentroids, iters).toArray
+    val assigned = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .withColumn("list",
+        graft.functions.AnnExprs.nearestCentroid(col("v"), cents.map(_._1), cents.map(_._2)))
+    // k-row rep-id table rides a broadcast against the corpus to pick
+    // up the rep vectors — the corpus never shuffles for this lookup
+    val repMin = assigned.groupBy("list").agg(min("vec_id").as("rep_id"))
+    val reps = assigned
+      .join(broadcast(repMin.select(col("rep_id"))), col("vec_id") === col("rep_id"))
+      .select(col("list"), col("vec_id").as("rep_id"), col("v").as("rep_v"))
+    assigned.join(broadcast(reps), Seq("list"))
+      .withColumn("cos_rep", round(VectorOps.cosine(col("v"), col("rep_v")), 4))
+      .select(col("vec_id"), col("list"), col("rep_id"), col("cos_rep"),
+        (col("vec_id") === col("rep_id") || col("cos_rep") < tau).as("keep"))
+  }
 }

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-analysis suite. The bipartite customer–supplier trade graph is
+  * derived from orders ⨝ lineitem (node ids are namespaced by parity:
+  * customer k → 2k, supplier k → 2k+1) and symmetrized, so PageRank's
+  * "every node has an out-arc" precondition holds by construction. The
+  * DuckDB oracle unrolls the fixed 3-iteration loop as chained CTEs —
+  * integer-micro arithmetic makes the replay bit-exact.
+  */
+object GraphQueries extends QueryGroup {
+
+  private val Iters = 3
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Fixed-iteration integer PageRank over the symmetrized trade
+    // graph; top-30 nodes. Per-round: one shuffle of O(|E|)
+    // contributions — the Pregel shape that holds at 10^9 edges.
+    "pagerank" -> ((s, dir) => {
+      val eb = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey").cast("long") * 2).as("a"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+        .distinct()
+      val edges = eb.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(eb.select(col("b").as("src"), col("a").as("dst")))
+      Graph.pageRank(edges, "src", "dst", Iters)
+        .orderBy(col("pr_micro").desc, col("node").asc)
+        .limit(30)
+    })
+  )
+
+  /** One unrolled PR round: ranks `prev` → ranks over (e, d). */
+  private def roundSql(prev: String, out: String): String =
+    s"""$out AS (
+  SELECT e.dst AS node,
+         CAST(150000 + (850 * sum($prev.pr_micro // d.deg)) // 1000 AS BIGINT) AS pr_micro
+  FROM e JOIN d ON e.src = d.src JOIN $prev ON $prev.node = e.src
+  GROUP BY e.dst)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "pagerank" -> {
+      val rounds = (1 to Iters).map(i => roundSql(s"r${i - 1}", s"r$i")).mkString(",\n")
+      s"""WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr_micro FROM d),
+$rounds
+SELECT node, pr_micro FROM r$Iters
+ORDER BY pr_micro DESC, node ASC LIMIT 30"""
+    }
+  )
+}

@@ -71,6 +71,16 @@ object PipelineQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Per-domain cap (Common Crawl "max N pages per domain"): keep the
+    // 20 longest docs of each source, ties by id. Hot domains bound
+    // their own output at N — the operator REDUCES downstream skew.
+    "domain_cap" -> ((s, dir) => {
+      Pipeline.domainCap(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id", maxPerDomain = 20)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic 5% hash sample — membership is a pure function of
     // the key, reproducible at any scale / partitioning.
     "sample_hash" -> ((s, dir) => {
@@ -249,6 +259,14 @@ FROM reach GROUP BY a ORDER BY node"""
   }
 
   val oracleSql: Map[String, String] = Map(
+    "domain_cap" ->
+      """WITH r AS (
+  SELECT doc_id, source, n_chars,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS domain_rank
+  FROM documents)
+SELECT doc_id, source, n_chars, domain_rank FROM r
+WHERE domain_rank <= 20 ORDER BY doc_id""",
+
     "sample_hash" ->
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE ${duckHash("o_orderkey")} % 1000 < 50

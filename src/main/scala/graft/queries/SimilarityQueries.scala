@@ -100,8 +100,22 @@ object SimilarityQueries extends QueryGroup {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K)
         .orderBy("query_id", "rank")
+    }),
+
+    // SemDeDup (Abbas et al. 2023): k-means clusters + within-cluster
+    // cosine prune vs the min-id representative — paraphrase dedup at
+    // LINEAR cost (one argmin + one cosine per vector; the all-pairs
+    // baseline is quadratic). Oracle replays the unrolled training
+    // and the keep rule bit-for-bit.
+    "semdedup" -> ((s, dir) => {
+      Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        numCentroids = 20, iters = KmIters, tau = SemTau)
+        .orderBy("vec_id")
     })
   )
+
+  /** SemDeDup keep-threshold: cos_rep >= tau (and not the rep) drops. */
+  private val SemTau = 0.2
 
   /** Lloyd rounds the kmeans query runs and its oracle unrolls. */
   private val KmIters = 2
@@ -194,7 +208,12 @@ WHERE rank <= $K ORDER BY query_id, rank"""
     * casts, sequential fold sums, floor(v·1e6 + 0.5) longs summed as
     * integers, and (sum/1e6)/n double division.
     */
-  private val ivfKmeansSql = {
+  /** The k-means training replay shared by `ann_topk_ivf_kmeans` and
+    * `semdedup`: c0 (hash-picked seeds), comp (exploded components),
+    * then per round t an argmin assignment a_t and discretized-mean
+    * m_t → c_t. Final centroids are the CTE `c$KmIters`.
+    */
+  private val kmTrainCtes = {
     val iterCtes = (1 to KmIters).map { t =>
       val prev = s"c${t - 1}"
       s"""a$t AS (
@@ -214,7 +233,7 @@ c$t AS (
     (SELECT list, list(mv ORDER BY pos) AS cv FROM m$t GROUP BY list) m
   ON p.list = m.list)"""
     }.mkString(",\n")
-    s"""WITH c0 AS (
+    s"""c0 AS (
   SELECT vec_id AS list, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
   FROM embeddings
   ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
@@ -222,7 +241,11 @@ c$t AS (
 comp AS (
   SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
   FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i)),
-$iterCtes,
+$iterCtes"""
+  }
+
+  private val ivfKmeansSql = {
+    s"""WITH $kmTrainCtes,
 assigned AS (
   SELECT list, neighbor_id FROM (
     SELECT ct.list, c.vec_id AS neighbor_id,
@@ -384,6 +407,24 @@ FROM comp GROUP BY 1, 2 ORDER BY label, pos""",
     "ann_topk_lsh" -> lshSql,
     "ann_topk_ivf" -> ivfSql,
     "ann_topk_ivf_kmeans" -> ivfKmeansSql,
+
+    "semdedup" ->
+      s"""WITH $kmTrainCtes,
+assigned AS (
+  SELECT list, vec_id FROM (
+    SELECT ct.list, e.vec_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${l2sqToCv("e", "ct")} ASC, ct.list ASC) AS r
+    FROM embeddings e CROSS JOIN c$KmIters ct) t WHERE r = 1),
+reps AS (SELECT list, min(vec_id) AS rep_id FROM assigned GROUP BY 1),
+scored AS (
+  SELECT a.vec_id, a.list, r.rep_id, ${cosSql("e", "re")} AS cos_rep
+  FROM assigned a JOIN reps r USING (list)
+       JOIN embeddings e ON e.vec_id = a.vec_id
+       JOIN embeddings re ON re.vec_id = r.rep_id)
+SELECT vec_id, list, rep_id, cos_rep,
+       (vec_id = rep_id OR cos_rep < $SemTau) AS keep
+FROM scored ORDER BY vec_id""",
     "ann_topk_pq" -> pqSql,
     "ann_topk_ivfpq" -> ivfPqSql
   )

@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.Warehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance suite: the SCD2 merge-into rewrite
+  * ([[graft.ext.Warehouse.scd2Merge]]). The dimension, its history,
+  * and the update batch are all derived deterministically from the
+  * `customer` table so the DuckDB oracle can rebuild the exact same
+  * inputs and replay the merge semantics in SQL.
+  */
+object WarehouseQueries extends QueryGroup {
+
+  private val BatchDate = "1995-06-01"
+
+  /** Deterministic fixture: dimension attrs from customer, integer
+    * cents (floor(x*100+0.5), the repo-wide IEEE-exact money rule).
+    */
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      floor(col("c_acctbal") * 100 + 0.5).cast("long").as("acctbal_cents"),
+      col("c_mktsegment").as("segment"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SCD2 merge: one full-outer join of the open rows vs the batch on
+    // the key; closed history never shuffles (union only). The fixture
+    // exercises every branch: %13 keys carry a closed history row
+    // (must pass through untouched), %7 keys get a changed update
+    // (close + reopen), %100==3 keys get a no-op update (carry), and
+    // %11 keys arrive offset by 10M as brand-new inserts.
+    "merge_scd2" -> ((s, dir) => {
+      val b = base(s, dir)
+      val history = b.filter(col("c_custkey") % 13 === 0).select(
+        col("c_custkey"),
+        (col("acctbal_cents") - 500).as("acctbal_cents"),
+        col("segment"),
+        lit("1985-01-01").as("valid_from"),
+        lit("1990-01-01").as("valid_to"),
+        lit(false).as("is_current"))
+      val open = b.select(
+        col("c_custkey"), col("acctbal_cents"), col("segment"),
+        lit("1990-01-01").as("valid_from"),
+        lit(Warehouse.OpenEnd).as("valid_to"),
+        lit(true).as("is_current"))
+      val updates = b
+        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 100 === 3)
+        .select(
+          col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, col("acctbal_cents") + 12345)
+            .otherwise(col("acctbal_cents")).as("acctbal_cents"),
+          col("segment"))
+        .unionByName(b.filter(col("c_custkey") % 11 === 0).select(
+          (col("c_custkey") + 10000000L).as("c_custkey"),
+          col("c_custkey").as("acctbal_cents"),
+          lit("NEW").as("segment")))
+      Warehouse.scd2Merge(
+        history.unionByName(open), updates,
+        "c_custkey", Seq("acctbal_cents", "segment"), BatchDate)
+        .orderBy("c_custkey", "valid_from", "is_current")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "merge_scd2" ->
+      s"""WITH base AS (
+  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+         c_mktsegment AS segment FROM customer),
+hist AS (
+  SELECT c_custkey, acctbal_cents - 500 AS acctbal_cents, segment,
+         '1985-01-01' AS valid_from, '1990-01-01' AS valid_to, FALSE AS is_current
+  FROM base WHERE c_custkey % 13 = 0),
+cur AS (
+  SELECT c_custkey, acctbal_cents, segment,
+         '1990-01-01' AS valid_from, '9999-12-31' AS valid_to, TRUE AS is_current
+  FROM base),
+upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN acctbal_cents + 12345 ELSE acctbal_cents END AS acctbal_cents,
+         segment
+  FROM base WHERE c_custkey % 7 = 0 OR c_custkey % 100 = 3
+  UNION ALL
+  SELECT c_custkey + 10000000 AS c_custkey, c_custkey AS acctbal_cents, 'NEW' AS segment
+  FROM base WHERE c_custkey % 11 = 0),
+changedk AS (
+  SELECT cur.c_custkey FROM cur JOIN upd USING (c_custkey)
+  WHERE cur.acctbal_cents <> upd.acctbal_cents OR cur.segment <> upd.segment),
+merged AS (
+  SELECT * FROM hist
+  UNION ALL
+  SELECT * FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM changedk)
+  UNION ALL
+  SELECT c_custkey, acctbal_cents, segment, valid_from,
+         '$BatchDate' AS valid_to, FALSE AS is_current
+  FROM cur WHERE c_custkey IN (SELECT c_custkey FROM changedk)
+  UNION ALL
+  SELECT c_custkey, acctbal_cents, segment, '$BatchDate' AS valid_from,
+         '9999-12-31' AS valid_to, TRUE AS is_current
+  FROM upd WHERE c_custkey IN (SELECT c_custkey FROM changedk)
+     OR c_custkey NOT IN (SELECT c_custkey FROM cur))
+SELECT c_custkey, acctbal_cents, segment, valid_from, valid_to, is_current
+FROM merged ORDER BY c_custkey, valid_from, is_current"""
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ext.{Graph, Warehouse}
+import org.apache.spark.sql.functions._
+
+/** Specs for the graph and warehouse-maintenance operators: PageRank's
+  * integer arithmetic against hand-computed values on a known graph,
+  * and scd2Merge's four branch semantics on a tiny fixture.
+  */
+class GraphWarehouseSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pageRank matches hand-computed integer ranks on a star graph") {
+    // star: 0 — {1,2,3}, symmetrized. deg(0)=3, deg(leaf)=1.
+    val e0 = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val edges = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+
+    // r0 = 1e6 each.
+    // iter1: center <- 3x1e6: 150000 + (850*3000000) div 1000 = 2700000
+    //        leaf   <- 1e6 div 3 = 333333: 150000 + 283333 = 433333
+    // iter2: leaf   <- 2700000 div 3 = 900000: 150000 + 765000 = 915000
+    //        center <- 3x433333 = 1299999: 150000 + 1104999 = 1254999
+    val r = Graph.pageRank(edges, "src", "dst", iters = 2)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r(0L) == 1254999L)
+    assert(r(1L) == 915000L && r(2L) == 915000L && r(3L) == 915000L)
+  }
+
+  test("pageRank conserves total mass within the damping floor bound") {
+    // symmetric random-ish graph over 20 nodes
+    val e0 = (0L until 40L).map(i => (i % 20, (i * 7 + 3) % 20)).filter(p => p._1 != p._2).distinct
+    val edges = (e0 ++ e0.map(_.swap)).distinct.toDF("src", "dst")
+    val n = edges.select("src").distinct().count()
+    val total = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .agg(sum("pr_micro")).as[Long].head()
+    // each round: total' = n*150000 + 0.85*total - (floor losses < |E| + n)
+    // after 3 rounds from n*1e6 the fixpoint band is [0.96, 1.0]*n*1e6
+    assert(total <= n * 1000000L, s"floors only lose mass: $total")
+    assert(total > (n * 1000000L * 93) / 100, s"within floor-loss band: $total")
+  }
+
+  test("scd2Merge branch semantics: carry, close+reopen, insert, history untouched") {
+    val current = Seq(
+      // closed history row — must pass through byte-identical
+      (1L, 100L, "A", "1985-01-01", "1990-01-01", false),
+      // open rows
+      (1L, 150L, "A", "1990-01-01", Warehouse.OpenEnd, true), // changed by batch
+      (2L, 200L, "B", "1990-01-01", Warehouse.OpenEnd, true), // no-op update
+      (3L, 300L, "C", "1990-01-01", Warehouse.OpenEnd, true)  // untouched
+    ).toDF("k", "bal", "seg", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      (1L, 151L, "A"), // changed attr -> close + reopen
+      (2L, 200L, "B"), // identical -> carry
+      (9L, 900L, "N")  // new key -> insert
+    ).toDF("k", "bal", "seg")
+
+    val out = Warehouse.scd2Merge(current, updates, "k", Seq("bal", "seg"), "1995-06-01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getBoolean(5))).toSet
+
+    assert(out == Set(
+      (1L, 100L, "A", "1985-01-01", "1990-01-01", false),          // history
+      (1L, 150L, "A", "1990-01-01", "1995-06-01", false),          // closed
+      (1L, 151L, "A", "1995-06-01", Warehouse.OpenEnd, true),      // reopened
+      (2L, 200L, "B", "1990-01-01", Warehouse.OpenEnd, true),      // no-op carry
+      (3L, 300L, "C", "1990-01-01", Warehouse.OpenEnd, true),      // untouched carry
+      (9L, 900L, "N", "1995-06-01", Warehouse.OpenEnd, true)       // insert
+    ))
+
+    // invariant: exactly one open row per key
+    val openPerKey = out.filter(_._6).groupBy(_._1).view.mapValues(_.size)
+    assert(openPerKey.values.forall(_ == 1))
+  }
+}
