@@ -54,6 +54,52 @@ object Lexical {
         expr("sum(p_micro) div count(1)").as("lm_score_micro"))
   }
 
+  /** Top-k adjacent-pair collocations by a PMI surrogate — the
+    * classic "find multi-word expressions" pass (Church & Hanks 1990)
+    * a corpus pipeline runs to build tokenizer merge candidates and
+    * phrase vocabularies. True PMI is `log P(w1,w2)/(P(w1)P(w2))`;
+    * ranking only needs the monotone rational core, so the score is
+    * the integer `((c2·10^6) div c1(w1)) · N div c1(w2)` (N = total
+    * tokens) — exact, order-independent, oracle-replayable. Bound:
+    * the first factor is ≤ 10^6, so the product fits a signed long to
+    * N ~ 9·10^12 tokens; beyond that keep the first factor in milli.
+    *
+    * Pairs rarer than `minCount` are dropped BEFORE the vocabulary
+    * joins — at corpus scale that floor is what keeps the candidate
+    * set (and the famously heavy-tailed bigram table) manageable.
+    *
+    * Scale shape: bigram extraction is row-local; counts are hash
+    * aggregates; the c1 lookups are vocabulary-keyed shuffle joins
+    * (NOT broadcast — same reasoning as [[bigramLmScore]]); the final
+    * top-k is a TakeOrdered, never a global sort.
+    */
+  def pmiTopPairs(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Int,
+      k: Int
+  ): DataFrame = {
+    val t = docs.select(split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val uni = t.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val n = uni.agg(sum("c1").as("n_tokens"))
+    val big = t.select(explode(expr(
+      """transform(sequence(1, size(toks) - 1),
+         i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    big
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c2"),
+        expr("((c2 * 1000000) div c1a) * n_tokens div c1b").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** BM25-family top-k retrieval for a fixed bag of query terms.
     *
     * Same shape as Robertson–Spärck Jones BM25 (k1 = 1.2, b = 0.75)

@@ -149,6 +149,76 @@ object Pipeline {
       .filter(col("domain_rank") <= maxPerDomain)
   }
 
+  /** Token-budget mixture sampling: within each stratum, walk documents
+    * in deterministic hash order and keep them until the stratum's
+    * cumulative TOKEN count reaches `budgetTokens` — the "sample each
+    * domain down to its token allocation" step of a training-mix
+    * recipe, where allocations are expressed in tokens (what the model
+    * actually trains on), not document counts. A row is kept iff the
+    * tokens BEFORE it are under budget, so every stratum gets at least
+    * one document and the kept set is a prefix of the hash order —
+    * stable under reruns, and monotone: raising a budget only ADDS
+    * documents, never swaps them (same audit property as
+    * [[hashSample]]).
+    *
+    * Scale shape: one shuffle on the stratum key; the running sum is a
+    * per-stratum window (parallel across strata — mixture configs have
+    * dozens-to-thousands of strata). A single pathological mega-stratum
+    * serializes its own window; cap it first with [[domainCap]] if that
+    * shape exists upstream.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      tokensCol: String,
+      budgetTokens: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(keyHash(keyCol), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("tokens_before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .filter(col("tokens_before") < budgetTokens)
+  }
+
+  /** Pick each duplicate cluster's representative: given the
+    * [[connectedComponents]] labeling of near-dup pairs, label every
+    * document (docs in no pair are their own singleton cluster) and
+    * keep the cluster's BEST copy — highest `qualityCol`, ties to the
+    * smallest id. This is the step that turns "here are the dup
+    * clusters" into "here is the deduplicated corpus", and choosing by
+    * quality (not min-id) is what the production pipelines do: of N
+    * mirrored copies, keep the cleanest rendering.
+    *
+    * Returns every input row with its `cluster_id` and a `keep` flag
+    * (filter `keep` for the surviving corpus; keeping the flag makes
+    * the drop auditable).
+    *
+    * Scale shape: `labels` holds only nodes that appear in some dup
+    * pair — typically a few percent of the corpus — so the left join
+    * is corpus ⨝ small (AQE broadcasts it when it fits; no hint forced,
+    * the label set CAN be corpus-scale in a boilerplate-heavy crawl).
+    * The representative choice is one window partitioned by cluster;
+    * cluster sizes are bounded in practice by the upstream LSH bucket
+    * cap, so the per-cluster sort never serializes the corpus.
+    */
+  def keepBestPerCluster(
+      df: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      qualityCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = labels.select(col("node"), col("cluster_id").as("__cid"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    df.join(l, col(idCol) === col("node"), "left")
+      .withColumn("cluster_id", coalesce(col("__cid"), col(idCol)))
+      .drop("node", "__cid")
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
   /** Inner equi-join where the big side is pre-filtered by a bloom
     * filter built from the small side's keys. The result is IDENTICAL
     * to the plain join (bloom filters have no false negatives); the

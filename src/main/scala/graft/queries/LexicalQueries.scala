@@ -1,19 +1,33 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.Lexical
+import graft.ext.{Hybrid, Lexical, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Lexical-model suite over `documents`: the bigram-LM fluency score
-  * and BM25-family retrieval. Both are pure integer fixed-point, so
-  * the DuckDB oracles replay the full computation (counts, joins,
-  * fixed-point folds) bit-for-bit.
+/** Lexical-model suite over `documents`: the bigram-LM fluency score,
+  * BM25-family retrieval, PMI collocation mining, and the RRF hybrid
+  * fusion of the lexical and semantic retrievers. Everything is pure
+  * integer fixed-point, so the DuckDB oracles replay the full
+  * computation (counts, joins, fixed-point folds) bit-for-bit.
   */
 object LexicalQueries extends QueryGroup {
 
   /** Fixed retrieval probe; mid-frequency corpus terms. */
   private val Bm25Terms = Seq("vector", "stream", "window", "merge", "quality")
   private val Bm25K = 15
+
+  /** Hybrid fusion: retrieval depth of each input list, fused top-k,
+    * and the semantic probe's query vector id.
+    */
+  private val RrfDepth = 20
+  private val RrfK = 10
+  private val RrfQueryVec = 0
+
+  /** Collocation floor and output size. */
+  private val PmiMinCount = 3
+  private val PmiK = 20
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -29,8 +43,63 @@ object LexicalQueries extends QueryGroup {
     // scoring, rational idf surrogate (see Lexical scaladoc).
     "bm25_topk" -> ((s, dir) => {
       Lexical.bm25TopK(Tables.documents(s, dir), "doc_id", "text", Bm25Terms, Bm25K)
+    }),
+
+    // Top-20 adjacent-pair collocations by rational PMI (count floor 3)
+    // — tokenizer merge candidates / multi-word expressions.
+    "pmi_top_pairs" -> ((s, dir) => {
+      Lexical.pmiTopPairs(Tables.documents(s, dir), "text", PmiMinCount, PmiK)
+    }),
+
+    // Hybrid retrieval: BM25 top-20 (lexical) fused with exact-cosine
+    // top-20 neighbors of vector 0 (semantic, doc_id ≡ vec_id) by
+    // reciprocal-rank fusion — integer micro contributions, exact sum.
+    "hybrid_rrf" -> ((s, dir) => {
+      val lex = Lexical.bm25TopK(Tables.documents(s, dir), "doc_id", "text", Bm25Terms, RrfDepth)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
+        .select("doc_id", "rank")
+      val emb = Tables.embeddings(s, dir)
+      val sem = Similarity.bruteTopK(
+        emb, emb.filter(col("vec_id") === RrfQueryVec), "vec_id", "embedding", RrfDepth)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Hybrid.rrfFuse(Seq(lex, sem), "doc_id", "rank", RrfK)
     })
   )
+
+  /** The BM25 pipeline as a reusable WITH-body ending in `bmtop`
+    * (doc_id, score_micro, n_terms — ordered, limited to `k`), shared
+    * by the standalone oracle and the hybrid-fusion oracle.
+    */
+  private def bm25Ctes(k: Int): String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         (CAST(sum(dl) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS avgdl_milli
+  FROM tl),
+tf AS (
+  SELECT doc_id, term, CAST(max(dl) AS BIGINT) AS dl, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM tl) x
+  WHERE term IN ($termList)
+  GROUP BY doc_id, term),
+dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+per AS (
+  SELECT tf.doc_id,
+    ((((st.n_docs - dfr.df) * 1000000 + 500000) // (dfr.df + 1))
+      * ((tf.tf * 2200 * 1000)
+         // (tf.tf * 1000
+             + (1200 * (250 + (750 * ((tf.dl * 1000000) // st.avgdl_milli)) // 1000)) // 1000)))
+    // 1000000 AS s_micro
+  FROM tf JOIN dfr USING (term) CROSS JOIN st),
+bmtop AS (
+  SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM per GROUP BY doc_id
+  ORDER BY score_micro DESC, doc_id ASC LIMIT $k)"""
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -53,33 +122,51 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(CAST(sum(p_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS lm_score_micro
 FROM per GROUP BY doc_id ORDER BY doc_id""",
 
-    "bm25_topk" -> {
-      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    "bm25_topk" ->
+      s"""WITH ${bm25Ctes(Bm25K)}
+SELECT doc_id, score_micro, n_terms FROM bmtop""",
+
+    "pmi_top_pairs" ->
       s"""WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-tl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
-st AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         (CAST(sum(dl) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS avgdl_milli
-  FROM tl),
-tf AS (
-  SELECT doc_id, term, CAST(max(dl) AS BIGINT) AS dl, CAST(count(*) AS BIGINT) AS tf
-  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM tl) x
-  WHERE term IN ($termList)
-  GROUP BY doc_id, term),
-dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-per AS (
-  SELECT tf.doc_id,
-    ((((st.n_docs - dfr.df) * 1000000 + 500000) // (dfr.df + 1))
-      * ((tf.tf * 2200 * 1000)
-         // (tf.tf * 1000
-             + (1200 * (250 + (750 * ((tf.dl * 1000000) // st.avgdl_milli)) // 1000)) // 1000)))
-    // 1000000 AS s_micro
-  FROM tf JOIN dfr USING (term) CROSS JOIN st)
-SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro,
-       CAST(count(*) AS BIGINT) AS n_terms
-FROM per GROUP BY doc_id
-ORDER BY score_micro DESC, doc_id ASC LIMIT $Bm25K"""
-    }
+  SELECT string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(toks) AS w FROM t) u GROUP BY 1),
+n AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tokens FROM uni),
+big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+  FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g) bg
+  GROUP BY 1, 2 HAVING count(*) >= $PmiMinCount)
+SELECT big.w1, big.w2, big.c2,
+       CAST(((big.c2 * 1000000) // ua.c1) * n.n_tokens // ub.c1 AS BIGINT) AS pmi_micro
+FROM big
+JOIN uni ua ON big.w1 = ua.w
+JOIN uni ub ON big.w2 = ub.w
+CROSS JOIN n
+ORDER BY pmi_micro DESC, big.w1 ASC, big.w2 ASC LIMIT $PmiK""",
+
+    "hybrid_rrf" ->
+      s"""WITH ${bm25Ctes(RrfDepth)},
+lex AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM bmtop),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = $RrfQueryVec),
+semranked AS (
+  SELECT c.vec_id AS doc_id,
+    CAST(row_number() OVER (ORDER BY ${SimilarityQueries.cosSql("q", "c")} DESC, c.vec_id ASC)
+         AS INTEGER) AS rank
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> $RrfQueryVec),
+sem AS (SELECT doc_id, rank FROM semranked ORDER BY rank LIMIT $RrfDepth),
+u AS (
+  SELECT doc_id, CAST(1000000 // (60 + rank) AS BIGINT) AS rrf FROM lex
+  UNION ALL
+  SELECT doc_id, CAST(1000000 // (60 + rank) AS BIGINT) AS rrf FROM sem)
+SELECT doc_id, CAST(sum(rrf) AS BIGINT) AS rrf_micro,
+       CAST(count(*) AS BIGINT) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_micro DESC, doc_id ASC LIMIT $RrfK"""
   )
 }

@@ -165,6 +165,29 @@ object PipelineQueries extends QueryGroup {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Token-budget mixture sampling: per source, keep docs in hash
+    // order until 700 corpus tokens are reached (prefix-of-hash-order
+    // ⇒ rerun-stable and budget-monotone; see Pipeline scaladoc).
+    "sample_token_budget" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Pipeline.tokenBudgetSample(d, "source", "doc_id", "n_tokens", budgetTokens = 700L)
+        .orderBy("doc_id")
+    }),
+
+    // Dedup representative selection: label every doc with its
+    // connected-component cluster (singletons = own id) and keep the
+    // highest-quality copy per cluster (quality proxy: n_chars).
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+        .select("doc_a", "doc_b")
+      val labels = Pipeline.connectedComponents(pairs, "doc_a", "doc_b")
+      Pipeline.keepBestPerCluster(docs, labels, "doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Near-dup cluster resolution: connected components over the
     // MinHash-LSH candidate pairs; cluster id = min doc id reachable.
     "dedup_clusters" -> ((s, dir) => {
@@ -245,18 +268,27 @@ object PipelineQueries extends QueryGroup {
     })
   )
 
-  private val clustersSql = {
+  /** Transitive closure of the MinHash-LSH pairs as a WITH-body ending
+    * in `labeled(node, cluster_id)` — shared by the `dedup_clusters`
+    * oracle and the `dedup_keep_best` representative-selection oracle.
+    */
+  private val clusterCtes = {
     val minhash = DedupQueries.minhashSql
-    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($minhash) t),
+    s"""pairs AS (SELECT doc_a, doc_b FROM ($minhash) t),
 edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
 reach(a, b) AS (
   SELECT a, b FROM edges
   UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-SELECT a AS node, least(a, min(b)) AS cluster_id
-FROM reach GROUP BY a ORDER BY node"""
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+labeled AS (
+  SELECT a AS node, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a)"""
   }
+
+  private val clustersSql =
+    s"""WITH RECURSIVE $clusterCtes
+SELECT node, cluster_id FROM labeled ORDER BY node"""
 
   val oracleSql: Map[String, String] = Map(
     "domain_cap" ->
@@ -409,6 +441,29 @@ WHERE o_totalprice > 480000
 ORDER BY l_orderkey, l_linenumber""",
 
     "dedup_clusters" -> clustersSql,
+
+    "sample_token_budget" ->
+      s"""WITH d AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+w AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+      ORDER BY ${duckHash("doc_id")}, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+  FROM d)
+SELECT doc_id, source, n_tokens, tokens_before FROM w
+WHERE tokens_before < 700 ORDER BY doc_id""",
+
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $clusterCtes,
+d AS (
+  SELECT doc_id, n_chars, coalesce(l.cluster_id, doc_id) AS cluster_id
+  FROM documents LEFT JOIN labeled l ON doc_id = l.node)
+SELECT doc_id, n_chars, cluster_id,
+  (row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) = 1) AS keep
+FROM d ORDER BY doc_id""",
 
     "approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,

@@ -23,7 +23,7 @@ object SimilarityQueries extends QueryGroup {
   /** Cosine in the oracle's spelling: double-precision sequential fold,
     * same as DotProductExpr.
     */
-  private def cosSql(q: String, c: String): String =
+  private[queries] def cosSql(q: String, c: String): String =
     s"""round(
       list_sum(list_transform(generate_series(1, $Dim),
         i -> CAST($q.embedding[i] AS DOUBLE) * CAST($c.embedding[i] AS DOUBLE)))

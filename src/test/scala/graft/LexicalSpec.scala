@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Lexical, Similarity}
+import graft.ext.{Hybrid, Lexical, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Specs for the lexical models (bigram LM score, BM25 retrieval) and
@@ -41,6 +41,48 @@ class LexicalSpec extends SparkSuite {
     val out = Lexical.bm25TopK(docs, "doc_id", "text", Seq("x"), 10)
       .select("doc_id").as[Long].collect().toSeq
     assert(out == Seq(1L, 2L), s"shorter doc first: $out")
+  }
+
+  test("pmiTopPairs: exclusive pair outranks frequent-but-independent pair") {
+    // "p q" always co-occur (and only with each other); "a" and "b" are
+    // individually frequent but pair only once in three arrangements.
+    val docs = Seq(
+      (1L, "p q a b"), (2L, "p q b a"), (3L, "p q a c b"),
+      (4L, "p q b c a"), (5L, "p q a b")
+    ).toDF("doc_id", "text")
+    val out = Lexical.pmiTopPairs(docs, "text", minCount = 2, k = 5)
+      .select("w1", "w2", "pmi_micro").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val pq = out.find(p => p._1 == "p" && p._2 == "q").get
+    val ab = out.find(p => p._1 == "a" && p._2 == "b").get
+    assert(pq._3 > ab._3, s"exclusive collocation must outrank independent pair: $pq vs $ab")
+    assert(out.head._1 == "p" && out.head._2 == "q", "p q is the top collocation")
+  }
+
+  test("pmiTopPairs enforces the minCount floor") {
+    val docs = Seq((1L, "r s r s x y"), (2L, "r s")).toDF("doc_id", "text")
+    // c2(r,s)=3 survives minCount=3; c2(x,y)=1 and the bridges don't.
+    val out = Lexical.pmiTopPairs(docs, "text", minCount = 3, k = 10)
+      .select("w1", "w2").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("r", "s")), s"only the floor-clearing pair remains: ${out.toSeq}")
+  }
+
+  test("rrfFuse: hand-computed fusion, absence contributes zero, ties to min id") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val out = Hybrid.rrfFuse(Seq(a, b), "doc_id", "rank", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 20: 1e6/62 + 1e6/61 = 16129 + 16393 = 32522 (2 lists)
+    // 10: 1e6/61 = 16393; 40: 1e6/62 = 16129; 30: 1e6/63 = 15873
+    assert(out.toSeq == Seq(
+      (20L, 32522L, 2L), (10L, 16393L, 1L), (40L, 16129L, 1L), (30L, 15873L, 1L)))
+
+    // equal ranks in disjoint lists tie on score — min id first
+    val t1 = Seq((7L, 1)).toDF("doc_id", "rank")
+    val t2 = Seq((3L, 1)).toDF("doc_id", "rank")
+    val tied = Hybrid.rrfFuse(Seq(t1, t2), "doc_id", "rank", k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(tied == Seq(3L, 7L), s"tie-break by id: $tied")
   }
 
   test("semDedup invariants: reps kept, one rep per cluster, drop rule exact") {

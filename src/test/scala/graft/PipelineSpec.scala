@@ -267,6 +267,44 @@ class PipelineSpec extends SparkSuite {
     assert(subset == full)
   }
 
+  test("tokenBudgetSample: budget respected, every stratum kept, monotone in budget") {
+    val docs = (0 until 60).map(i => (i.toLong, s"s${i % 3}", 100L)).toDF("doc_id", "stratum", "toks")
+    val kept = Pipeline.tokenBudgetSample(docs, "stratum", "doc_id", "toks", 350L)
+      .select("doc_id", "stratum", "tokens_before")
+      .as[(Long, String, Long)].collect()
+    // 100-token docs against a 350 budget => exactly 4 kept per stratum
+    // (tokens_before 0,100,200,300), independent of which ids hash first
+    kept.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.length == 4, s"stratum $s keeps ceil(350/100)=4 docs: ${rows.length}")
+      assert(rows.map(_._3).sorted.toSeq == Seq(0L, 100L, 200L, 300L))
+    }
+    // monotone: halving the budget yields a strict subset
+    val small = Pipeline.tokenBudgetSample(docs, "stratum", "doc_id", "toks", 150L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(kept.map(_._1).toSet), "lower budget is a subset")
+    assert(small.size == 6, "2 docs per stratum at budget 150")
+  }
+
+  test("keepBestPerCluster: one keep per cluster, best quality wins, ties to min id") {
+    val docs = Seq(
+      (1L, 50L), (2L, 90L), (3L, 90L), // cluster 1: 3 beats 2? no — 2 and 3 tie at 90, min id 2 wins
+      (4L, 10L),                       // singleton
+      (5L, 70L), (6L, 80L)             // cluster 5: 6 wins on quality
+    ).toDF("doc_id", "quality")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("node", "cluster_id")
+    val out = Pipeline.keepBestPerCluster(docs, labels, "doc_id", "quality")
+      .select("doc_id", "cluster_id", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(r => r._1 -> r._2).toSeq ==
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+    assert(out.filter(_._3).map(_._1).toSeq == Seq(2L, 4L, 6L),
+      "kept: tie->min id (2), singleton (4), quality winner (6)")
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.count(_._3) == 1, s"exactly one keep in cluster $c")
+    }
+  }
+
   test("count-min never undercounts on random multisets (property)") {
     import graft.ext.CountMin
     import org.scalacheck.{Gen, Prop, Test => SCTest}
