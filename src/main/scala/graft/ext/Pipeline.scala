@@ -182,6 +182,28 @@ object Pipeline {
       .filter(col("tokens_before") < budgetTokens)
   }
 
+  /** k-anonymity suppression (Sweeney 2002): drop every row whose
+    * quasi-identifier combination is shared by fewer than `k` rows —
+    * the release gate a pipeline applies before handing row-level data
+    * (user events, per-document provenance) to a wider audience, so no
+    * published row is attributable to a small group. Suppression (not
+    * generalization) is the composable primitive: callers coarsen the
+    * quasi-columns first (date instead of timestamp, value buckets
+    * instead of values) and this operator enforces the floor.
+    *
+    * Returns surviving rows with their `group_size` (auditable margin
+    * above the floor). Scale shape: ONE shuffle on the quasi-key; the
+    * count is a per-group window, so hot groups stay parallel after
+    * the hash exchange and nothing is collected. Equivalent to
+    * groupBy+join but without the second shuffle.
+    */
+  def kAnonSuppress(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    df.withColumn("group_size", count(lit(1)).over(w))
+      .filter(col("group_size") >= k)
+  }
+
   /** Pick each duplicate cluster's representative: given the
     * [[connectedComponents]] labeling of near-dup pairs, label every
     * document (docs in no pair are their own singleton cluster) and

@@ -227,6 +227,19 @@ object ExtractOps {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** JSONL export — the lingua franca of LLM training-data handoff
+    * (one JSON object per line; what tokenizer/trainer toolchains
+    * ingest). Spark's json sink IS jsonl (one object per line, one
+    * file per partition), so this is a thin, named wrapper plus gzip:
+    * text compresses ~5×, and every downstream reader splits by file
+    * anyway, so per-file gzip (not splittable within a file) costs
+    * nothing when files are partition-sized.
+    */
+  def writeJsonl(df: DataFrame, path: String, gzip: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
+
   /** The scale-path sink: one job for the whole range, partitioned by day
     * — replaces the reference's N-serial-queries backfill
     * (`main.py:140-149`) with a single shuffle (SURVEY §3.2).

@@ -165,6 +165,16 @@ object PipelineQueries extends QueryGroup {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // k-anonymity release gate over events: quasi-identifier =
+    // (event_type, day); rows in groups under 55 are suppressed.
+    "kanon_suppress" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          to_date(col("ts")).as("day"), col("user_id"))
+      Pipeline.kAnonSuppress(e, Seq("event_type", "day"), k = 55L)
+        .orderBy("event_id")
+    }),
+
     // Token-budget mixture sampling: per source, keep docs in hash
     // order until 700 corpus tokens are reached (prefix-of-hash-order
     // ⇒ rerun-stable and budget-monotone; see Pipeline scaladoc).
@@ -441,6 +451,16 @@ WHERE o_totalprice > 480000
 ORDER BY l_orderkey, l_linenumber""",
 
     "dedup_clusters" -> clustersSql,
+
+    "kanon_suppress" ->
+      """WITH e AS (
+  SELECT event_id, event_type, CAST(ts AS DATE) AS day, user_id FROM events),
+g AS (
+  SELECT event_id, event_type, day, user_id,
+    CAST(count(*) OVER (PARTITION BY event_type, day) AS BIGINT) AS group_size
+  FROM e)
+SELECT event_id, event_type, day, user_id, group_size FROM g
+WHERE group_size >= 55 ORDER BY event_id""",
 
     "sample_token_budget" ->
       s"""WITH d AS (

@@ -285,6 +285,17 @@ class PipelineSpec extends SparkSuite {
     assert(small.size == 6, "2 docs per stratum at budget 150")
   }
 
+  test("kAnonSuppress drops exactly the under-k quasi-identifier groups") {
+    val rows = Seq.tabulate(10)(i => (i.toLong, "big", "d1")) ++
+      Seq((100L, "small", "d1"), (101L, "small", "d1")) ++
+      Seq((200L, "big", "d2"))
+    val df = rows.toDF("id", "qa", "qb")
+    val out = Pipeline.kAnonSuppress(df, Seq("qa", "qb"), k = 3)
+      .select("id", "group_size").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 10L).toSeq, "only the size-10 group survives")
+    assert(out.forall(_._2 == 10L), "group_size is the quasi-group count")
+  }
+
   test("keepBestPerCluster: one keep per cluster, best quality wins, ties to min id") {
     val docs = Seq(
       (1L, 50L), (2L, 90L), (3L, 90L), // cluster 1: 3 beats 2? no — 2 and 3 tie at 90, min id 2 wins

@@ -28,6 +28,30 @@ class ScaleBehaviorSpec extends SparkSuite {
     scannedFiles.foreach(m => assert(m.value <= 2, s"scanned ${m.value} files"))
   }
 
+  test("dynamic partition pruning: a dim filter prunes the fact's partitions at runtime") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    events.withColumn("date", to_date(col("ts")))
+      .write.partitionBy("date").parquet(s"$tmp/fact")
+
+    val fact = spark.read.parquet(s"$tmp/fact")
+    // dim: one row per day with an attribute the query filters on —
+    // the filter is NOT on the fact side, so static pruning can't see
+    // it; only DPP can push the surviving dim keys into the fact scan
+    val dim = fact.select("date").distinct()
+      .withColumn("dow", dayofweek(col("date")))
+    val joined = fact.join(dim.filter(col("dow") === 2), Seq("date"))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a dynamicpruning partition filter:\n${plan.take(1200)}")
+
+    // correctness parity with the fully-static equivalent
+    val expected = events.withColumn("date", to_date(col("ts")))
+      .filter(dayofweek(col("date")) === 2).count()
+    assert(joined.count() == expected)
+  }
+
   test("nanos range pushdown: raw bounds reach the scan, results stay exact") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val lo = lit("2024-01-05 00:00:00").cast("timestamp")
