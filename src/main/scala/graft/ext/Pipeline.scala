@@ -182,6 +182,100 @@ object Pipeline {
       .filter(col("tokens_before") < budgetTokens)
   }
 
+  /** Per-series gap detection: report every consecutive-sample pair
+    * within a series whose spacing exceeds `maxGapMicros` — the
+    * monitoring audit a sensor/event pipeline runs to find outages and
+    * dead sensors (the flip side of the reference's gap-FILLING
+    * resamples: before interpolating, know where the holes are).
+    *
+    * Output: one row per gap (`series`, `gap_start`, `gap_end`,
+    * `gap_micros`). Exact integer microsecond arithmetic.
+    *
+    * Scale shape: one shuffle on the series key; `lag` sorts
+    * per-partition after the hash exchange, so series parallelize and
+    * no global order is imposed. This is the same shape as the
+    * resample operators — a series-keyed window — and composes with
+    * date-partitioned pruning for "gaps last week" queries.
+    */
+  def seriesGaps(
+      df: DataFrame,
+      seriesCol: String,
+      timeCol: String,
+      maxGapMicros: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col(timeCol))
+    df.select(col(seriesCol), col(timeCol))
+      .withColumn("__prev", lag(col(timeCol), 1).over(w))
+      .filter(col("__prev").isNotNull &&
+        unix_micros(col(timeCol)) - unix_micros(col("__prev")) > maxGapMicros)
+      .select(col(seriesCol), col("__prev").as("gap_start"),
+        col(timeCol).as("gap_end"),
+        (unix_micros(col(timeCol)) - unix_micros(col("__prev"))).as("gap_micros"))
+  }
+
+  /** Referential-integrity audit of a child→parent foreign key: row
+    * counts, orphaned children (fk with no parent), and childless
+    * parents — the data-contract check that runs before a 100 TB join
+    * pipeline silently drops or duplicates rows. One-row result, kept
+    * exact (these are counts a contract asserts ==0 on, not
+    * estimates).
+    *
+    * Scale shape: two anti-joins (child⋉̸parent on the fk, parent⋉̸
+    * distinct child keys) — each one shuffle, both sides pruned to the
+    * key column at the scan; the distinct on child keys is the
+    * aggregate form of the join's own build side. The four 1-row
+    * aggregates combine by broadcast cross-join.
+    */
+  def fkAudit(
+      child: DataFrame,
+      parent: DataFrame,
+      fkCol: String,
+      pkCol: String
+  ): DataFrame = {
+    val pk = parent.select(col(pkCol).as("__pk"))
+    val orphan = child.join(pk, col(fkCol) === col("__pk"), "left_anti")
+    val childless = parent.join(
+      child.select(col(fkCol).as("__fk")).distinct(),
+      col(pkCol) === col("__fk"), "left_anti")
+    child.agg(count(lit(1)).as("n_child"))
+      .crossJoin(orphan.agg(count(lit(1)).as("n_orphan_child")))
+      .crossJoin(parent.agg(count(lit(1)).as("n_parent")))
+      .crossJoin(childless.agg(count(lit(1)).as("n_childless_parent")))
+  }
+
+  /** Per-group z-score outliers over an INTEGER measure column (centi/
+    * micro-discretized upstream): flag rows where |v − μ| > z·σ,
+    * evaluated in the cross-multiplied integer form
+    * `(n·v − s1)² > z²·(n·s2 − s1²)` so no float division or sqrt ever
+    * happens — exact, order-independent, oracle-replayable. The
+    * data-quality anomaly gate (broken sensor, corrupted shard) run
+    * per series/type. Bound: n·v and n·s2 must fit a signed long —
+    * fine to ~10^9 rows·units per group; beyond that pre-aggregate per
+    * partition or move s2 to DECIMAL.
+    *
+    * Scale shape: one hash aggregate for the per-group moments (tiny:
+    * one row per group), joined back scan-side — AQE broadcasts it;
+    * the flag itself is row-local.
+    */
+  def zscoreOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      z: Int
+  ): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(col(valueCol)).as("__s1"),
+      sum(col(valueCol) * col(valueCol)).as("__s2"))
+    df.join(stats, groupCol)
+      .filter(
+        (col("__n") * col(valueCol) - col("__s1")) *
+          (col("__n") * col(valueCol) - col("__s1")) >
+          lit(z.toLong * z) * (col("__n") * col("__s2") - col("__s1") * col("__s1")))
+      .drop("__n", "__s1", "__s2")
+  }
+
   /** k-anonymity suppression (Sweeney 2002): drop every row whose
     * quasi-identifier combination is shared by fewer than `k` rows —
     * the release gate a pipeline applies before handing row-level data

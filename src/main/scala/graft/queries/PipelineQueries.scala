@@ -165,6 +165,32 @@ object PipelineQueries extends QueryGroup {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Per-series gap audit: consecutive events of a type more than 30
+    // minutes apart (the outage/dead-sensor report).
+    "series_gaps" -> ((s, dir) => {
+      Pipeline.seriesGaps(Tables.events(s, dir), "event_type", "ts",
+        maxGapMicros = 1800L * 1000000L)
+        .orderBy("event_type", "gap_start")
+    }),
+
+    // Referential-integrity audit lineitem→orders (data contract:
+    // orphan/childless counts stay visible, not silently dropped).
+    "fk_integrity" -> ((s, dir) => {
+      Pipeline.fkAudit(
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        "l_orderkey", "o_orderkey")
+    }),
+
+    // 3-sigma outliers per event_type on centi-discretized values —
+    // exact cross-multiplied integer test, no float stats.
+    "outlier_events" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_centi"))
+      Pipeline.zscoreOutliers(e, "event_type", "value_centi", z = 3)
+        .orderBy("event_id")
+    }),
+
     // k-anonymity release gate over events: quasi-identifier =
     // (event_type, day); rows in groups under 55 are suppressed.
     "kanon_suppress" -> ((s, dir) => {
@@ -451,6 +477,42 @@ WHERE o_totalprice > 480000
 ORDER BY l_orderkey, l_linenumber""",
 
     "dedup_clusters" -> clustersSql,
+
+    "series_gaps" ->
+      """WITH e AS (
+  SELECT event_type, ts,
+    lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev_ts
+  FROM events)
+SELECT event_type, prev_ts AS gap_start, ts AS gap_end,
+  CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_micros
+FROM e
+WHERE prev_ts IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+ORDER BY event_type, gap_start""",
+
+    "fk_integrity" ->
+      """SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan_child,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_parent,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+     WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_childless_parent""",
+
+    "outlier_events" ->
+      """WITH e AS (
+  SELECT event_id, event_type,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_centi
+  FROM events),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(value_centi) AS BIGINT) AS s1,
+    CAST(sum(value_centi * value_centi) AS BIGINT) AS s2
+  FROM e GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value_centi
+FROM e JOIN s USING (event_type)
+WHERE (s.n * e.value_centi - s.s1) * (s.n * e.value_centi - s.s1)
+      > 9 * (s.n * s.s2 - s.s1 * s.s1)
+ORDER BY e.event_id""",
 
     "kanon_suppress" ->
       """WITH e AS (

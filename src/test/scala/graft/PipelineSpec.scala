@@ -285,6 +285,39 @@ class PipelineSpec extends SparkSuite {
     assert(small.size == 6, "2 docs per stratum at budget 150")
   }
 
+  test("seriesGaps reports exactly the over-threshold spacings per series") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00")), ("a", ts("2024-01-01 00:00:10")),
+      ("a", ts("2024-01-01 00:01:00")), // 50s gap
+      ("b", ts("2024-01-01 00:00:00")), ("b", ts("2024-01-01 00:02:00")) // 120s gap
+    ).toDF("series", "t")
+    val out = Pipeline.seriesGaps(df, "series", "t", maxGapMicros = 30L * 1000000L)
+      .select("series", "gap_micros").as[(String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("a", 50000000L), ("b", 120000000L)))
+  }
+
+  test("fkAudit counts orphans and childless parents exactly") {
+    val child = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("id", "fk") // 99 orphaned
+    val parent = Seq((10L, "x"), (20L, "y")).toDF("pk", "attr")       // 20 childless
+    val r = Pipeline.fkAudit(child, parent, "fk", "pk").first()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 1L, 2L, 1L)))
+  }
+
+  test("zscoreOutliers flags only the cross-multiplied 3-sigma violations") {
+    // 10 values of 100 and one of 1000: the 1000 is the only outlier
+    val df = ((1L to 10L).map(i => (i, "g", 100L)) :+ ((11L, "g", 1000L)))
+      .toDF("id", "grp", "v")
+    val out = Pipeline.zscoreOutliers(df, "grp", "v", z = 3)
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(11L), s"only the far point flagged: $out")
+    // and a tight cluster flags nothing
+    val none = Pipeline.zscoreOutliers(
+      (1L to 10L).map(i => (i, "g", 100L + (i % 3))).toDF("id", "grp", "v"),
+      "grp", "v", z = 3).count()
+    assert(none == 0L)
+  }
+
   test("kAnonSuppress drops exactly the under-k quasi-identifier groups") {
     val rows = Seq.tabulate(10)(i => (i.toLong, "big", "d1")) ++
       Seq((100L, "small", "d1"), (101L, "small", "d1")) ++

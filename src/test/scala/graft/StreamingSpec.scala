@@ -148,4 +148,34 @@ class StreamingSpec extends SparkSuite {
     val days = new java.io.File(s"$tmp/out").listFiles().filter(_.getName.startsWith("date="))
     assert(days.length >= 25) // ~30 days of sf0.001 events minus watermark tail
   }
+
+  test("foreachBatch upsert sink: streaming micro-batches land idempotently by day") {
+    import graft.operators.ExtractOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream3").toString
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "event_type", "value")
+    batch.write.mode("overwrite").parquet(s"$tmp/in")
+
+    // micro-batches flow through upsertDays: each batch dynamically
+    // overwrites ONLY the day partitions it carries — the re-entrant
+    // nightly-sink contract, now fed by a stream
+    val streamed = StreamingExtract.source(spark, s"$tmp/in", batch.schema)
+    val q = streamed.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        ExtractOps.upsertDays(b, "ts", s"$tmp/out")
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(s"$tmp/out").drop("date")
+    assert(out.count() == batch.count(), "stream upsert lands every row exactly once")
+
+    // replaying one day's data is idempotent: same total, day replaced
+    val day = batch.filter(to_date(col("ts")) === "2024-01-02")
+    ExtractOps.upsertDays(day, "ts", s"$tmp/out")
+    val after = spark.read.parquet(s"$tmp/out").drop("date")
+    assert(after.count() == batch.count(), "replay replaces, never duplicates")
+  }
 }
