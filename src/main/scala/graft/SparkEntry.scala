@@ -23,7 +23,8 @@ object SparkEntry {
     PipelineQueries,
     WarehouseQueries,
     GraphQueries,
-    LexicalQueries
+    LexicalQueries,
+    AnalyticsQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

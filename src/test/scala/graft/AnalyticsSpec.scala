@@ -1,0 +1,81 @@
+package graft
+
+import graft.ext.Analytics
+import org.apache.spark.sql.functions._
+
+/** Hand-computed funnel and retention fixtures; the strictness rules
+  * (step order, first-occurrence, whole-week offsets) are the part an
+  * aggregate query gets subtly wrong, so they're pinned here.
+  */
+class AnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val ts = java.sql.Timestamp.valueOf(_: String)
+
+  test("funnel is strictly sequential: later steps only count after earlier ones") {
+    val events = Seq(
+      // u1 completes in order
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      // u2 clicked BEFORE viewing — click must not count
+      (2L, "click", ts("2024-01-02 09:00:00")),
+      (2L, "view", ts("2024-01-02 10:00:00")),
+      // u3 views only
+      (3L, "view", ts("2024-01-03 10:00:00")),
+      // u4 purchase first, then view+click: purchase must not count
+      (4L, "purchase", ts("2024-01-04 08:00:00")),
+      (4L, "view", ts("2024-01-04 09:00:00")),
+      (4L, "click", ts("2024-01-04 10:00:00"))
+    ).toDF("user_id", "event_type", "t")
+
+    val out = Analytics.funnel(events, "user_id", "event_type", "t",
+      Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+      .select("step", "n_users").as[(String, Long)].collect().toSeq
+    // view: u1 u2 u3 u4 = 4; click after view: u1 u4 = 2; purchase after that: u1 = 1
+    assert(out == Seq(("view", 4L), ("click", 2L), ("purchase", 1L)))
+  }
+
+  test("funnel uses FIRST qualifying occurrences, not any pair") {
+    val events = Seq(
+      // first view at 10:00; the 09:00 click predates it, the 11:00 counts
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 09:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      // purchase between the clicks: after first view but before the
+      // QUALIFYING click (11:00) — must not count
+      (1L, "purchase", ts("2024-01-01 10:30:00"))
+    ).toDF("user_id", "event_type", "t")
+    val out = Analytics.funnel(events, "user_id", "event_type", "t",
+      Seq("view", "click", "purchase"))
+      .orderBy("step_idx").select("n_users").as[Long].collect().toSeq
+    assert(out == Seq(1L, 1L, 0L))
+  }
+
+  test("cohortRetention cohorts by first-event Monday week with whole-week offsets") {
+    val events = Seq(
+      // u1 first event Tue 2024-01-02 (week of Mon 1/1), active again week of 1/8 and 1/22
+      (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-09 10:00:00")),
+      (1L, ts("2024-01-24 10:00:00")),
+      // u2 same cohort week, only week 0 (two events, one distinct week)
+      (2L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-05 10:00:00")),
+      // u3 cohort week of 1/8, active week of 1/15
+      (3L, ts("2024-01-10 10:00:00")),
+      (3L, ts("2024-01-17 10:00:00"))
+    ).toDF("user_id", "t")
+
+    val out = Analytics.cohortRetention(events, "user_id", "t")
+      .orderBy("cohort_week", "week_offset")
+      .select(col("cohort_week").cast("string"), col("week_offset"), col("n_users"))
+      .as[(String, Int, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0, 2L), // u1+u2 week 0
+      ("2024-01-01", 1, 1L), // u1 week 1
+      ("2024-01-01", 3, 1L), // u1 week 3
+      ("2024-01-08", 0, 1L), // u3
+      ("2024-01-08", 1, 1L)))
+  }
+}
