@@ -319,6 +319,64 @@ object TextAnalysis {
       .withColumn("n_words", size(split(col("chunk_text"), " ")))
   }
 
+  /** Content-defined chunking (the FastCDC/rsync family shape): chunk
+    * boundaries fall where a rolling hash of the last 3 tokens hits
+    * `r % divisor == 0`, so boundaries are a function of local CONTENT,
+    * not position — insert a paragraph at the top of a document and
+    * every chunk after the next boundary is byte-identical to before,
+    * which is what makes downstream chunk-level dedup/storage
+    * incremental. (Fixed-size [[chunkDocs]] shifts every later chunk
+    * on any insertion.) Expected chunk length ≈ `divisor` tokens.
+    *
+    * Determinism: token hashes are the repo's 60-bit md5 family mod
+    * [[DedupConstants.P]]; the window fold is `h_i + 31·h_{i-1} +
+    * 961·h_{i-2} (mod P)` — all under 2^42, exact in a long, and the
+    * oracle replays it bit-for-bit.
+    *
+    * Scale shape: entirely row-local (hash array → boundary filter →
+    * per-boundary struct transform → one posexplode); no shuffle, no
+    * per-token rows materialized outside the generator, linear in
+    * document length. The boundary list per doc is |tokens|/divisor —
+    * tiny — and chunk texts are rebuilt by slicing the one token
+    * array.
+    */
+  def chunkCdc(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int = 16
+  ): DataFrame = {
+    val P = DedupConstants.P
+    val th = // 60-bit md5 hash of one token, folded into [0, P)
+      s"(t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % $P)"
+    df.withColumn("__toks", wordsCol(textCol))
+      .withColumn("__hs", expr(s"transform(__toks, $th)"))
+      // boundary positions: i in [3, n] where the 3-token rolling hash
+      // divides; the document end is always a boundary (dedup'd)
+      // greatest(..., 3) keeps the sequence ascending for sub-3-token
+      // docs (Spark's sequence(3, 1) would DESCEND); the i <= size
+      // conjunct then empties it, matching DuckDB's empty series
+      .withColumn("__b0", expr(
+        s"""filter(sequence(3, greatest(size(__toks), 3)),
+            i -> i <= size(__toks) AND
+                 (element_at(__hs, i) + 31 * element_at(__hs, i - 1)
+                  + 961 * element_at(__hs, i - 2)) % $P % $divisor = 0)"""))
+      .withColumn("__b", expr(
+        """CASE WHEN size(__b0) = 0 OR element_at(__b0, -1) <> size(__toks)
+           THEN concat(__b0, array(size(__toks))) ELSE __b0 END"""))
+      .select(col(idCol),
+        col("__toks"),
+        posexplode(expr(
+          """transform(__b,
+             (e, j) -> struct(CASE WHEN j = 0 THEN 1 ELSE element_at(__b, j) + 1 END AS s,
+                              e AS e))"""))
+          .as(Seq("__pos", "__c")))
+      .select(col(idCol),
+        (col("__pos") + 1).cast("int").as("chunk_idx"),
+        (col("__c.e") - col("__c.s") + 1).cast("long").as("n_tokens"),
+        expr("array_join(slice(__toks, __c.s, __c.e - __c.s + 1), ' ')").as("chunk_text"))
+  }
+
   /** Winnowing document fingerprint (Schleimer et al.'s local algorithm
     * shape): hash k-word shingles (md5-derived, as the dedup family),
     * take the minimum in every sliding window of w consecutive shingle

@@ -89,6 +89,13 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // content-defined chunking: rolling-hash boundaries (divisor 16 ⇒
+    // ~16-token chunks), insertion-stable — see TextAnalysis.chunkCdc
+    "chunk_cdc" -> ((s, dir) => {
+      TextAnalysis.chunkCdc(Tables.documents(s, dir), "doc_id", "text", divisor = 16)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // top-3 distinctive terms per doc by tf * N / df (log-free idf)
     "tfidf_top_terms" -> ((s, dir) => {
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
@@ -274,6 +281,31 @@ FROM ch ORDER BY doc_id, chunk_id"""
 
   val oracleSql: Map[String, String] = Map(
     "doc_chunks" -> chunksSql,
+
+    "chunk_cdc" -> {
+      val p = graft.ext.DedupConstants.P
+      def th(tok: String) =
+        s"(CAST(('0x' || substr(md5($tok), 1, 15)) AS BIGINT) % $p)"
+      s"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (
+  SELECT t.doc_id, i,
+    (${th("toks[i]")} + 31 * ${th("toks[i-1]")} + 961 * ${th("toks[i-2]")}) % $p AS r
+  FROM t, LATERAL (SELECT unnest(generate_series(3, len(toks))) AS i) g),
+bnd AS (
+  SELECT doc_id, i FROM pos WHERE r % 16 = 0
+  UNION
+  SELECT doc_id, len(toks) FROM t),
+chunks AS (
+  SELECT doc_id, i AS e,
+    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) AS INTEGER) AS chunk_idx
+  FROM bnd)
+SELECT c.doc_id, c.chunk_idx, CAST(c.e - c.s + 1 AS BIGINT) AS n_tokens,
+  array_to_string(t.toks[c.s:c.e], ' ') AS chunk_text
+FROM chunks c JOIN t USING (doc_id)
+ORDER BY doc_id, chunk_idx"""
+    },
     "text_langid" -> langidSql,
     "text_langid_ngram" -> langidNgramSql,
     "text_quality" -> qualitySql,

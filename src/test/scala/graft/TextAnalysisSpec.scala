@@ -99,4 +99,49 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got(1)._2.startsWith("w30 ")) // 10-word overlap with chunk 0
     assert(got(3)._2 == (90 until 100).map(i => s"w$i").mkString(" "))
   }
+
+  test("chunkCdc: chunks tile the document exactly; short docs are one chunk") {
+    import spark.implicits._
+    val words = (0 until 200).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" ")), (2L, "a b"), (3L, "solo")).toDF("id", "t")
+    val got = TextAnalysis.chunkCdc(df, "id", "t", divisor = 16)
+      .orderBy("id", "chunk_idx")
+      .select("id", "chunk_idx", "n_tokens", "chunk_text")
+      .as[(Long, Int, Long, String)].collect()
+    val d1 = got.filter(_._1 == 1L)
+    // chunks reassemble the document exactly, indices are 1..k
+    assert(d1.map(_._4).mkString(" ") == words.mkString(" "))
+    assert(d1.map(_._2).toSeq == (1 to d1.length).toSeq)
+    assert(d1.map(_._3).sum == 200L)
+    assert(d1.length > 3, s"divisor 16 on 200 tokens should cut several chunks: ${d1.length}")
+    // sub-3-token docs: single whole-doc chunk
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 1, 2L, "a b")))
+    assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 1, 1L, "solo")))
+  }
+
+  test("chunkCdc boundaries are content-defined: a head insertion leaves the tail chunks identical") {
+    import spark.implicits._
+    val words = (0 until 300).map(i => s"t${(i * 7919) % 101}")
+    val base = words.mkString(" ")
+    val shifted = "inserted tokens up front " + base
+    val df = Seq((1L, base), (2L, shifted)).toDF("id", "t")
+    val chunks = TextAnalysis.chunkCdc(df, "id", "t", divisor = 16)
+      .orderBy("id", "chunk_idx").select("id", "chunk_text")
+      .as[(Long, String)].collect()
+    val c1 = chunks.filter(_._1 == 1L).map(_._2)
+    val c2 = chunks.filter(_._1 == 2L).map(_._2)
+    // after the rolling hash resynchronizes (3-token window), every
+    // later boundary depends only on content — the common tail of the
+    // two chunk lists must cover most of the document
+    val commonTail = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }.length
+    assert(commonTail >= c1.length - 2,
+      s"fixed-size chunking would share NO chunks; CDC shares all but the head: " +
+        s"$commonTail of ${c1.length}")
+    // and the fixed-size control really does shift everything
+    val fixed = TextAnalysis.chunkDocs(df, "id", "t", chunkSize = 16, overlap = 0)
+      .select("id", "chunk_text").as[(Long, String)].collect()
+    val f1 = fixed.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fixed.filter(_._1 == 2L).map(_._2).toSet
+    assert(f1.intersect(f2).isEmpty, "control: fixed-size chunks all shift on insertion")
+  }
 }
