@@ -32,6 +32,38 @@ class SkewSpec extends SparkSuite {
     assert(plain.size == 1000)
   }
 
+  test("AQE skew-join splits the hot partition at runtime (the no-salt path)") {
+    // Manual salting (above) is the portable fix; AQE's OptimizeSkewedJoin
+    // is the runtime fix — this pins that it actually engages, so SCALE.md
+    // can honestly say "salting OR AQE" for skewed keys.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1" // force sort-merge
+    )
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // fatter rows + higher hot count so one partition clears 8KB
+      val big = skewed.withColumn("pad", lpad(col("k"), 200, "x"))
+      val joined = big.join(dim, "k")
+      // materialize THIS DataFrame's execution (count() would spawn its
+      // own QueryExecution and leave this plan un-finalized)
+      val n = joined.collect().length
+      assert(n == 900 + 100, s"join row parity under AQE: $n")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the skewed SMJ partition:\n${finalPlan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("saltedAgg equals plain agg for decomposable functions") {
     val plain = skewed.groupBy("k")
       .agg(sum("v").as("s"), count(lit(1)).as("n"))
