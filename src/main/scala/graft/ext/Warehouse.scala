@@ -81,4 +81,36 @@ object Warehouse {
       .unionByName(closedRows)
       .unionByName(openedRows)
   }
+
+  /** Mergeable aggregate state — incremental view maintenance for the
+    * decomposable aggregates (count/sum/min/max). At 100 TB the
+    * history is never re-read: each load materializes its batch's
+    * state with [[aggState]], [[mergeStates]] folds it into the
+    * standing state (both are one hash aggregate), and
+    * [[finalizeMean]] answers from state alone. The algebra is the
+    * same partial/final split Spark's own HashAggregate uses —
+    * materialized across JOBS instead of stages.
+    *
+    * Values are integer (centi-discretized upstream) so merged sums
+    * are exact under any batch split/order — associativity is real,
+    * not approximate.
+    */
+  def aggState(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("s_cnt"), sum(col(valueCol)).as("s_sum"),
+        min(col(valueCol)).as("s_min"), max(col(valueCol)).as("s_max"))
+
+  /** Fold any number of state tables into one (associative + commutative). */
+  def mergeStates(states: Seq[DataFrame], keyCols: Seq[String]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("s_cnt").as("s_cnt"), sum("s_sum").as("s_sum"),
+        min("s_min").as("s_min"), max("s_max").as("s_max"))
+
+  /** Answer count/sum/min/max/mean from state alone (mean in exact
+    * micro units of the underlying integer measure).
+    */
+  def finalizeMean(state: DataFrame): DataFrame =
+    state.select(state.columns.map(col) :+
+      expr("(s_sum * 1000000) div s_cnt").as("mean_micro"): _*)
 }

@@ -61,6 +61,24 @@ object WarehouseQueries extends QueryGroup {
         history.unionByName(open), updates,
         "c_custkey", Seq("acctbal_cents", "segment"), BatchDate)
         .orderBy("c_custkey", "valid_from", "is_current")
+    }),
+
+    // Incremental view maintenance: per-(type,day) partial states are
+    // built from two date-disjoint batches, merged, and finalized —
+    // the oracle computes the whole aggregate DIRECTLY, so a green
+    // hash proves the partial/merge/finalize algebra loses nothing.
+    "incremental_agg" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_centi"))
+      val batch1 = e.filter(col("day") < "2024-01-15")
+      val batch2 = e.filter(col("day") >= "2024-01-15")
+      val merged = Warehouse.mergeStates(
+        Seq(
+          Warehouse.aggState(batch1, Seq("event_type", "day"), "value_centi"),
+          Warehouse.aggState(batch2, Seq("event_type", "day"), "value_centi")),
+        Seq("event_type", "day"))
+      Warehouse.finalizeMean(merged).orderBy("event_type", "day")
     })
   )
 
@@ -102,6 +120,19 @@ merged AS (
   FROM upd WHERE c_custkey IN (SELECT c_custkey FROM changedk)
      OR c_custkey NOT IN (SELECT c_custkey FROM cur))
 SELECT c_custkey, acctbal_cents, segment, valid_from, valid_to, is_current
-FROM merged ORDER BY c_custkey, valid_from, is_current"""
+FROM merged ORDER BY c_custkey, valid_from, is_current""",
+
+    "incremental_agg" ->
+      """WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_centi
+  FROM events)
+SELECT event_type, day,
+  CAST(count(*) AS BIGINT) AS s_cnt,
+  CAST(sum(value_centi) AS BIGINT) AS s_sum,
+  min(value_centi) AS s_min,
+  max(value_centi) AS s_max,
+  (CAST(sum(value_centi) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS mean_micro
+FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -49,4 +49,35 @@ class BucketingSpec extends SparkSuite {
         s"bucket-key aggregation must not shuffle:\n${plan.take(1500)}")
     }
   }
+
+  test("inverted index: a term-bucketed posting table serves df with zero Exchange") {
+    // The standing-search layout the BM25 scaladoc points at: tokenize
+    // ONCE into a (doc_id, term, tf, dl) posting table bucketed by
+    // term; every term-keyed aggregate/join downstream reads the
+    // buckets as its distribution.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val postings = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+    Bucketing.writeBucketed(postings, "postings_bucketed", "term", 8)
+
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      // document frequency — the posting-list aggregate an index serves
+      val dfAgg = spark.table("postings_bucketed").groupBy("term")
+        .agg(count(lit(1)).as("df"))
+      val plan = dfAgg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"df over the bucketed index must not shuffle:\n${plan.take(1500)}")
+
+      // parity: the index is a lossless re-layout of tokenization
+      val direct = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val viaIndex = dfAgg.orderBy("term").collect().map(r => r.getString(0) -> r.getLong(1))
+      val viaDirect = direct.orderBy("term").collect().map(r => r.getString(0) -> r.getLong(1))
+      assert(viaIndex.sameElements(viaDirect), "index df == direct df")
+    }
+  }
 }

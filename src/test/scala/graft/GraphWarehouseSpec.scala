@@ -71,4 +71,30 @@ class GraphWarehouseSpec extends SparkSuite {
     val openPerKey = out.filter(_._6).groupBy(_._1).view.mapValues(_.size)
     assert(openPerKey.values.forall(_ == 1))
   }
+
+  test("aggState merges are split-invariant: any batching folds to the direct state") {
+    val rows = (1 to 200).map(i => (s"k${i % 3}", (i * 37 % 500).toLong))
+    val df = rows.toDF("k", "v")
+    val direct = Warehouse.aggState(df, Seq("k"), "v")
+
+    // three different splits, including an empty-batch degenerate
+    val splits = Seq(
+      Seq(df.filter(col("v") < 250), df.filter(col("v") >= 250)),
+      Seq(df.filter(col("v") % 2 === 0), df.filter(col("v") % 2 === 1)),
+      Seq(df, df.filter(lit(false))))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k").collect().map(_.toSeq).toSeq
+    splits.foreach { batches =>
+      val merged = Warehouse.mergeStates(batches.map(Warehouse.aggState(_, Seq("k"), "v")), Seq("k"))
+      assert(canon(merged) == canon(direct), "merge(parts) == direct")
+    }
+
+    // finalizeMean is the exact integer mean of the underlying rows
+    val m = Warehouse.finalizeMean(direct).select("k", "mean_micro")
+      .as[(String, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      val exp = vs.map(_._2).sum * 1000000L / vs.size
+      assert(m(k) == exp, s"mean_micro($k)")
+    }
+  }
 }
