@@ -192,12 +192,15 @@ object PipelineQueries extends QueryGroup {
     }),
 
     // k-anonymity release gate over events: quasi-identifier =
-    // (event_type, day); rows in groups under 55 are suppressed.
+    // (event_type, day); rows in groups under 8 are suppressed.
+    // k=8 exercises both branches at sf0.001 (group sizes 2..15);
+    // larger SFs have no under-k quasi-groups in this synthetic data,
+    // so the suppression branch there is covered by PipelineSpec.
     "kanon_suppress" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"),
           to_date(col("ts")).as("day"), col("user_id"))
-      Pipeline.kAnonSuppress(e, Seq("event_type", "day"), k = 55L)
+      Pipeline.kAnonSuppress(e, Seq("event_type", "day"), k = 8L)
         .orderBy("event_id")
     }),
 
@@ -522,7 +525,7 @@ g AS (
     CAST(count(*) OVER (PARTITION BY event_type, day) AS BIGINT) AS group_size
   FROM e)
 SELECT event_id, event_type, day, user_id, group_size FROM g
-WHERE group_size >= 55 ORDER BY event_id""",
+WHERE group_size >= 8 ORDER BY event_id""",
 
     "sample_token_budget" ->
       s"""WITH d AS (
