@@ -84,4 +84,40 @@ object Analytics {
         (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"),
         col("n_users"))
   }
+
+  /** Trailing time-window features per entity: for every event, the
+    * count / sum / max of that entity's events in the preceding
+    * `windowSec` seconds (inclusive of the current instant) — the
+    * classic online-feature shape ("purchases in the last hour") that
+    * feeds fraud scores and session features.
+    *
+    * A RANGE frame over epoch seconds, not a ROWS frame: the window is
+    * defined by TIME, so gaps and bursts are handled correctly, and
+    * equal-timestamp peers all see the same frame — the result is
+    * order-independent within ties and therefore deterministic.
+    *
+    * Scale shape: one shuffle on the entity key, then a per-partition
+    * sort — the same cost as any per-entity window. Spark evaluates a
+    * trailing range frame with a sliding two-pointer pass (each row
+    * enters and leaves the frame once), so cost is O(events per
+    * entity), not O(events × window). All arithmetic is integer
+    * (epoch seconds, centi-units), so results hash bit-for-bit.
+    */
+  def rollingStats(
+      events: DataFrame,
+      entityCol: String,
+      timeCol: String,
+      valueCol: String,
+      windowSec: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col("t_sec"))
+      .rangeBetween(-windowSec, 0)
+    events
+      .withColumn("t_sec", col(timeCol).cast("long"))
+      .withColumn("w_cnt", count(lit(1)).over(w))
+      .withColumn("w_sum", sum(col(valueCol)).over(w))
+      .withColumn("w_max", max(col(valueCol)).over(w))
+  }
 }

@@ -111,6 +111,44 @@ object Pipeline {
       .drop("__block", "__within", "__bprefix")
   }
 
+  /** Exact equi-depth (quantile) binning: every row gets a bin
+    * 0..nBins-1 by its GLOBAL rank in `(valueCol, tieCol)` order, bin
+    * populations equal to within one row — the feature-bucketing /
+    * decile-report primitive. `bin = ((rank-1) * nBins) div n`, all
+    * integer, so the assignment hashes bit-for-bit.
+    *
+    * The global rank uses the same two-phase prefix-sum shape as
+    * [[packSequences]]: rows are pre-bucketed into coarse VALUE blocks
+    * (`floor(value / blockWidth)`), ranked per block with an ordinary
+    * partitioned window, and offset by the tiny per-block count
+    * prefix (rows = distinct blocks, broadcast back). A naive
+    * `ntile(n) OVER (ORDER BY value)` funnels the table through ONE
+    * task; here the heavy sort is per-block parallel and fully
+    * deterministic (no range-partitioner sampling involved). Pick
+    * `blockWidth` so blocks ≫ cores; a pathological value distribution
+    * (all rows one value) degrades to the skew of the data itself.
+    */
+  def equiDepthBins(
+      df: DataFrame,
+      valueCol: String,
+      tieCol: String,
+      nBins: Int,
+      blockWidth: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("__block", floor(col(valueCol) / blockWidth).cast("long"))
+    val perBlock = Window.orderBy(col("__block")).rowsBetween(Long.MinValue, -1)
+    val prefixes = b.groupBy("__block").agg(count(lit(1)).as("__bcnt"))
+      .withColumn("__bprefix", coalesce(sum(col("__bcnt")).over(perBlock), lit(0L)))
+    val total = prefixes.agg(sum(col("__bcnt")).as("__n"))
+    val within = Window.partitionBy(col("__block")).orderBy(col(valueCol), col(tieCol))
+    b.join(broadcast(prefixes.select("__block", "__bprefix")), Seq("__block"))
+      .crossJoin(broadcast(total))
+      .withColumn("__rank", col("__bprefix") + row_number().over(within))
+      .withColumn("bin", expr(s"((__rank - 1) * $nBins) div __n"))
+      .drop("__block", "__bprefix", "__n", "__rank")
+  }
+
   /** Deterministic stratified sample: the `perStratum` rows with the
     * smallest key hashes within each stratum (hash-order = uniform
     * random order, but reproducible). One shuffle on the stratum key;

@@ -340,6 +340,52 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         (sum("sv").cast("double") / scale / count(lit(1))).as("mean_v"))
 
+  /** Per-dimension z-score standardization of an embedding column —
+    * the feature-scaling pass before distance-based ops (k-means, ANN)
+    * when dimensions have uneven spread. Two jobs: a per-dimension
+    * moment aggregate (one hash agg with map-side partials; output =
+    * `dim` rows however large the corpus), broadcast back, then a
+    * row-local transform. The broadcast is bounded by the DIMENSION,
+    * not the corpus — always safe.
+    *
+    * Bit-determinism: components discretize to integer `v =
+    * floor(x·scale + 0.5)` so the shuffled sums are exact; mean and
+    * variance are then a fixed chain of IEEE-exact double ops
+    * (integer→double casts below 2^53, division, multiply, subtract,
+    * sqrt — all correctly rounded), and the emitted z-score is
+    * re-discretized to `z_e4 = floor(z·1e4 + 0.5)`. The DuckDB oracle
+    * replays the identical expression tree, so results hash exactly.
+    * Long format (vec_id, pos, z_e4) — schema fixed at any dimension.
+    */
+  def standardizeDims(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scale: Double = 1e6,
+      zScale: Double = 1e4
+  ): DataFrame = {
+    val e = df.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .withColumn("v", floor(col("x") * scale + 0.5).cast("long"))
+    // moments in DECIMAL: v*v as long*long overflows once |x|·scale
+    // passes ~3e9 (and a long sum overflows at corpus row counts);
+    // decimal sums stay exact AND associative, so the distributed
+    // aggregation is still bit-deterministic — a double sum would be
+    // neither. The one double rounding happens at the final cast.
+    val vDec = col("v").cast("decimal(19,0)")
+    val stats = e.groupBy("pos").agg(
+      sum(vDec).as("s"),
+      sum(vDec * vDec).as("s2"),
+      count(lit(1)).as("n"))
+    val mean = col("s").cast("double") / col("n")
+    val variance = col("s2").cast("double") / col("n") - mean * mean
+    e.join(broadcast(stats), Seq("pos"))
+      .withColumn("z_e4",
+        floor((col("v").cast("double") - mean) / sqrt(variance) * zScale + 0.5)
+          .cast("long"))
+      .select("vec_id", "pos", "z_e4")
+  }
+
   /** The hash-picked seeds shared by [[ivfTopK]] and [[kmeansCentroids]]:
     * a TakeOrdered over the portable md5 key hash (per-partition top-K +
     * K-row driver merge — O(K×dim) on the driver at any corpus size).

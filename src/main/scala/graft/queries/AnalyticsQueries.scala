@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ext.Analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Behavioral-analytics suite over `events`: the sequential funnel and
   * the weekly retention triangle. Oracles replay the step chain /
@@ -26,6 +27,18 @@ object AnalyticsQueries extends QueryGroup {
     "cohort_retention" -> ((s, dir) => {
       Analytics.cohortRetention(Tables.events(s, dir), "user_id", "ts")
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Trailing-hour per-user features: count/sum/max of the user's
+    // events in the preceding 3600s (RANGE frame over epoch seconds —
+    // tie-insensitive, so deterministic; integer cents only).
+    "rolling_user_stats" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      Analytics.rollingStats(e, "user_id", "ts", "cents", windowSec = 3600L)
+        .select("event_id", "user_id", "t_sec", "w_cnt", "w_sum", "w_max")
+        .orderBy("event_id")
     })
   )
 
@@ -62,6 +75,21 @@ SELECT c.cohort_week,
   CAST(datediff('day', c.cohort_week, a.week) // 7 AS INTEGER) AS week_offset,
   CAST(count(*) AS BIGINT) AS n_users
 FROM a JOIN c USING (user_id)
-GROUP BY 1, 2 ORDER BY 1, 2"""
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "rolling_user_stats" ->
+      """WITH e AS (
+  SELECT event_id, user_id,
+    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS t_sec,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT event_id, user_id, t_sec,
+  CAST(count(*) OVER w AS BIGINT) AS w_cnt,
+  CAST(sum(cents) OVER w AS BIGINT) AS w_sum,
+  max(cents) OVER w AS w_max
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY t_sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id"""
   )
 }

@@ -81,6 +81,21 @@ object PipelineQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Exact decile binning of order totals (cents): global-rank
+    // equi-depth bins via the two-phase prefix sum — never a
+    // single-task ntile — then per-bin count/min/max.
+    "quantile_bins" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      Pipeline.equiDepthBins(o, "cents", "o_orderkey", nBins = 10, blockWidth = 1000000L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+        .orderBy("bin")
+    }),
+
     // Deterministic 5% hash sample — membership is a pure function of
     // the key, reproducible at any scale / partitioning.
     "sample_hash" -> ((s, dir) => {
@@ -330,6 +345,19 @@ labeled AS (
 SELECT node, cluster_id FROM labeled ORDER BY node"""
 
   val oracleSql: Map[String, String] = Map(
+    "quantile_bins" ->
+      """WITH o AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+r AS (
+  SELECT cents,
+    ((row_number() OVER (ORDER BY cents, o_orderkey) - 1) * 10)
+      // (SELECT count(*) FROM o) AS bin
+  FROM o)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+  min(cents) AS min_cents, max(cents) AS max_cents
+FROM r GROUP BY bin ORDER BY bin""",
+
     "domain_cap" ->
       """WITH r AS (
   SELECT doc_id, source, n_chars,

@@ -93,6 +93,14 @@ object SimilarityQueries extends QueryGroup {
         .orderBy("label", "pos")
     }),
 
+    // Per-dimension z-score feature scaling: dim-row moment aggregate
+    // broadcast back (bounded by dimension, not corpus), row-local
+    // transform, integer-discretized in and out so it hashes exactly.
+    "embedding_scale" -> ((s, dir) => {
+      Similarity.standardizeDims(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id", "pos")
+    }),
+
     // IVF-PQ: list pruning x code lookups — the composed 10^9-vector
     // serving layout (nProbe/numCentroids of the corpus scanned, m
     // lookups per candidate, raw vectors never read at query time).
@@ -403,6 +411,22 @@ WHERE rank <= $K ORDER BY query_id, rank""",
 SELECT label, pos, count(*) AS n,
   CAST(CAST(sum(sv) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*) AS mean_v
 FROM comp GROUP BY 1, 2 ORDER BY label, pos""",
+
+    "embedding_scale" ->
+      s"""WITH comp AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS i)),
+st AS (
+  SELECT pos, CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS s2,
+    count(*) AS n
+  FROM comp GROUP BY 1)
+SELECT vec_id, comp.pos,
+  CAST(floor((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / n)
+    / sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+    * 10000.0 + 0.5) AS BIGINT) AS z_e4
+FROM comp JOIN st ON comp.pos = st.pos
+ORDER BY vec_id, comp.pos""",
 
     "ann_topk_lsh" -> lshSql,
     "ann_topk_ivf" -> ivfSql,

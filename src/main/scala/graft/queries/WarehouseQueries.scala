@@ -79,6 +79,51 @@ object WarehouseQueries extends QueryGroup {
           Warehouse.aggState(batch2, Seq("event_type", "day"), "value_centi")),
         Seq("event_type", "day"))
       Warehouse.finalizeMean(merged).orderBy("event_type", "day")
+    }),
+
+    // Incremental DISTINCT maintenance: per-batch HLL sketches of
+    // distinct users per event type, merged across the two
+    // date-disjoint batches, estimate read from merged state alone.
+    // The sketch estimate is engine-specific, so the RECORDED columns
+    // are the exact distinct (oracle-computable) plus a boolean
+    // asserting the merged-sketch estimate landed within 2% (lgK=12 ⇒
+    // ~1.6% rse; at this cardinality the sketch is still in exact
+    // sparse mode, and GraphWarehouseSpec pins merge ≡ single-pass).
+    "incremental_distinct" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      val merged = Warehouse.mergeDistinctStates(
+        Seq(
+          Warehouse.distinctState(e.filter(col("day") < "2024-01-15"), Seq("event_type"), "user_id"),
+          Warehouse.distinctState(e.filter(col("day") >= "2024-01-15"), Seq("event_type"), "user_id")),
+        Seq("event_type"))
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      Warehouse.finalizeDistinct(merged)
+        .join(exact, Seq("event_type"))
+        .withColumn("within_2pct",
+          abs(col("distinct_est") - col("exact_users")).cast("double")
+            / col("exact_users") < 0.02)
+        .select("event_type", "exact_users", "within_2pct")
+        .orderBy("event_type")
+    }),
+
+    // Snapshot diff: CDC derived from two full dumps. Both snapshots
+    // are deterministic slices of orders (in cents): the old snapshot
+    // is missing the %50==3 keys (→ added), the new one is missing
+    // %37==5 (→ removed), and %11==0 keys get +777 cents (→ changed);
+    // everything else is identical and must NOT appear in the diff.
+    "snapshot_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        col("o_orderstatus").as("status"))
+      val oldSnap = o.filter(col("o_orderkey") % 50 =!= 3)
+      val newSnap = o.filter(col("o_orderkey") % 37 =!= 5)
+        .withColumn("cents",
+          when(col("o_orderkey") % 11 === 0, col("cents") + 777).otherwise(col("cents")))
+      Warehouse.snapshotDiff(oldSnap, newSnap, "o_orderkey", Seq("cents", "status"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -133,6 +178,33 @@ SELECT event_type, day,
   min(value_centi) AS s_min,
   max(value_centi) AS s_max,
   (CAST(sum(value_centi) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS mean_micro
-FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
+FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "incremental_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+  true AS within_2pct
+FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "snapshot_diff" ->
+      """WITH o AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderstatus AS status FROM orders),
+olds AS (SELECT * FROM o WHERE o_orderkey % 50 <> 3),
+news AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN cents + 777 ELSE cents END AS cents,
+         status
+  FROM o WHERE o_orderkey % 37 <> 5),
+j AS (
+  SELECT coalesce(olds.o_orderkey, news.o_orderkey) AS o_orderkey,
+         CASE WHEN olds.o_orderkey IS NULL THEN 'added'
+              WHEN news.o_orderkey IS NULL THEN 'removed'
+              WHEN olds.cents <> news.cents OR olds.status <> news.status
+                THEN 'changed' END AS change_type,
+         olds.cents AS old_cents, news.cents AS new_cents,
+         olds.status AS old_status, news.status AS new_status
+  FROM olds FULL OUTER JOIN news ON olds.o_orderkey = news.o_orderkey)
+SELECT o_orderkey, change_type, old_cents, new_cents, old_status, new_status
+FROM j WHERE change_type IS NOT NULL ORDER BY o_orderkey"""
   )
 }

@@ -78,4 +78,28 @@ class AnalyticsSpec extends SparkSuite {
       ("2024-01-08", 0, 1L), // u3
       ("2024-01-08", 1, 1L)))
   }
+
+  test("rollingStats: trailing RANGE frame includes the boundary second and equal-time peers") {
+    val events = Seq(
+      // u1: events at t=0, 3600, 3601, 7300 (seconds); window = 3600s
+      (1L, 1L, ts("2024-01-01 00:00:00"), 10L),
+      (2L, 1L, ts("2024-01-01 01:00:00"), 20L), // exactly 3600s after e1 → e1 IN frame
+      (3L, 1L, ts("2024-01-01 01:00:01"), 30L), // 3601s after e1 → e1 OUT
+      (4L, 1L, ts("2024-01-01 02:01:40"), 40L), // alone in its hour
+      // u2: two events at the SAME second — each must see both (peers)
+      (5L, 2L, ts("2024-01-01 00:00:00"), 5L),
+      (6L, 2L, ts("2024-01-01 00:00:00"), 7L)
+    ).toDF("event_id", "user_id", "t", "cents")
+
+    val out = Analytics.rollingStats(events, "user_id", "t", "cents", windowSec = 3600L)
+      .select("event_id", "w_cnt", "w_sum", "w_max")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, 10L, 10L),
+      (2L, 2L, 30L, 20L),  // e1 at exactly -3600 included
+      (3L, 2L, 50L, 30L),  // e2+e3; e1 aged out
+      (4L, 1L, 40L, 40L),
+      (5L, 2L, 12L, 7L),   // equal-time peers share the frame...
+      (6L, 2L, 12L, 7L)))  // ...so the result is order-independent
+  }
 }

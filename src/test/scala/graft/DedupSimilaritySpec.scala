@@ -229,4 +229,27 @@ class DedupSimilaritySpec extends SparkSuite {
     val recall = (truth intersect approx).size.toDouble / truth.size
     assert(recall >= 0.8, s"trained-centroid recall $recall")
   }
+
+  test("standardizeDims: per-dimension z-scores center at ~0 with unit spread") {
+    import spark.implicits._
+    // dim 0 spread wide, dim 1 narrow with offset — standardization
+    // must equalize them; 40 vectors of dim 2
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array((i * 10).toFloat, (1000 + i % 4).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.standardizeDims(vecs, "vec_id", "embedding")
+      .as[(Long, Int, Long)].collect()
+    assert(out.length == 80)
+    val byDim = out.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    byDim.values.foreach { zs =>
+      // mean(z) ~ 0 (within discretization: |sum| < n rounding units)
+      assert(math.abs(zs.sum) <= zs.length, s"centered: ${zs.sum}")
+      // var(z) ~ 1 in e4 units: mean of z^2 near 1e8
+      val msq = zs.map(z => z * z).sum / zs.length
+      assert(msq > 90000000L && msq < 110000000L, s"unit spread: $msq")
+    }
+    // both dims now comparable despite 10x raw-scale difference
+    val spread = byDim.view.mapValues(zs => zs.max - zs.min).values.toSeq
+    assert(spread.max.toDouble / spread.min < 1.5, s"equalized: $spread")
+  }
 }

@@ -97,4 +97,52 @@ class GraphWarehouseSpec extends SparkSuite {
       assert(m(k) == exp, s"mean_micro($k)")
     }
   }
+
+  test("distinctState merges are split-invariant and exact at small cardinality") {
+    val rows = (1 to 300).map(i => (s"k${i % 2}", (i * 13 % 97).toLong))
+    val df = rows.toDF("k", "u")
+    val direct = Warehouse.finalizeDistinct(
+      Warehouse.distinctState(df, Seq("k"), "u"))
+      .as[(String, Long)].collect().toMap
+
+    // merged two-way split reads the SAME estimate as the single pass
+    // (HLL union is register-wise max — batch boundaries can't show)
+    val merged = Warehouse.finalizeDistinct(Warehouse.mergeDistinctStates(
+      Seq(
+        Warehouse.distinctState(df.filter(col("u") < 50), Seq("k"), "u"),
+        Warehouse.distinctState(df.filter(col("u") >= 50), Seq("k"), "u")),
+      Seq("k")))
+      .as[(String, Long)].collect().toMap
+    assert(merged == direct, "merge(parts) == single-pass sketch")
+
+    // replaying a batch (idempotence) can't inflate the estimate
+    val replayed = Warehouse.finalizeDistinct(Warehouse.mergeDistinctStates(
+      Seq(
+        Warehouse.distinctState(df, Seq("k"), "u"),
+        Warehouse.distinctState(df.filter(col("u") < 50), Seq("k"), "u")),
+      Seq("k")))
+      .as[(String, Long)].collect().toMap
+    assert(replayed == direct, "replayed batch is absorbed")
+
+    // at this cardinality the sketch is in sparse mode: exactly right
+    val exact = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    assert(direct == exact, "sparse-mode HLL is exact here")
+  }
+
+  test("snapshotDiff labels added/removed/changed and drops unchanged rows") {
+    val old = Seq((1L, 100L, "A"), (2L, 200L, "B"), (3L, 300L, "C"), (4L, 400L, "D"))
+      .toDF("id", "cents", "status")
+    val nw = Seq((2L, 200L, "B"), (3L, 333L, "C"), (4L, 400L, "X"), (5L, 500L, "E"))
+      .toDF("id", "cents", "status")
+    val out = Warehouse.snapshotDiff(old, nw, "id", Seq("cents", "status"))
+      .orderBy("id")
+      .select("id", "change_type", "old_cents", "new_cents", "old_status", "new_status")
+      .as[(Long, String, Option[Long], Option[Long], Option[String], Option[String])]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, "removed", Some(100L), None, Some("A"), None),
+      (3L, "changed", Some(300L), Some(333L), Some("C"), Some("C")),
+      (4L, "changed", Some(400L), Some(400L), Some("D"), Some("X")),
+      (5L, "added", None, Some(500L), None, Some("E"))))
+  }
 }

@@ -368,4 +368,26 @@ class PipelineSpec extends SparkSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("equiDepthBins: rank-exact deciles, sizes within one, monotone boundaries") {
+    // 103 rows, values with heavy ties, ids unique — bin must follow
+    // global (value, id) rank regardless of the coarse block layout
+    val rows = (0L until 103L).map(i => (i, (i * 7919 % 13) * 100))
+    val df = rows.toDF("id", "v")
+    val out = Pipeline.equiDepthBins(df, "v", "id", nBins = 10, blockWidth = 300L)
+      .select("id", "v", "bin").as[(Long, Long, Long)].collect()
+
+    // reference: bin = ((rank-1)*10) div n over (v, id) order
+    val expected = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _), r) => id -> (r.toLong * 10L) / 103L }.toMap
+    out.foreach { case (id, _, bin) => assert(bin == expected(id), s"id=$id") }
+
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"equi-depth: $sizes")
+    // boundaries: max(value in bin k) <= min(value in bin k+1)
+    val byBin = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    (0L until 9L).foreach { b =>
+      assert(byBin(b).max <= byBin(b + 1).min, s"monotone at $b")
+    }
+  }
 }
