@@ -80,4 +80,30 @@ class BucketingSpec extends SparkSuite {
       assert(viaIndex.sameElements(viaDirect), "index df == direct df")
     }
   }
+
+  test("snapshotDiff over same-key bucketed snapshots plans with zero Exchange") {
+    // the nightly-reconciliation layout: both full dumps land bucketed
+    // on the key, so the full-outer diff join is a map-side merge
+    val o = Tables.orders(spark, "/root/testdata/sf0.001").select(
+      col("o_orderkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val oldSnap = o.filter(col("o_orderkey") % 50 =!= 3)
+    val newSnap = o.withColumn("cents",
+      when(col("o_orderkey") % 11 === 0, col("cents") + 777).otherwise(col("cents")))
+    Bucketing.writeBucketed(oldSnap, "snap_old", "o_orderkey", 8)
+    Bucketing.writeBucketed(newSnap, "snap_new", "o_orderkey", 8)
+
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val diff = graft.ext.Warehouse.snapshotDiff(
+        spark.table("snap_old"), spark.table("snap_new"), "o_orderkey", Seq("cents"))
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed snapshot diff must not shuffle:\n${plan.take(1500)}")
+      // parity with the shuffled path
+      val direct = graft.ext.Warehouse.snapshotDiff(oldSnap, newSnap, "o_orderkey", Seq("cents"))
+      assert(diff.count() == direct.count())
+      assert(diff.filter(col("change_type") === "added").count() ==
+        direct.filter(col("change_type") === "added").count())
+    }
+  }
 }

@@ -178,4 +178,34 @@ class StreamingSpec extends SparkSuite {
     val after = spark.read.parquet(s"$tmp/out").drop("date")
     assert(after.count() == batch.count(), "replay replaces, never duplicates")
   }
+
+  test("foreachBatch HLL maintenance: streamed distinct states fold to the batch answer") {
+    import graft.ext.Warehouse
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream6").toString
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_type", "user_id")
+    batch.write.mode("overwrite").parquet(s"$tmp/in")
+
+    // each micro-batch appends its own distinct-count STATE (a few KB
+    // of sketch per key); nothing ever re-reads earlier batches — the
+    // streaming form of incremental DISTINCT maintenance
+    val streamed = StreamingExtract.source(spark, s"$tmp/in", batch.schema)
+    val q = streamed.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Warehouse.distinctState(b, Seq("event_type"), "user_id")
+          .write.mode("append").parquet(s"$tmp/states")
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val folded = Warehouse.finalizeDistinct(Warehouse.mergeDistinctStates(
+      Seq(spark.read.parquet(s"$tmp/states")), Seq("event_type")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = batch.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folded == exact, "sparse-mode sketches fold to the exact answer")
+  }
 }
