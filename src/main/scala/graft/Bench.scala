@@ -57,7 +57,9 @@ object Bench {
     val total = if (cold.nonEmpty) cold.values.sum else 0.0
     val warmTotal = if (warm.nonEmpty) warm.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    val (qjs, dropped) = js(cold, 1700)
+    // 1550 keeps the final line ~1700 chars — comfortably inside the
+    // ~2000-char tail even with sbt's trailing [success] line after it
+    val (qjs, dropped) = js(cold, 1550)
     println(s"""{"metric":"total","unit":"sec","sf":"$sfName","dropped_fastest":$dropped,"queries":$qjs,"warm_total":${f(warmTotal)},"value":${f(total)}}""")
     spark.stop()
   }
