@@ -154,6 +154,21 @@ object ReferenceQueries extends QueryGroup {
         .orderBy("ts", "event_type")
     }),
 
+    // A1+ — HOPPING window (1 h windows sliding every 15 min): each
+    // event lands in exactly 4 overlapping windows. Window starts are
+    // emitted as epoch seconds so both engines hash identical integers
+    // (DuckDB's to_timestamp is TIMESTAMPTZ — a tz trap avoided).
+    "hopping_window_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("ts"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .select(col("w.start").cast("long").as("ws_sec"),
+          col("event_type"), col("n"), col("sum_cents"))
+        .orderBy("ws_sec", "event_type")
+    }),
+
     // F4 — timeShift: emit local wall-clock timestamps (tz_offset = -8).
     "time_shift" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -302,6 +317,19 @@ FROM wdw ORDER BY ts, event_type""",
       """SELECT date_trunc('hour', ts) AS ts, event_type,
   count(*) AS n, arg_max(value, ts) AS last_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "hopping_window_agg" ->
+      """WITH e AS (
+  SELECT event_type, epoch_ns(ts) // 1000000000 AS tsec,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+h AS (
+  SELECT event_type, cents,
+    (tsec // 900) * 900 - k * 900 AS ws_sec
+  FROM e, (SELECT unnest(generate_series(0, 3)) AS k))
+SELECT ws_sec, event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "time_shift" ->
       """SELECT event_id, ts - INTERVAL 8 HOUR AS ts FROM events ORDER BY event_id""",

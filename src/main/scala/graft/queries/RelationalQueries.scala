@@ -207,6 +207,24 @@ object RelationalQueries extends QueryGroup {
 
     // Grouping sets via rollup; grouping nulls coalesced to 'ALL' on both
     // sides to dodge engine-specific null ordering.
+    // Arbitrary GROUPING SETS (not expressible as one rollup/cube):
+    // per-status, per-priority, and grand-total aggregates in ONE
+    // Expand+Aggregate pass over the scan instead of three jobs.
+    "grouping_sets_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderstatus"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      o.groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n"), col("sum_cents"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     "rollup_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -490,6 +508,17 @@ ORDER BY user_id""",
     "distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
 FROM events GROUP BY 1 ORDER BY 1""",
+
+    "grouping_sets_agg" ->
+      """WITH o AS (
+  SELECT o_orderstatus, o_orderpriority,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders)
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM o GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority""",
 
     "rollup_agg" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
