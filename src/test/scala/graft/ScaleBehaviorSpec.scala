@@ -136,6 +136,37 @@ class ScaleBehaviorSpec extends SparkSuite {
       s"unbounded all-pairs joins outside the documented baseline: $offenders")
   }
 
+  test("round-5 additions keep their claimed plan shapes") {
+    val dir = "/root/testdata/sf0.001"
+
+    // grouping sets: ONE Expand + aggregate pass, not three jobs
+    val gs = graft.queries.RelationalQueries.queries("grouping_sets_agg")(spark, dir)
+    val gsPlan = gs.queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(gsPlan).size >= 1, gsPlan.take(500))
+    assert(gsPlan.split("Scan parquet").length - 1 == 1,
+      "grouping sets reads the scan once:\n" + gsPlan.take(1000))
+
+    // hopping window: the 4x row replication happens in Expand/Generate
+    // BEFORE one hash aggregate — no join, no window operator
+    val hop = graft.queries.ReferenceQueries.queries("hopping_window_agg")(spark, dir)
+    val hopPlan = hop.queryExecution.executedPlan.toString
+    assert(!hopPlan.contains("Join"), hopPlan.take(500))
+    assert(!hopPlan.contains("WindowExec"), hopPlan.take(500))
+
+    // embedding_scale: the per-dimension stats come back as a
+    // broadcast (dim-bounded), never a shuffle join on pos
+    val es = graft.queries.SimilarityQueries.queries("embedding_scale")(spark, dir)
+    val esPlan = es.queryExecution.executedPlan.toString
+    assert(esPlan.contains("BroadcastHashJoin"), esPlan.take(800))
+
+    // rolling stats: exactly one exchange — the entity-key shuffle the
+    // window needs; no global (empty-partition) window anywhere
+    val rs = graft.queries.AnalyticsQueries.queries("rolling_user_stats")(spark, dir)
+    val rsPlan = rs.queryExecution.executedPlan.toString
+    assert(rsPlan.contains("RangeFrame, -3600"), rsPlan.take(800))
+    assert(!rsPlan.contains("SinglePartition"), rsPlan.take(1200))
+  }
+
   test("co-bucketed tables sort-merge join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
