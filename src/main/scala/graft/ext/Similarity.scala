@@ -386,6 +386,39 @@ object Similarity {
       .select("vec_id", "pos", "z_e4")
   }
 
+  /** Seeded Gaussian projection matrix for [[randomProject]] —
+    * exposed so the oracle SQL can embed the identical literals.
+    */
+  private[graft] def projectionMatrix(outDim: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] =
+    hyperplanes(1, outDim, dim, seed)(0)
+
+  /** Johnson-Lindenstrauss random projection: embed `vecCol` into
+    * `outDim` dimensions with a seeded Gaussian matrix — the standard
+    * cheap dimensionality reduction before clustering/dedup when the
+    * raw dimension makes distance ops too expensive (pairwise
+    * distances are preserved within ~1±eps for outDim ≈ 8·ln n / eps²,
+    * JL lemma). Row-local single-pass codegen
+    * ([[graft.functions.MatVecExpr]]) — a map-only projection, no
+    * shuffle, matrix broadcast-sized. Output discretized to
+    * `p_e4 = floor(p·1e4 + 0.5)` longs in long format (vec_id, pos,
+    * p_e4); the fixed i-ascending accumulation order lets the oracle
+    * replay projections bit-for-bit.
+    */
+  def randomProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDim: Int,
+      dim: Int,
+      seed: Long = 7L
+  ): DataFrame = {
+    val mat = projectionMatrix(outDim, dim, seed)
+    df.select(col(idCol).as("vec_id"),
+        posexplode(graft.functions.AnnExprs.matVec(col(vecCol), mat)).as(Seq("pos", "p")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("p") * 1e4 + 0.5).cast("long").as("p_e4"))
+  }
+
   /** The hash-picked seeds shared by [[ivfTopK]] and [[kmeansCentroids]]:
     * a TakeOrdered over the portable md5 key hash (per-partition top-K +
     * K-row driver merge — O(K×dim) on the driver at any corpus size).

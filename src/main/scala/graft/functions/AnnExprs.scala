@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.GraftShim
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** `array<double> -> array<long>`: all T random-hyperplane LSH bucket
   * keys of a vector in one fused pass — bucket t packs the sign bits of
@@ -172,11 +172,83 @@ case class NearestCentroidExpr(
     copy(child = newChild)
 }
 
+/** `array<double> -> array<double>`: dense matrix-vector product —
+  * `out[j] = Σ_i mat[j][i] * v[i]`, i ascending (the accumulation
+  * order is part of the contract: the DuckDB oracle replays the same
+  * left-to-right chain, so projections are bit-identical). Row-local
+  * map-only projection; the matrix rides along as a referenced object
+  * (outDim x dim doubles — broadcast-sized). Used for seeded
+  * Johnson-Lindenstrauss dimensionality reduction.
+  */
+case class MatVecExpr(child: Expression, mat: Array[Array[Double]])
+    extends UnaryExpression {
+
+  @transient private lazy val outDim = mat.length
+  @transient private lazy val dim = if (outDim == 0) 0 else mat(0).length
+  @transient private lazy val flat: Array[Double] = {
+    val out = new Array[Double](outDim * dim)
+    var j = 0
+    while (j < outDim) { System.arraycopy(mat(j), 0, out, j * dim, dim); j += 1 }
+    out
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      var s = 0.0
+      val off = j * dim
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * flat(off + i); i += 1 }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("projMat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      s"""
+         |int $n = java.lang.Math.min($c.numElements(), $dim);
+         |double[] $out = new double[$outDim];
+         |for (int $j = 0; $j < $outDim; $j++) {
+         |  double $s = 0.0;
+         |  int $off = $j * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $c.getDouble($i) * $flatRef[$off + $i];
+         |  }
+         |  $out[$j] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object AnnExprs {
   /** All T LSH bucket keys of a vector (cast to array<double>). */
   def lshBuckets(vec: Column, planes: Array[Array[Array[Double]]]): Column =
     GraftShim.column(HyperplaneBucketsExpr(
       GraftShim.expression(vec.cast("array<double>")), planes))
+
+  /** Dense mat-vec projection (cast to array<double>). */
+  def matVec(vec: Column, mat: Array[Array[Double]]): Column =
+    GraftShim.column(MatVecExpr(
+      GraftShim.expression(vec.cast("array<double>")), mat))
 
   /** Nearest centroid id by squared L2, ties to the smaller id. */
   def nearestCentroid(vec: Column, ids: Array[Long], centroids: Array[Array[Double]]): Column =

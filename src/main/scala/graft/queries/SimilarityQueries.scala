@@ -19,6 +19,30 @@ object SimilarityQueries extends QueryGroup {
 
   private val K = 5
   private val Dim = 64
+  private val ProjDim = 16
+
+  /** JL-projection oracle: one SELECT-list term per output dim, each
+    * the UNROLLED left-associative sum `v[1]*m1 + v[2]*m2 + ...` —
+    * the same accumulation order MatVecExpr runs, so every double is
+    * bit-identical (shortest-repr literals round-trip exactly).
+    */
+  private lazy val projSql: String = {
+    val mat = graft.ext.Similarity.projectionMatrix(ProjDim, Dim)
+    val terms = mat.zipWithIndex.map { case (row, j) =>
+      val chain = row.zipWithIndex.map { case (m, i) =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * ($m)"
+      }.mkString(" + ")
+      s"CAST(floor(($chain) * 10000.0 + 0.5) AS BIGINT) AS p$j"
+    }.mkString(",\n    ")
+    s"""WITH proj AS (
+  SELECT vec_id,
+    $terms
+  FROM embeddings)
+SELECT vec_id, CAST(k AS INTEGER) AS pos,
+  CASE ${(0 until ProjDim).map(j => s"WHEN k = $j THEN p$j").mkString(" ")} END AS p_e4
+FROM proj, (SELECT unnest(generate_series(0, ${ProjDim - 1})) AS k)
+ORDER BY vec_id, pos"""
+  }
 
   /** Cosine in the oracle's spelling: double-precision sequential fold,
     * same as DotProductExpr.
@@ -98,6 +122,15 @@ object SimilarityQueries extends QueryGroup {
     // transform, integer-discretized in and out so it hashes exactly.
     "embedding_scale" -> ((s, dir) => {
       Similarity.standardizeDims(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id", "pos")
+    }),
+
+    // Johnson-Lindenstrauss projection 64 -> 16 dims: map-only seeded
+    // mat-vec (native codegen), oracle replays the matrix literals in
+    // the SAME i-ascending summation order — bit-identical doubles.
+    "embedding_project" -> ((s, dir) => {
+      Similarity.randomProject(Tables.embeddings(s, dir), "vec_id", "embedding",
+        outDim = ProjDim, dim = Dim)
         .orderBy("vec_id", "pos")
     }),
 
@@ -427,6 +460,8 @@ SELECT vec_id, comp.pos,
     * 10000.0 + 0.5) AS BIGINT) AS z_e4
 FROM comp JOIN st ON comp.pos = st.pos
 ORDER BY vec_id, comp.pos""",
+
+    "embedding_project" -> projSql,
 
     "ann_topk_lsh" -> lshSql,
     "ann_topk_ivf" -> ivfSql,

@@ -230,6 +230,38 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"trained-centroid recall $recall")
   }
 
+  test("randomProject roughly preserves pairwise distance ordering (JL property)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 60)
+    val raw = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    val proj = Similarity.randomProject(emb, "vec_id", "embedding", outDim = 16, dim = 64)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3.toDouble / 1e4)).toMap
+
+    def d2(a: Iterable[Double], b: Iterable[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // E[||Px||^2] = outDim * ||x||^2 for Gaussian P — compare the
+    // normalized ratio over sample pairs; JL says it concentrates
+    val ids = raw.keys.toSeq.sorted
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.length; if (i + j) % 7 == 0
+      a = ids(i); b = ids(j)
+      dRaw = d2(raw(a), raw(b)); if dRaw > 1e-9
+    } yield d2(proj(a), proj(b)) / (16.0 * dRaw)
+    assert(ratios.nonEmpty)
+    val within = ratios.count(r => r > 0.3 && r < 2.5).toDouble / ratios.size
+    assert(within >= 0.9, s"JL concentration: $within of ${ratios.size} pairs in band")
+
+    // reruns are bit-identical (seeded matrix, fixed summation order)
+    val again = Similarity.randomProject(emb, "vec_id", "embedding", outDim = 16, dim = 64)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(again.sameElements(
+      Similarity.randomProject(emb, "vec_id", "embedding", outDim = 16, dim = 64)
+        .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))))
+  }
+
   test("standardizeDims: per-dimension z-scores center at ~0 with unit spread") {
     import spark.implicits._
     // dim 0 spread wide, dim 1 narrow with offset — standardization
