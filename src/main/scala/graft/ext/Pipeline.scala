@@ -149,6 +149,33 @@ object Pipeline {
       .drop("__block", "__bprefix", "__n", "__rank")
   }
 
+  /** Deterministic corpus shuffle: every row gets a dense position
+    * 0..n-1 in md5-hash order of its key — the reproducible "random"
+    * training order an LLM data pipeline fixes before sequence
+    * packing. A pure function of the key set: reruns, repartitioning,
+    * and engine choice all produce the SAME permutation (auditable
+    * training order), unlike `orderBy(rand(seed))`, whose output
+    * depends on partitioning.
+    *
+    * Same two-phase prefix-sum shape as [[equiDepthBins]], blocked on
+    * the top bits of the 60-bit hash: per-block parallel rank + a tiny
+    * broadcast block-count prefix. The hash is uniform, so blocks are
+    * uniform — no data-skew caveat at all here.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String, blockBits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = keyHash(keyCol)
+    val b = df.withColumn("__h", h)
+      .withColumn("__block", shiftright(col("__h"), 60 - blockBits))
+    val perBlock = Window.orderBy(col("__block")).rowsBetween(Long.MinValue, -1)
+    val prefixes = b.groupBy("__block").agg(count(lit(1)).as("__bcnt"))
+      .withColumn("__bprefix", coalesce(sum(col("__bcnt")).over(perBlock), lit(0L)))
+    val within = Window.partitionBy(col("__block")).orderBy(col("__h"), col(keyCol))
+    b.join(broadcast(prefixes.select("__block", "__bprefix")), Seq("__block"))
+      .withColumn("shuffle_pos", col("__bprefix") + row_number().over(within) - 1)
+      .drop("__h", "__block", "__bprefix")
+  }
+
   /** Deterministic stratified sample: the `perStratum` rows with the
     * smallest key hashes within each stratum (hash-order = uniform
     * random order, but reproducible). One shuffle on the stratum key;

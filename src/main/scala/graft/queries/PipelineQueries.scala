@@ -96,6 +96,14 @@ object PipelineQueries extends QueryGroup {
         .orderBy("bin")
     }),
 
+    // Deterministic corpus shuffle: reproducible hash-order training
+    // positions (two-phase rank — never a single-task global sort).
+    "corpus_shuffle" -> ((s, dir) => {
+      Pipeline.deterministicShuffle(
+        Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic 5% hash sample — membership is a pure function of
     // the key, reproducible at any scale / partitioning.
     "sample_hash" -> ((s, dir) => {
@@ -345,6 +353,12 @@ labeled AS (
 SELECT node, cluster_id FROM labeled ORDER BY node"""
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_shuffle" ->
+      s"""SELECT doc_id, lang,
+  CAST(row_number() OVER (ORDER BY ${duckHash("doc_id")}, doc_id) - 1 AS BIGINT)
+    AS shuffle_pos
+FROM documents ORDER BY doc_id""",
+
     "quantile_bins" ->
       """WITH o AS (
   SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents

@@ -369,6 +369,20 @@ class PipelineSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("deterministicShuffle is a dense, rerun-stable, partitioning-independent permutation") {
+    val df = (0L until 257L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val once = Pipeline.deterministicShuffle(df, "id")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    // dense 0..n-1
+    assert(once.values.toSeq.sorted == (0L until 257L).toSeq)
+    // independent of input partitioning (the rank is a pure function of the key set)
+    val repart = Pipeline.deterministicShuffle(df.repartition(7), "id")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(repart == once)
+    // and it is NOT the identity order (it actually shuffles)
+    assert((0L until 257L).count(i => once(i) == i) < 20)
+  }
+
   test("equiDepthBins: rank-exact deciles, sizes within one, monotone boundaries") {
     // 103 rows, values with heavy ties, ids unique — bin must follow
     // global (value, id) rank regardless of the coarse block layout
