@@ -49,6 +49,31 @@ object StreamingExtract {
         count(lit(1)).as("n_points"))
       .select(col("w.start").as(timeCol), col(seriesCol), col(valueCol), col("n_points"))
 
+  /** Streaming HOPPING-window aggregate: overlapping windows (length
+    * `windowLen`, sliding every `slide`) per group — the dashboard
+    * shape ("events in the trailing hour, refreshed every 15 min").
+    * State is one aggregate row per open (window, group); each window
+    * finalizes and evicts when the watermark passes its end, exactly
+    * like tumbling windows — overlap multiplies the row replication
+    * (windowLen/slide ×) in the map stage, not the state lifetime.
+    * Window starts are emitted as epoch seconds (the batch
+    * `hopping_window_agg` contract).
+    */
+  def hoppingAggStream(
+      df: DataFrame,
+      timeCol: String,
+      groupCol: String,
+      valueCol: String,
+      windowLen: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "1 hour"
+  ): DataFrame =
+    df.withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), windowLen, slide).as("w"), col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_v"))
+      .select(col("w.start").cast("long").as("ws_sec"),
+        col(groupCol), col("n"), col("sum_v"))
+
   /** Streaming exact dedup: drop rows whose key was already seen within
     * the watermark horizon — the ingest-time guard of the batch dedup
     * family (ext/Dedup). State is keyed by `keyCols` and expires with

@@ -179,6 +179,30 @@ class StreamingSpec extends SparkSuite {
     assert(after.count() == batch.count(), "replay replaces, never duplicates")
   }
 
+  test("streaming hopping-window aggregate matches the batch hop lattice") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream7").toString
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    batch.write.mode("overwrite").parquet(s"$tmp/in")
+
+    val streamed = StreamingExtract.source(spark, s"$tmp/in", batch.schema)
+    val agg = StreamingExtract.hoppingAggStream(streamed, "ts", "event_type", "cents")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("hop_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = rows(batch
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_v"))
+      .select(col("w.start").cast("long").as("ws_sec"), col("event_type"), col("n"), col("sum_v")))
+    assert(rows(spark.table("hop_stream")) == want, "stream ≡ batch hop windows")
+  }
+
   test("foreachBatch HLL maintenance: streamed distinct states fold to the batch answer") {
     import graft.ext.Warehouse
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream6").toString
