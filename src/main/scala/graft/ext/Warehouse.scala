@@ -169,8 +169,10 @@ object Warehouse {
     val n = newDf.select(
       col(keyCol).as("n_key") +: trackedCols.map(c => col(c).as(s"new_$c")): _*)
     val joined = o.join(n, col("o_key") === col("n_key"), "full_outer")
+    // null-SAFE change test: a tracked column going null <-> non-null
+    // IS a change; plain =!= would yield null and silently drop the row
     val changed = trackedCols
-      .map(c => col(s"old_$c") =!= col(s"new_$c"))
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
       .reduce(_ || _)
     joined
       .withColumn("change_type",

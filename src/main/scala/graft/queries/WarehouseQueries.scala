@@ -199,7 +199,8 @@ j AS (
   SELECT coalesce(olds.o_orderkey, news.o_orderkey) AS o_orderkey,
          CASE WHEN olds.o_orderkey IS NULL THEN 'added'
               WHEN news.o_orderkey IS NULL THEN 'removed'
-              WHEN olds.cents <> news.cents OR olds.status <> news.status
+              WHEN olds.cents IS DISTINCT FROM news.cents
+                OR olds.status IS DISTINCT FROM news.status
                 THEN 'changed' END AS change_type,
          olds.cents AS old_cents, news.cents AS new_cents,
          olds.status AS old_status, news.status AS new_status

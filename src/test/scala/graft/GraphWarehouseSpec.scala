@@ -130,9 +130,13 @@ class GraphWarehouseSpec extends SparkSuite {
   }
 
   test("snapshotDiff labels added/removed/changed and drops unchanged rows") {
-    val old = Seq((1L, 100L, "A"), (2L, 200L, "B"), (3L, 300L, "C"), (4L, 400L, "D"))
+    val old = Seq(
+      (1L, Some(100L), "A"), (2L, Some(200L), "B"), (3L, Some(300L), "C"),
+      (4L, Some(400L), "D"), (6L, Some(600L), "F"))
       .toDF("id", "cents", "status")
-    val nw = Seq((2L, 200L, "B"), (3L, 333L, "C"), (4L, 400L, "X"), (5L, 500L, "E"))
+    val nw = Seq(
+      (2L, Some(200L), "B"), (3L, Some(333L), "C"), (4L, Some(400L), "X"),
+      (5L, Some(500L), "E"), (6L, Option.empty[Long], "F")) // value -> NULL is a change
       .toDF("id", "cents", "status")
     val out = Warehouse.snapshotDiff(old, nw, "id", Seq("cents", "status"))
       .orderBy("id")
@@ -143,6 +147,7 @@ class GraphWarehouseSpec extends SparkSuite {
       (1L, "removed", Some(100L), None, Some("A"), None),
       (3L, "changed", Some(300L), Some(333L), Some("C"), Some("C")),
       (4L, "changed", Some(400L), Some(400L), Some("D"), Some("X")),
-      (5L, "added", None, Some(500L), None, Some("E"))))
+      (5L, "added", None, Some(500L), None, Some("E")),
+      (6L, "changed", Some(600L), None, Some("F"), Some("F")))) // null-safe change test
   }
 }
