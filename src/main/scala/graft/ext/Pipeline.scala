@@ -149,6 +149,46 @@ object Pipeline {
       .drop("__block", "__bprefix", "__n", "__rank")
   }
 
+  /** Per-group winsorization: clip `valueCol` into its group's exact
+    * [loPermille, hiPermille] percentile band — the outlier-taming
+    * feature-prep step that keeps heavy tails from dominating scaled
+    * features. Percentiles are DISCRETE (the value at rank
+    * `max(1, ceil(p·n/1000))` in sorted order), so every emitted
+    * number is one of the group's own integer values — engine-exact,
+    * no interpolation formula to disagree on.
+    *
+    * Scale shape: one window pass on the group key ranks the values;
+    * the rank-picked bounds collapse to a GROUP-sized table that joins
+    * back via broadcast. The clip itself is row-local. Groups are
+    * assumed few (event types, domains); for high-cardinality groups
+    * the same plan works, AQE just chooses a shuffle join for the
+    * bounds.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      loPermille: Int,
+      hiPermille: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val wg = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wg))
+    // ceil(p·n/1000) in pure integer math (Column `/` is double division)
+    def pickRank(p: Int) = expr(s"greatest(1L, ($p * __n + 999) div 1000)")
+    val bounds = ranked
+      .filter(col("__rn") === pickRank(loPermille) ||
+        col("__rn") === pickRank(hiPermille))
+      .groupBy(groupCol)
+      .agg(min(col(valueCol)).as("lo_bound"), max(col(valueCol)).as("hi_bound"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("clipped",
+        least(greatest(col(valueCol), col("lo_bound")), col("hi_bound")))
+  }
+
   /** Deterministic corpus shuffle: every row gets a dense position
     * 0..n-1 in md5-hash order of its key — the reproducible "random"
     * training order an LLM data pipeline fixes before sequence

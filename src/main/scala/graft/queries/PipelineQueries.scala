@@ -96,6 +96,18 @@ object PipelineQueries extends QueryGroup {
         .orderBy("bin")
     }),
 
+    // Per-type winsorization of event values: clip into the exact
+    // [p01, p99] band (discrete rank-picked percentiles — every bound
+    // is one of the group's own integers, no interpolation).
+    "winsorize_events" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      Pipeline.winsorize(e, "event_type", "cents", loPermille = 10, hiPermille = 990)
+        .select("event_id", "event_type", "cents", "lo_bound", "hi_bound", "clipped")
+        .orderBy("event_id")
+    }),
+
     // Deterministic corpus shuffle: reproducible hash-order training
     // positions (two-phase rank — never a single-task global sort).
     "corpus_shuffle" -> ((s, dir) => {
@@ -353,6 +365,28 @@ labeled AS (
 SELECT node, cluster_id FROM labeled ORDER BY node"""
 
   val oracleSql: Map[String, String] = Map(
+    "winsorize_events" ->
+      """WITH e AS (
+  SELECT event_id, event_type,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT event_id, event_type, cents,
+    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM e),
+b AS (
+  SELECT event_type,
+    min(cents) AS lo_bound, max(cents) AS hi_bound
+  FROM r
+  WHERE rn = greatest(1, (10 * n + 999) // 1000)
+     OR rn = greatest(1, (990 * n + 999) // 1000)
+  GROUP BY event_type)
+SELECT event_id, e.event_type, cents, lo_bound, hi_bound,
+  least(greatest(cents, lo_bound), hi_bound) AS clipped
+FROM e JOIN b ON e.event_type = b.event_type
+ORDER BY event_id""",
+
     "corpus_shuffle" ->
       s"""SELECT doc_id, lang,
   CAST(row_number() OVER (ORDER BY ${duckHash("doc_id")}, doc_id) - 1 AS BIGINT)

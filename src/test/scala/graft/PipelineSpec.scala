@@ -369,6 +369,26 @@ class PipelineSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("winsorize clips to exact discrete percentile bounds; tiny groups degrade sanely") {
+    // group g: values 1..100 → p10 rank ceil(0.10*100)=10 → lo=10;
+    // p90 rank ceil(0.90*100)=90 → hi=90
+    val g = (1L to 100L).map(v => ("g", v))
+    val tiny = Seq(("t", 7L)) // n=1: both ranks pick the only row
+    val df = (g ++ tiny).toDF("grp", "v")
+    val out = Pipeline.winsorize(df, "grp", "v", loPermille = 100, hiPermille = 900)
+      .select("grp", "v", "lo_bound", "hi_bound", "clipped")
+      .as[(String, Long, Long, Long, Long)].collect()
+
+    val gRows = out.filter(_._1 == "g")
+    assert(gRows.forall(r => r._3 == 10L && r._4 == 90L), "exact rank-picked bounds")
+    assert(gRows.filter(_._2 < 10).forall(_._5 == 10L), "low tail clipped up")
+    assert(gRows.filter(_._2 > 90).forall(_._5 == 90L), "high tail clipped down")
+    assert(gRows.filter(r => r._2 >= 10 && r._2 <= 90).forall(r => r._5 == r._2), "band untouched")
+
+    val t = out.filter(_._1 == "t").head
+    assert(t._3 == 7L && t._4 == 7L && t._5 == 7L, "singleton group is its own band")
+  }
+
   test("deterministicShuffle is a dense, rerun-stable, partitioning-independent permutation") {
     val df = (0L until 257L).map(i => (i, s"d$i")).toDF("id", "payload")
     val once = Pipeline.deterministicShuffle(df, "id")
