@@ -179,6 +179,32 @@ class StreamingSpec extends SparkSuite {
     assert(after.count() == batch.count(), "replay replaces, never duplicates")
   }
 
+  test("stream-static enrichment: a streaming fact joins the static dim per micro-batch") {
+    // the ingest-enrichment shape: events stream in, the dimension
+    // table is read fresh per micro-batch and broadcast — no state,
+    // no watermark needed for a stream-static inner join
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream8").toString
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type")
+    batch.write.mode("overwrite").parquet(s"$tmp/in")
+    val dim = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+
+    val streamed = StreamingExtract.source(spark, s"$tmp/in", batch.schema)
+    val q = streamed.join(dim, "user_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "c_mktsegment")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(spark.table("enrich_stream")) == rows(batch.join(dim, "user_id")),
+      "stream-static join ≡ batch join")
+  }
+
   test("streaming hopping-window aggregate matches the batch hop lattice") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream7").toString
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
