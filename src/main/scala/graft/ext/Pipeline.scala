@@ -189,6 +189,48 @@ object Pipeline {
         least(greatest(col(valueCol), col("lo_bound")), col("hi_bound")))
   }
 
+  /** Discrete per-group percentile: the value at sorted rank
+    * `max(1, ceil(p·n/1000))` — shared by [[winsorize]] and
+    * [[robustScale]]. Returns one row per group: (groupCol, picked).
+    */
+  private def rankPick(
+      df: DataFrame, groupCol: String, valueCol: String, permille: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val wg = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wg))
+      .filter(col("__rn") === expr(s"greatest(1L, ($permille * __n + 999) div 1000)"))
+      .groupBy(groupCol).agg(min(col(valueCol)).as("picked"))
+  }
+
+  /** Per-group robust scaling (median / MAD): `robust_e4 =
+    * floor((v − median) / max(1, MAD) · 1e4 + 0.5)` — the
+    * outlier-resistant alternative to z-scores (mean/std are dragged
+    * by the very tails a quality pipeline is trying to flag; median
+    * and MAD are 50%-breakdown estimators). Both statistics are
+    * DISCRETE rank-picks (each is one of the group's own integers —
+    * nothing to interpolate), and the one float step is a fixed
+    * IEEE-exact chain, so results hash bit-for-bit cross-engine.
+    *
+    * Scale shape: two window passes on the group key (median of v,
+    * then median of |v − median|), each collapsing to a group-sized
+    * broadcast; the scaling itself is row-local.
+    */
+  def robustScale(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val med = rankPick(df, groupCol, valueCol, 500)
+      .withColumnRenamed("picked", "med")
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__absdev", abs(col(valueCol) - col("med")))
+    val mad = rankPick(dev, groupCol, "__absdev", 500)
+      .withColumnRenamed("picked", "mad")
+    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("robust_e4",
+        floor((col(valueCol) - col("med")).cast("double")
+          / greatest(lit(1L), col("mad")) * 1e4 + 0.5).cast("long"))
+      .drop("__absdev")
+  }
+
   /** Deterministic corpus shuffle: every row gets a dense position
     * 0..n-1 in md5-hash order of its key — the reproducible "random"
     * training order an LLM data pipeline fixes before sequence

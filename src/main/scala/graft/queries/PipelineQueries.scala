@@ -108,6 +108,18 @@ object PipelineQueries extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // Robust (median/MAD) scaling of event values per type — the
+    // outlier-resistant sibling of z-scores; both statistics are
+    // discrete rank-picks, the one float step is IEEE-exact.
+    "robust_scale_events" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      Pipeline.robustScale(e, "event_type", "cents")
+        .select("event_id", "event_type", "cents", "med", "mad", "robust_e4")
+        .orderBy("event_id")
+    }),
+
     // Deterministic corpus shuffle: reproducible hash-order training
     // positions (two-phase rank — never a single-task global sort).
     "corpus_shuffle" -> ((s, dir) => {
@@ -365,6 +377,37 @@ labeled AS (
 SELECT node, cluster_id FROM labeled ORDER BY node"""
 
   val oracleSql: Map[String, String] = Map(
+    "robust_scale_events" ->
+      """WITH e AS (
+  SELECT event_id, event_type,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r1 AS (
+  SELECT event_type, cents,
+    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM e),
+med AS (
+  SELECT event_type, min(cents) AS med FROM r1
+  WHERE rn = greatest(1, (500 * n + 999) // 1000) GROUP BY 1),
+d AS (
+  SELECT e.event_id, e.event_type, e.cents, med.med,
+    abs(e.cents - med.med) AS absdev
+  FROM e JOIN med USING (event_type)),
+r2 AS (
+  SELECT event_type, absdev,
+    row_number() OVER (PARTITION BY event_type ORDER BY absdev) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM d),
+mad AS (
+  SELECT event_type, min(absdev) AS mad FROM r2
+  WHERE rn = greatest(1, (500 * n + 999) // 1000) GROUP BY 1)
+SELECT event_id, d.event_type, cents, med, mad,
+  CAST(floor(CAST(cents - med AS DOUBLE) / greatest(1, mad) * 10000.0 + 0.5)
+    AS BIGINT) AS robust_e4
+FROM d JOIN mad USING (event_type)
+ORDER BY event_id""",
+
     "winsorize_events" ->
       """WITH e AS (
   SELECT event_id, event_type,

@@ -369,6 +369,24 @@ class PipelineSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("robustScale: discrete median/MAD, outliers can't drag the center") {
+    // 9 values 10..18 plus one wild outlier; median must stay mid-pack
+    // (z-score's mean would move ~1000 units; the median moves 0)
+    val vals = (10L to 18L) :+ 10000L
+    val df = vals.map(v => ("g", v)).toDF("grp", "v")
+    val out = Pipeline.robustScale(df, "grp", "v")
+      .select("v", "med", "mad", "robust_e4")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // n=10 → median rank ceil(5000/1000)=5 → value 14
+    assert(out.forall(_._2 == 14L), s"median: ${out.head._2}")
+    // absdevs sorted: 0,1,1,2,2,3,3,4,4,9986 → rank 5 → 2
+    assert(out.forall(_._3 == 2L), s"mad: ${out.head._3}")
+    // v=14 → 0; v=16 → (2/2)*1e4 = 10000; outlier huge but finite
+    val byV = out.map(r => r._1 -> r._4).toMap
+    assert(byV(14L) == 0L && byV(16L) == 10000L && byV(12L) == -10000L)
+    assert(byV(10000L) == (10000L - 14L) * 10000L / 2L)
+  }
+
   test("winsorize clips to exact discrete percentile bounds; tiny groups degrade sanely") {
     // group g: values 1..100 → p10 rank ceil(0.10*100)=10 → lo=10;
     // p90 rank ceil(0.90*100)=90 → hi=90
