@@ -1,6 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark driver. Two modes:
+  *
+  *   - default sweep (what the round harness runs): every registered query
+  *     once cold + once warm, one JSON line at the end with the totals and a
+  *     per-query map fitted to a byte budget.
+  *   - focus mode (`SPARK_GRAFT_BENCH_FOCUS=q1,q2 SPARK_GRAFT_BENCH_REPS=5`):
+  *     the named queries run REPS times *interleaved* (q1,q2,q1,q2,…) and the
+  *     JSON reports min/median/max per query. Min-of-N on an interleaved
+  *     schedule separates box contention (min ≪ max, high spread) from a plan
+  *     regression (min itself moved) — the distinction VERDICT r5 asked to be
+  *     recorded as data rather than asserted.
+  *
+  * Both modes write `planhash.json` (query → 8-hex digest of the canonicalized
+  * optimized plan) next to the cwd so a round-over-round bench diff can tell
+  * "same plan, different wall time" from "the plan changed". The digest is
+  * computed on the *canonicalized* logical plan, so it is stable across JVM
+  * runs (expression IDs normalized) but changes whenever the plan shape does.
+  */
 object Bench {
+  private def f(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** 8-hex digest of the canonicalized optimized plan — stable across runs,
+    * sensitive to plan-shape changes. Cheap: analysis+optimization only, no
+    * execution. */
+  def planHash(spark: SparkSession, sfDir: String, name: String): String =
+    try {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val canon = df.queryExecution.optimizedPlan.canonicalized.toString
+      val md = java.security.MessageDigest.getInstance("MD5").digest(canon.getBytes("UTF-8"))
+      md.take(4).map("%02x".format(_)).mkString
+    } catch { case _: Throwable => "err" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -9,7 +41,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // untimed warm-up: spin up parquet readers, shuffle machinery, and
     // the codegen compiler once, so the first timed query measures the
     // query and not JVM start-up (~5s otherwise charged to whichever
@@ -18,49 +50,79 @@ object Bench {
       val warm = spark.read.parquet(s"$sfDir/customer.parquet")
       warm.groupBy("c_nationkey").count().count()
     } catch { case _: Throwable => () }
-    def onePass(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val t = (System.nanoTime() - t0) / 1e9
-        // isolate queries: operators may persist() intermediate tables
-        // (LSH signatures etc.) — don't let one query's cache residue
-        // skew the next query's memory budget
-        spark.catalog.clearCache()
-        name -> t
-      }
-    // pass 1 (cold: includes each query's codegen compile) is the
-    // headline metric — comparable across rounds. Pass 2 (warm:
-    // steady-state plans, what a resident service measures) is
-    // reported alongside; the gap is fixed per-query JVM cost, and a
-    // contended box inflates the cold pass far more than the warm one.
-    val cold = onePass()
-    val warm = onePass()
-    // The harness that records this line keeps only the LAST ~2000
-    // characters of output, so the line must fit in that window:
-    // 2-decimal values, per-query map for the cold pass only (warm is
-    // summarized as one total), queries ascending by duration so the
-    // slowest — the ones worth reading — sit nearest the end, and the
-    // headline "value" total is the final key so it survives even if
-    // the front of the line is ever clipped.
-    def f(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // Fit the per-query map to a byte budget by dropping the FASTEST
-    // queries first (ascending order ⇒ drop from the front): the
-    // slowest entries — the ones a reader compares against the
-    // baseline — are always present, however many queries get added.
-    def js(m: Map[String, Double], budget: Int) = {
-      val asc = m.toSeq.sortBy(_._2).map { case (k, v) => "\"" + k + "\":" + f(v) }
-      var kept = asc
-      while (kept.map(_.length + 1).sum > budget && kept.nonEmpty) kept = kept.tail
-      (kept.mkString("{", ",", "}"), asc.length - kept.length)
+
+    def time(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+      val t = (System.nanoTime() - t0) / 1e9
+      // isolate queries: operators may persist() intermediate tables
+      // (LSH signatures etc.) — don't let one query's cache residue
+      // skew the next query's memory budget
+      spark.catalog.clearCache()
+      t
     }
-    val total = if (cold.nonEmpty) cold.values.sum else 0.0
-    val warmTotal = if (warm.nonEmpty) warm.values.sum else 0.0
-    val sfName = new java.io.File(sfDir).getName
-    // 1550 keeps the final line ~1700 chars — comfortably inside the
-    // ~2000-char tail even with sbt's trailing [success] line after it
-    val (qjs, dropped) = js(cold, 1550)
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfName","dropped_fastest":$dropped,"queries":$qjs,"warm_total":${f(warmTotal)},"value":${f(total)}}""")
+
+    val focus = sys.env.get("SPARK_GRAFT_BENCH_FOCUS").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    focus match {
+      case Some(names) =>
+        val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+        // interleaved schedule: rep-major, so each query's samples are spread
+        // across the whole wall-clock window — a transient contention spike
+        // inflates one sample of several queries, not all samples of one
+        val samples = collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+        for (_ <- 1 to reps; n <- names) samples(n) = samples(n) :+ time(n)
+        val hashes = names.map(n => n -> planHash(spark, sfDir, n)).toMap
+        val qjs = names.map { n =>
+          val s = samples(n).sorted
+          val med = s(s.length / 2)
+          "\"" + n + "\":{\"min\":" + f(s.head) + ",\"median\":" + f(med) +
+            ",\"max\":" + f(s.last) + ",\"plan\":\"" + hashes(n) + "\"}"
+        }.mkString("{", ",", "}")
+        println(s"""{"metric":"focus_min_of_n","unit":"sec","sf":"${new java.io.File(sfDir).getName}","reps":$reps,"queries":$qjs,"value":${f(samples.values.map(_.min).sum)}}""")
+      case None =>
+        // pass 1 (cold: includes each query's codegen compile) is the
+        // headline metric — comparable across rounds. Pass 2 (warm:
+        // steady-state plans, what a resident service measures) is
+        // reported alongside; the gap is fixed per-query JVM cost, and a
+        // contended box inflates the cold pass far more than the warm one.
+        val names = SparkEntry.queries.keys.toSeq
+        val cold = names.map(n => n -> time(n)).toMap
+        val warm = names.map(n => n -> time(n)).toMap
+        // plan-hash dump: full map to a file (small, committed per round);
+        // the stdout line only carries a digest-of-digests so a reader can
+        // confirm "plans unchanged since last round" from the JSON alone
+        val hashes = names.sorted.map(n => n -> planHash(spark, sfDir, n))
+        val hashJson = hashes.map { case (n, h) => "\"" + n + "\":\"" + h + "\"" }.mkString("{", ",", "}")
+        try {
+          val w = new java.io.PrintWriter("planhash.json", "UTF-8")
+          try w.println(hashJson) finally w.close()
+        } catch { case _: Throwable => () }
+        val combined = {
+          val md = java.security.MessageDigest.getInstance("MD5").digest(hashes.map(_._2).mkString.getBytes("UTF-8"))
+          md.take(4).map("%02x".format(_)).mkString
+        }
+        // The harness that records this line keeps only the LAST ~2000
+        // characters of output, so the line must fit comfortably in that
+        // window (BENCH_r04 lost its total to truncation). Defenses:
+        // (a) the per-query map is fitted to a tight byte budget by
+        //     dropping the FASTEST queries first (ascending order ⇒ the
+        //     slowest entries, the ones a reader compares to baseline,
+        //     always survive);
+        // (b) "value" appears EARLY in the line and is repeated as the
+        //     LAST key — JSON duplicate-key semantics (last wins) make the
+        //     tail copy authoritative and both copies are identical.
+        def js(m: Map[String, Double], budget: Int) = {
+          val asc = m.toSeq.sortBy(_._2).map { case (k, v) => "\"" + k + "\":" + f(v) }
+          var kept = asc
+          while (kept.map(_.length + 1).sum > budget && kept.nonEmpty) kept = kept.tail
+          (kept.mkString("{", ",", "}"), asc.length - kept.length)
+        }
+        val total = if (cold.nonEmpty) cold.values.sum else 0.0
+        val warmTotal = if (warm.nonEmpty) warm.values.sum else 0.0
+        val sfName = new java.io.File(sfDir).getName
+        val (qjs, dropped) = js(cold, 1100)
+        println(s"""{"metric":"total","unit":"sec","value":${f(total)},"sf":"$sfName","plans":"$combined","dropped_fastest":$dropped,"queries":$qjs,"warm_total":${f(warmTotal)},"value":${f(total)}}""")
+    }
     spark.stop()
   }
 }

@@ -15,14 +15,19 @@ object Analytics {
     * occurrence each). Returns one row per step with the surviving
     * user count — the classic conversion table.
     *
-    * Scale shape: step 1 is one hash aggregate on the user key; each
-    * later step is a semi-join-shaped aggregate against the previous
-    * step's (user, t_prev) — every shuffle in the chain is keyed on
-    * the SAME user column, so after the first Exchange the plan reuses
-    * the partitioning (no re-shuffle per step; AQE confirms). Cost is
-    * O(steps · |events of that type|), never a per-user collect or a
-    * cross join. The per-step frames shrink monotonically (funnel
-    * property), so later steps are cheaper, not costlier.
+    * Scale shape: SINGLE PASS over the step-filtered events. One hash
+    * aggregate on the user key collects each user's (t, step) events;
+    * a row-local fold over the time-sorted list computes the deepest
+    * step reached (the greedy first-qualifying-occurrence walk — the
+    * fold takes the EARLIEST step-(k+1) event strictly after the
+    * step-k reach time, which is exactly the min-t chain definition);
+    * a second, one-row aggregate counts survivors per step and
+    * `inline`s to the step table. Exactly ONE scan of the events
+    * input and ONE user-keyed shuffle regardless of step count — the
+    * previous per-step join-chain re-derived the whole prefix for
+    * every later step (O(steps²) scans at cluster scale; round-5
+    * verdict item 2). Per-user state is that user's step-typed
+    * events only (bounded by per-user activity, never corpus-sized).
     */
   def funnel(
       events: DataFrame,
@@ -32,25 +37,47 @@ object Analytics {
       steps: Seq[String]
   ): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val e = events.select(col(userCol).as("user"), col(typeCol).as("etype"), col(timeCol).as("t"))
-    // (user, first time reaching step k) — fold the step chain
-    var reached = e.filter(col("etype") === steps.head)
-      .groupBy("user").agg(min(col("t")).as("t_reach"))
-    val counts = Seq.newBuilder[(Int, String, DataFrame)]
-    counts += ((1, steps.head, reached))
-    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
-      reached = e.filter(col("etype") === step)
-        .join(reached.select(col("user"), col("t_reach").as("t_prev")), "user")
-        .filter(col("t") > col("t_prev"))
-        .groupBy("user").agg(min(col("t")).as("t_reach"))
-      counts += ((i + 1, step, reached))
+    val stepIdx = steps.zipWithIndex.map { case (s, i) => (s, i + 1) }
+    // 1-based step index, resolved row-local (no join against a step table)
+    val sidx = stepIdx.foldLeft(lit(0)) { case (acc, (s, i)) =>
+      when(col("etype") === s, lit(i)).otherwise(acc)
     }
-    counts.result()
-      .map { case (idx, step, df) =>
-        df.agg(count(lit(1)).as("n_users"))
-          .select(lit(idx).as("step_idx"), lit(step).as("step"), col("n_users"))
-      }
-      .reduce(_ unionByName _)
+    val e = events
+      .select(col(userCol).as("user"), col(typeCol).as("etype"), col(timeCol).as("t"))
+      .filter(col("etype").isInCollection(steps))
+      .select(col("user"), struct(col("t"), sidx.as("sidx")).as("ev"))
+    // Greedy fold over the user's time-sorted events: advance to step
+    // k+1 on the first step-(k+1) event with t strictly after the
+    // step-k reach time. Sorting the struct (t, sidx) breaks timestamp
+    // ties by LOWER step first, and the strict `>` means an event at
+    // the same instant as the previous reach never qualifies — the
+    // same tie semantics as the min-t chain. The accumulator's t_reach
+    // is seeded from the first event (reached=0 ignores it), keeping
+    // the fold type-stable for any orderable time column.
+    val perUser = e.groupBy("user")
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(
+        aggregate(
+          col("evs"),
+          struct(lit(0).as("reached"), element_at(col("evs"), 1).getField("t").as("t_reach")),
+          (acc, x) =>
+            when(
+              x.getField("sidx") === acc.getField("reached") + 1 &&
+                (acc.getField("reached") === 0 || x.getField("t") > acc.getField("t_reach")),
+              struct((acc.getField("reached") + 1).as("reached"), x.getField("t").as("t_reach"))
+            ).otherwise(acc)
+        ).getField("reached").as("reached"))
+    // one-row aggregate: survivors at each depth (count ignores the
+    // null branch of `when`, and is 0 — not null — on empty input)
+    val counts = perUser.agg(
+      count(when(col("reached") >= 1, lit(1))).as("n1"),
+      stepIdx.drop(1).map { case (_, i) =>
+        count(when(col("reached") >= i, lit(1))).as(s"n$i")
+      }: _*)
+    // 1 row -> steps rows without re-deriving the aggregate per step
+    counts.select(inline(array(stepIdx.map { case (s, i) =>
+      struct(lit(i).as("step_idx"), lit(s).as("step"), col(s"n$i").as("n_users"))
+    }: _*)))
   }
 
   /** Weekly cohort retention: users are cohorted by the Monday week of

@@ -165,6 +165,15 @@ class ScaleBehaviorSpec extends SparkSuite {
     val rsPlan = rs.queryExecution.executedPlan.toString
     assert(rsPlan.contains("RangeFrame, -3600"), rsPlan.take(800))
     assert(!rsPlan.contains("SinglePartition"), rsPlan.take(1200))
+
+    // funnel (round-6 rewrite): ONE scan of events and ZERO joins —
+    // the per-step join chain that re-derived the prefix per step
+    // (O(steps²) scans) is gone; the step walk is a row-local fold
+    val fn = graft.queries.AnalyticsQueries.queries("funnel_steps")(spark, dir)
+    val fnPlan = fn.queryExecution.executedPlan.toString
+    assert(fnPlan.split("Scan parquet").length - 1 == 1,
+      "funnel reads events exactly once:\n" + fnPlan.take(1000))
+    assert(!fnPlan.contains("Join"), fnPlan.take(1000))
   }
 
   test("co-bucketed tables sort-merge join without an exchange") {
