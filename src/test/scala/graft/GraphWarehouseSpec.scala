@@ -26,6 +26,39 @@ class GraphWarehouseSpec extends SparkSuite {
     assert(r(1L) == 915000L && r(2L) == 915000L && r(3L) == 915000L)
   }
 
+  test("pageRank redistributes dangling mass: hand-computed 2-node sink graph") {
+    // 1 -> 2 only: node 2 is a sink (deg 0), N = 2. Each round node 2's
+    // whole rank is the dangling mass D; every node gets D div 2 on top
+    // of in-edge contributions before damping.
+    // r0: 1e6 each.
+    // iter1: D=1e6, share=500000
+    //   pr(1) = 150000 + 850*(0 + 500000) div 1000        = 575000
+    //   pr(2) = 150000 + 850*(1000000 + 500000) div 1000  = 1425000
+    // iter2: D=1425000, share=712500
+    //   pr(1) = 150000 + 850*712500 div 1000              = 755625
+    //   pr(2) = 150000 + 850*(575000 + 712500) div 1000   = 1244375
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iters = 2)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r(1L) == 755625L, s"got $r")
+    assert(r(2L) == 1244375L, s"got $r")
+    // with redistribution the total is exactly conserved here (no floor
+    // loss in this fixture): dropped-dangling-mass would give far less
+    assert(r.values.sum == 2000000L)
+  }
+
+  test("pageRank early-stops at the integer fixpoint before maxIter") {
+    // symmetrized triangle: perfectly symmetric, so r0 = 1e6 IS the
+    // fixpoint (150000 + 850*1000000 div 1000 = 1000000) — the L1-delta
+    // observation reads 0 on round 1 and the loop must stop there
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val (df, rounds) = Graph.pageRankWithRounds(edges, "src", "dst", iters = 10)
+    assert(rounds == 1, s"expected early stop after 1 round, ran $rounds")
+    val r = df.collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r.values.forall(_ == 1000000L), s"fixpoint preserved: $r")
+  }
+
   test("pageRank conserves total mass within the damping floor bound") {
     // symmetric random-ish graph over 20 nodes
     val e0 = (0L until 40L).map(i => (i % 20, (i * 7 + 3) % 20)).filter(p => p._1 != p._2).distinct
