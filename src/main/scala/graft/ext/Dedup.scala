@@ -317,6 +317,74 @@ object Dedup {
         sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** Unaligned span dedup: the shingle-anchored step toward Lee et
+    * al. 2022's suffix-array substring dedup. [[spanDedup]] cuts fixed
+    * blocks, so a repeated passage that straddles a block boundary or
+    * starts mid-block is invisible; here EVERY `windowWords`-word
+    * sliding window (stride 1) is hashed, so a repeat at ANY word
+    * offset is caught. Every distinct window content keeps its first
+    * global occurrence (min doc id, then min position); all other
+    * occurrences are "removed" windows. Because removed windows
+    * overlap heavily inside a long repeated passage, the per-doc
+    * report is interval-union COVERAGE: how many word positions sit
+    * under at least one removed window — the fraction of the doc that
+    * is repeated text (what a C4-style pipeline actually gates on).
+    *
+    * Shape at 100 TB: windows are row-local (one explode, ~n rows per
+    * n-word doc vs n/w for the block form — the price of unaligned
+    * sensitivity); the canonical pick is one hash aggregate on the
+    * 60-bit hash; coverage is a per-doc keyed window (running max of
+    * span ends — gaps-and-islands), so every shuffle is ∝ windows and
+    * keyed by hash or doc id, never pairs.
+    */
+  def spanDedupExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowWords: Int = 5
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = windowWords
+    val wins = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__w", split(col(textCol), " "))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .select(col(idCol).as("doc_id"), col("n_words"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(greatest(size(__w) - $w, 0) as int)), " +
+            s"i -> array_join(slice(__w, i + 1, $w), ' '))"))
+          .as(Seq("pos", "wtext")))
+      .withColumn("h", expr(s"cast(conv(substr(md5(wtext), 1, 15), 16, 10) as bigint)"))
+      .select(col("doc_id"), col("n_words"), col("pos").cast("long").as("pos"), col("h"))
+    val canon = wins.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .select(col("h"), col("first.doc_id").as("cdoc"), col("first.pos").as("cpos"))
+    val marked = wins.join(canon, Seq("h"))
+      .withColumn("kept", col("doc_id") === col("cdoc") && col("pos") === col("cpos"))
+    val totals = marked.groupBy("doc_id")
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_windows"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"))
+    // interval-union coverage of removed windows [pos, min(pos+w-1, n-1)]:
+    // running max of prior span ends per doc (gaps-and-islands), each
+    // span contributes the positions past that running max — exact
+    // integer arithmetic, replayed verbatim by the SQL oracle
+    val removed = marked.filter(!col("kept"))
+      .select(col("doc_id"), col("pos"),
+        least(col("pos") + w - 1, col("n_words") - 1).as("e"))
+    val prior = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = removed
+      .withColumn("pe", max(col("e")).over(prior))
+      .groupBy("doc_id")
+      .agg(sum(greatest(
+        col("e") - greatest(coalesce(col("pe"), lit(-1L)), col("pos") - 1),
+        lit(0L))).as("covered_words"))
+    totals.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_windows"), col("n_removed"),
+        coalesce(col("covered_words"), lit(0L)).as("covered_words"))
+  }
+
   /** Incremental dedup gate: flag NEW (batch) documents that exactly or
     * nearly duplicate an already-ingested HISTORY corpus — the daily-
     * ingest shape at 100 TB. History is only ever STREAMED: the exact

@@ -74,6 +74,15 @@ object DedupQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Unaligned (stride-1) span dedup: every 5-word sliding window
+    // hashed, first global occurrence kept, per-doc interval-union
+    // coverage of removed spans — catches boundary-straddling repeats
+    // the block form misses (Lee et al. 2022's target, shingle form).
+    "dedup_spans_exact" -> ((s, dir) => {
+      Dedup.spanDedupExact(Tables.documents(s, dir), "doc_id", "text", windowWords = 5)
+        .orderBy("doc_id")
+    }),
+
     // Character-level verification of the minhash candidates: edit
     // distance over the first 80 chars (Levenshtein is O(len²) per
     // pair — affordable exactly BECAUSE it runs on the LSH candidate
@@ -178,6 +187,47 @@ SELECT b.doc_id, count(*) AS n_blocks,
 FROM blocks b JOIN canon c USING (h)
 GROUP BY b.doc_id ORDER BY b.doc_id"""
 
+  /** Replays the sliding-window hash, the first-occurrence pick, and
+    * the gaps-and-islands coverage sum with the same integer
+    * arithmetic (running max of prior span ends; -1 sentinel). */
+  private val spanExactSql =
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idxd AS (
+  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_words,
+    unnest(generate_series(0, greatest(CAST(len(w) AS BIGINT) - 5, 0))) AS i
+  FROM docs),
+wins AS (
+  SELECT doc_id, n_words, CAST(i AS BIGINT) AS pos,
+    CAST(('0x' || substr(md5(
+      array_to_string(list_slice(w, i + 1, i + 5), ' ')), 1, 15)) AS BIGINT) AS h
+  FROM idxd),
+canon AS (
+  SELECT h, min(struct_pack(doc_id := doc_id, pos := pos)) AS first
+  FROM wins GROUP BY h),
+marked AS (
+  SELECT b.doc_id, b.n_words, b.pos,
+    least(b.pos + 4, b.n_words - 1) AS e,
+    (b.doc_id = c.first.doc_id AND b.pos = c.first.pos) AS kept
+  FROM wins b JOIN canon c USING (h)),
+totals AS (
+  SELECT doc_id, max(n_words) AS n_words, count(*) AS n_windows,
+    CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+  FROM marked GROUP BY doc_id),
+cov AS (
+  SELECT doc_id,
+    CAST(sum(greatest(e - greatest(COALESCE(pe, -1), pos - 1), 0)) AS BIGINT)
+      AS covered_words
+  FROM (
+    SELECT doc_id, pos, e,
+      max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+    FROM marked WHERE NOT kept)
+  GROUP BY doc_id)
+SELECT t.doc_id, t.n_words, t.n_windows, t.n_removed,
+  COALESCE(c.covered_words, 0) AS covered_words
+FROM totals t LEFT JOIN cov c USING (doc_id)
+ORDER BY t.doc_id"""
+
   private val fuzzyEditSql =
     s"""$minhashCandCtes,
 sel AS (SELECT doc_a, doc_b FROM cand WHERE $estExpr >= 0.5)
@@ -280,6 +330,7 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_embedding" -> cosineSql,
     "dedup_embedding_lsh" -> embLshSql,
     "dedup_spans" -> spanSql,
+    "dedup_spans_exact" -> spanExactSql,
     "dedup_fuzzy_edit" -> fuzzyEditSql,
     "dedup_incremental" -> incrementalSql,
     "decontaminate_ngram" -> decontaminateSql

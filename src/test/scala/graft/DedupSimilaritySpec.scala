@@ -91,6 +91,28 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got(5L) == ((1L, 0L)))            // "tiny doc": one short block
   }
 
+  test("spanDedupExact catches a boundary-straddling repeat spanDedup misses") {
+    // the shared 6-word run "a b c d e f" starts at word 0 of doc 1 but
+    // word 1 of doc 2 — no 5-aligned block is shared, so the block form
+    // sees nothing; the stride-1 windows find it at any offset
+    val straddle = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a b c d e f g h i j"),
+        Row(2L, "x a b c d e f y z q"))),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val block = Dedup.spanDedup(straddle, "doc_id", "text", blockWords = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(block(1L) == 0L && block(2L) == 0L, s"block form must miss it: $block")
+    val exact = Dedup.spanDedupExact(straddle, "doc_id", "text", windowWords = 5)
+      .orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1 owns every first occurrence; doc 2's windows at pos 1
+    // ("a b c d e") and pos 2 ("b c d e f") are removed — overlapping
+    // spans [1,5] and [2,6] union to 6 covered word positions
+    assert(exact(1L) == ((6L, 0L, 0L)), s"got $exact")
+    assert(exact(2L) == ((6L, 2L, 6L)), s"got $exact")
+  }
+
   test("incrementalDups flags exact / near / novel batch docs against history") {
     val history = docs.filter(col("doc_id").isin(1L, 4L, 5L))
     val batch = docs.filter(col("doc_id").isin(2L, 3L)).union(
