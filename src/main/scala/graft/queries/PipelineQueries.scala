@@ -262,6 +262,17 @@ object PipelineQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Same budget walk measured in REAL subword tokens (ext/Bpe
+    // greedy longest-match), not the whitespace proxy — what a
+    // training-mix allocation actually means.
+    "sample_token_budget_bpe" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          graft.ext.Bpe.tokenCountCol("text").as("n_tokens"))
+      Pipeline.tokenBudgetSample(d, "source", "doc_id", "n_tokens", budgetTokens = 1200L)
+        .orderBy("doc_id")
+    }),
+
     // Dedup representative selection: label every doc with its
     // connected-component cluster (singletons = own id) and keep the
     // highest-quality copy per cluster (quality proxy: n_chars).
@@ -659,6 +670,20 @@ w AS (
   FROM d)
 SELECT doc_id, source, n_tokens, tokens_before FROM w
 WHERE tokens_before < 700 ORDER BY doc_id""",
+
+    "sample_token_budget_bpe" ->
+      s"""WITH d AS (
+  SELECT b.doc_id, doc.source, b.bpe_tokens AS n_tokens
+  FROM (${graft.ext.Bpe.oracleSql("documents", "doc_id", "text")}) b
+  JOIN documents doc USING (doc_id)),
+w AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+      ORDER BY ${duckHash("doc_id")}, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+  FROM d)
+SELECT doc_id, source, n_tokens, tokens_before FROM w
+WHERE tokens_before < 1200 ORDER BY doc_id""",
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $clusterCtes,

@@ -47,6 +47,14 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Real subword counts: greedy longest-match BPE-apply as a
+    // row-local codegen fold (ext/Bpe) — the token quantity budgets
+    // and packing should be measured in, vs the whitespace estimate.
+    "token_count_bpe" -> ((s, dir) => {
+      graft.ext.Bpe.bpeTokenCounts(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // per-language corpus rollup of token counts — the aggregate view a
     // pipeline dashboard wants
     "token_stats_by_lang" -> ((s, dir) => {
@@ -311,6 +319,8 @@ ORDER BY doc_id, chunk_idx"""
     "text_quality" -> qualitySql,
     "quality_filter_gopher" -> gopherSql,
     "token_count" -> tokenSql,
+    "token_count_bpe" ->
+      (graft.ext.Bpe.oracleSql("documents", "doc_id", "text") + "\nORDER BY doc_id"),
     "token_stats_by_lang" -> tokenStatsSql,
     "doc_fingerprint" -> fingerprintSql,
     "text_repetition" -> repetitionSql,

@@ -11,6 +11,20 @@ class TextAnalysisSpec extends SparkSuite {
       spark.sparkContext.parallelize(rows.map { case (i, t) => Row(i, t) }),
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
 
+  test("Bpe greedy longest-match: hand-walked tokenizations") {
+    // "theorem":  the|or|e|m          -> 4  ("theo" not in vocab, "the" is;
+    //                                        then "or", then single chars)
+    // "lighting": l|ight|ing          -> 3  (max-munch prefers the 4-char
+    //                                        "ight" over 2-char "in" later)
+    // runs of spaces produce empty words — filtered, not counted
+    val df = docsOf(1L -> "theorem lighting", 2L -> "a  b", 3L -> "")
+    val got = graft.ext.Bpe.bpeTokenCounts(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((2L, 7L)), s"got $got")
+    assert(got(2L) == ((2L, 2L)), s"got $got")
+    assert(got(3L) == ((0L, 0L)), s"got $got")
+  }
+
   test("langId scores markers and predicts with alphabetical tie-break") {
     val df = docsOf(
       1L -> "the cat and the dog sat in a box",       // en markers: the,a,and,in
