@@ -91,6 +91,32 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got(5L) == ((1L, 0L)))            // "tiny doc": one short block
   }
 
+  test("incrementalDups via persisted signature table: identical verdicts, no history text") {
+    val history = docs.filter(col("doc_id").isin(1L, 4L, 5L))
+    val batch = docs.filter(col("doc_id").isin(2L, 3L))
+    val direct = Dedup.incrementalDups(history, batch, "doc_id", "text", threshold = 0.5)
+      .orderBy("doc_id").collect().toSeq
+
+    // materialize the ingest-once signature table, read it back from
+    // parquet, and gate the same batch against it — no text column in
+    // the table at all, so history re-hashing is structurally impossible
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sigtab").toString
+    Dedup.signatureTable(history, "doc_id", "text").write.parquet(s"$tmp/sigs")
+    val sigs = spark.read.parquet(s"$tmp/sigs")
+    assert(!sigs.columns.contains("text"))
+    val viaTable = Dedup.incrementalDupsFromSignatures(sigs, batch, "doc_id", "text", threshold = 0.5)
+    assert(viaTable.orderBy("doc_id").collect().toSeq == direct)
+
+    // the only parquet scan is the signature table, column-pruned to
+    // (doc_id, xhash, sig) — zero text-hashing stages on the history side
+    val plan = viaTable.queryExecution.executedPlan.toString
+    val scans = plan.split("Scan parquet").length - 1
+    assert(scans >= 1 && plan.contains("xhash"), plan.take(1200))
+    assert(!plan.contains("Scan parquet") || !plan.split("Scan parquet")
+      .drop(1).exists(_.takeWhile(_ != '\n').contains("text")),
+      "history scan must not read a text column:\n" + plan.take(1200))
+  }
+
   test("spanDedupExact catches a boundary-straddling repeat spanDedup misses") {
     // the shared 6-word run "a b c d e f" starts at word 0 of doc 1 but
     // word 1 of doc 2 — no 5-aligned block is shared, so the block form
