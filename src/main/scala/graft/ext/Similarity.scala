@@ -546,4 +546,51 @@ object Similarity {
       .select(col("vec_id"), col("list"), col("rep_id"), col("cos_rep"),
         (col("vec_id") === col("rep_id") || col("cos_rep") < tau).as("keep"))
   }
+
+  /** SemDeDup, full within-cluster pruning (the paper's refinement of
+    * [[semDedup]]'s single-representative shortcut): a member is pruned
+    * iff SOME same-cluster member with a smaller id is τ-similar to it
+    * (`pruned_by` = the smallest such id). This guarantees what
+    * rep-only pruning can't: NO two kept members of a cluster are
+    * τ-similar (if both were kept, the later one had a τ-similar
+    * earlier member — contradiction). Deterministic (id order, not the
+    * paper's random member), so a SQL oracle replays it exactly; on
+    * transitive similarity chains it prunes ≥ the greedy keep-chain
+    * (conservative direction for dedup — never under-prunes).
+    *
+    * Scale shape: the pairwise refine is a self-join BUCKETED BY
+    * CLUSTER — shuffle keyed on the cluster id, cost Σ n_c² (the
+    * paper's own within-cluster cost), never a global all-pairs; the
+    * k-means train and row-local assignment are shared with
+    * [[semDedup]]. Cluster size is corpus/k in expectation — size k to
+    * the corpus as the paper does; a pathological mega-cluster should
+    * be capped upstream (BucketCap) before the refine.
+    */
+  def semDedupFull(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int = 20,
+      iters: Int = 2,
+      tau: Double = 0.2
+  ): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, numCentroids, iters).toArray
+    val assigned = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .withColumn("list",
+        graft.functions.AnnExprs.nearestCentroid(col("v"), cents.map(_._1), cents.map(_._2)))
+    val a = assigned.select(col("list"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("list"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val pruned = a.join(b, Seq("list"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(VectorOps.cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= tau)
+      .groupBy("list", "id_b").agg(min("id_a").as("pruned_by"))
+    assigned
+      .join(pruned.select(col("list"), col("id_b").as("vec_id"), col("pruned_by")),
+        Seq("list", "vec_id"), "left")
+      .select(col("vec_id"), col("list"), col("pruned_by"),
+        col("pruned_by").isNull.as("keep"))
+  }
 }

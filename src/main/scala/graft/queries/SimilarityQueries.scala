@@ -152,6 +152,15 @@ ORDER BY vec_id, pos"""
       Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
         numCentroids = 20, iters = KmIters, tau = SemTau)
         .orderBy("vec_id")
+    }),
+
+    // Full within-cluster pruning: τ-similarity to ANY smaller-id
+    // cluster member prunes (cluster-bucketed pairwise refine) — the
+    // no-two-kept-members-similar guarantee rep-only pruning lacks.
+    "semdedup_full" -> ((s, dir) => {
+      Similarity.semDedupFull(Tables.embeddings(s, dir), "vec_id", "embedding",
+        numCentroids = 20, iters = KmIters, tau = SemTau)
+        .orderBy("vec_id")
     })
   )
 
@@ -484,6 +493,27 @@ scored AS (
 SELECT vec_id, list, rep_id, cos_rep,
        (vec_id = rep_id OR cos_rep < $SemTau) AS keep
 FROM scored ORDER BY vec_id""",
+
+    "semdedup_full" ->
+      s"""WITH $kmTrainCtes,
+assigned AS (
+  SELECT list, vec_id FROM (
+    SELECT ct.list, e.vec_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${l2sqToCv("e", "ct")} ASC, ct.list ASC) AS r
+    FROM embeddings e CROSS JOIN c$KmIters ct) t WHERE r = 1),
+pruned AS (
+  SELECT a2.list, a2.vec_id, min(a1.vec_id) AS pruned_by
+  FROM assigned a1 JOIN assigned a2
+       ON a1.list = a2.list AND a1.vec_id < a2.vec_id
+       JOIN embeddings ea ON ea.vec_id = a1.vec_id
+       JOIN embeddings eb ON eb.vec_id = a2.vec_id
+  WHERE ${cosSql("ea", "eb")} >= $SemTau
+  GROUP BY 1, 2)
+SELECT s.vec_id, s.list, p.pruned_by, (p.pruned_by IS NULL) AS keep
+FROM assigned s LEFT JOIN pruned p
+     ON p.list = s.list AND p.vec_id = s.vec_id
+ORDER BY s.vec_id""",
     "ann_topk_pq" -> pqSql,
     "ann_topk_ivfpq" -> ivfPqSql
   )

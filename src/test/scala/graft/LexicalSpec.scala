@@ -101,4 +101,42 @@ class LexicalSpec extends SparkSuite {
     }
     assert(out.map(_._1).distinct.length == out.length, "each vector scored once")
   }
+
+  test("semDedupFull: no two kept members τ-similar — the guarantee rep-only pruning lacks") {
+    import graft.functions.VectorOps
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = 0.2
+    val full = Similarity.semDedupFull(emb, "vec_id", "embedding",
+      numCentroids = 8, iters = 1, tau = tau)
+    val kept = full.filter(col("keep"))
+      .select(col("list"), col("vec_id"))
+
+    // all-pairs baseline check over the KEPT set, within clusters: the
+    // refine must leave no τ-similar kept pair (rep-only pruning does —
+    // asserted below so the spec fails if the fixture stops exercising it)
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"))
+    val keptPairs = kept.as("x").join(kept.as("y"),
+        col("x.list") === col("y.list") && col("x.vec_id") < col("y.vec_id"))
+      .join(vecs.select(col("vec_id").as("ida"), col("v").as("va")), col("x.vec_id") === col("ida"))
+      .join(vecs.select(col("vec_id").as("idb"), col("v").as("vb")), col("y.vec_id") === col("idb"))
+      .withColumn("cos", round(VectorOps.cosine(col("va"), col("vb")), 4))
+    assert(keptPairs.filter(col("cos") >= tau).count() == 0,
+      "full pruning left a τ-similar kept pair")
+
+    // and the single-rep shortcut on the same data DOES leave such a
+    // pair (so the guarantee above is non-vacuous on this fixture)
+    val repKept = Similarity.semDedup(emb, "vec_id", "embedding",
+      numCentroids = 8, iters = 1, tau = tau)
+      .filter(col("keep")).select(col("list"), col("vec_id"))
+    val repPairs = repKept.as("x").join(repKept.as("y"),
+        col("x.list") === col("y.list") && col("x.vec_id") < col("y.vec_id"))
+      .join(vecs.select(col("vec_id").as("ida"), col("v").as("va")), col("x.vec_id") === col("ida"))
+      .join(vecs.select(col("vec_id").as("idb"), col("v").as("vb")), col("y.vec_id") === col("idb"))
+      .withColumn("cos", round(VectorOps.cosine(col("va"), col("vb")), 4))
+    assert(repPairs.filter(col("cos") >= tau).count() > 0,
+      "fixture no longer exercises the rep-only gap; pick a denser fixture")
+
+    // full pruning can only remove MORE than rep-only (recall direction)
+    assert(kept.count() <= repKept.count())
+  }
 }
