@@ -96,7 +96,11 @@ object Pipeline {
     val block = floor(col(idCol) / blockSize).as("__block")
     val within = Window.partitionBy(col("__block"))
       .orderBy(col(idCol)).rowsBetween(Long.MinValue, -1)
-    val perBlock = Window.orderBy(col("__block")).rowsBetween(Long.MinValue, -1)
+    // partitionBy(lit(0)): the input is <= 2^blockBits rows by
+    // construction (one per block), so a single window task is fine —
+    // the literal partition key just says so to the planner (no
+    // "No Partition Defined" warning for a provably bounded input)
+    val perBlock = Window.partitionBy(lit(0)).orderBy(col("__block")).rowsBetween(Long.MinValue, -1)
     val blockPrefix = df.select(block, col(tokenCountCol))
       .groupBy("__block").agg(sum(col(tokenCountCol)).as("__btotal"))
       .withColumn("__bprefix",
@@ -137,11 +141,15 @@ object Pipeline {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = df.withColumn("__block", floor(col(valueCol) / blockWidth).cast("long"))
-    val perBlock = Window.orderBy(col("__block")).rowsBetween(Long.MinValue, -1)
+    // partitionBy(lit(0)): the input is <= 2^blockBits rows by
+    // construction (one per block), so a single window task is fine —
+    // the literal partition key just says so to the planner (no
+    // "No Partition Defined" warning for a provably bounded input)
+    val perBlock = Window.partitionBy(lit(0)).orderBy(col("__block")).rowsBetween(Long.MinValue, -1)
     val prefixes = b.groupBy("__block").agg(count(lit(1)).as("__bcnt"))
       .withColumn("__bprefix", coalesce(sum(col("__bcnt")).over(perBlock), lit(0L)))
     val total = prefixes.agg(sum(col("__bcnt")).as("__n"))
-    val within = Window.partitionBy(col("__block")).orderBy(col(valueCol), col(tieCol))
+    val within = Window.partitionBy(col("__block")).orderBy(col(valueCol).asc_nulls_last, col(tieCol).asc_nulls_last)
     b.join(broadcast(prefixes.select("__block", "__bprefix")), Seq("__block"))
       .crossJoin(broadcast(total))
       .withColumn("__rank", col("__bprefix") + row_number().over(within))
@@ -172,7 +180,10 @@ object Pipeline {
       hiPermille: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    // nulls LAST explicitly: Spark's default is NULLS FIRST, DuckDB's is
+    // NULLS LAST — a null value would silently shift every rank and
+    // corrupt the picked bounds instead of erroring (ADVICE r5)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol).asc_nulls_last)
     val wg = Window.partitionBy(col(groupCol))
     val ranked = df
       .withColumn("__rn", row_number().over(w))
@@ -196,7 +207,8 @@ object Pipeline {
   private def rankPick(
       df: DataFrame, groupCol: String, valueCol: String, permille: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    // nulls LAST to match the DuckDB oracle's ASC default (see winsorize)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol).asc_nulls_last)
     val wg = Window.partitionBy(col(groupCol))
     df.withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wg))
@@ -249,7 +261,11 @@ object Pipeline {
     val h = keyHash(keyCol)
     val b = df.withColumn("__h", h)
       .withColumn("__block", shiftright(col("__h"), 60 - blockBits))
-    val perBlock = Window.orderBy(col("__block")).rowsBetween(Long.MinValue, -1)
+    // partitionBy(lit(0)): the input is <= 2^blockBits rows by
+    // construction (one per block), so a single window task is fine —
+    // the literal partition key just says so to the planner (no
+    // "No Partition Defined" warning for a provably bounded input)
+    val perBlock = Window.partitionBy(lit(0)).orderBy(col("__block")).rowsBetween(Long.MinValue, -1)
     val prefixes = b.groupBy("__block").agg(count(lit(1)).as("__bcnt"))
       .withColumn("__bprefix", coalesce(sum(col("__bcnt")).over(perBlock), lit(0L)))
     val within = Window.partitionBy(col("__block")).orderBy(col("__h"), col(keyCol))

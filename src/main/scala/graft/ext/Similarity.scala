@@ -380,9 +380,15 @@ object Similarity {
     val mean = col("s").cast("double") / col("n")
     val variance = col("s2").cast("double") / col("n") - mean * mean
     e.join(broadcast(stats), Seq("pos"))
+      // zero-spread guard: a constant dimension has variance 0 (or a
+      // tiny NEGATIVE double from s2/n − mean² cancellation); dividing
+      // by sqrt of that yields NaN/Inf, which Spark's cast silently
+      // nulls while DuckDB errors — emit z_e4 = 0 instead, mirrored in
+      // the oracle SQL (every value IS the mean, so 0 is also correct)
       .withColumn("z_e4",
-        floor((col("v").cast("double") - mean) / sqrt(variance) * zScale + 0.5)
-          .cast("long"))
+        when(variance <= 0.0, lit(0L)).otherwise(
+          floor((col("v").cast("double") - mean) / sqrt(variance) * zScale + 0.5)
+            .cast("long")))
       .select("vec_id", "pos", "z_e4")
   }
 

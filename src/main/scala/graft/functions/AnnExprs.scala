@@ -91,6 +91,19 @@ case class HyperplaneBucketsExpr(child: Expression, planes: Array[Array[Array[Do
     })
   }
 
+  // content-based equality (see MatVecExpr): Array fields compare by
+  // reference under case-class equals, breaking canonicalization
+  override def equals(other: Any): Boolean = other match {
+    case h: HyperplaneBucketsExpr => child == h.child &&
+      planes.length == h.planes.length &&
+      planes.indices.forall(t => planes(t).length == h.planes(t).length &&
+        planes(t).indices.forall(b => java.util.Arrays.equals(planes(t)(b), h.planes(t)(b))))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      planes.map(_.map(java.util.Arrays.hashCode).toSeq).toSeq.hashCode()
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -168,6 +181,18 @@ case class NearestCentroidExpr(
     })
   }
 
+  // content-based equality (see MatVecExpr)
+  override def equals(other: Any): Boolean = other match {
+    case n: NearestCentroidExpr => child == n.child &&
+      java.util.Arrays.equals(centroidIds, n.centroidIds) &&
+      centroids.length == n.centroids.length &&
+      centroids.indices.forall(i => java.util.Arrays.equals(centroids(i), n.centroids(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + java.util.Arrays.hashCode(centroidIds)) +
+      centroids.map(java.util.Arrays.hashCode).toSeq.hashCode()
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -234,6 +259,19 @@ case class MatVecExpr(child: Expression, mat: Array[Array[Double]])
        """.stripMargin
     })
   }
+
+  // content-based equality: the compiler-generated case-class equals
+  // compares Array fields by reference, so two expressions built from
+  // equal matrices never compare equal — defeating semanticEquals-based
+  // subexpression elimination when the same projection is referenced
+  // twice (ADVICE r5)
+  override def equals(other: Any): Boolean = other match {
+    case m: MatVecExpr => child == m.child && mat.length == m.mat.length &&
+      mat.indices.forall(j => java.util.Arrays.equals(mat(j), m.mat(j)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + mat.map(java.util.Arrays.hashCode).toSeq.hashCode()
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -57,7 +57,10 @@ object LexicalQueries extends QueryGroup {
     "hybrid_rrf" -> ((s, dir) => {
       val lex = Lexical.bm25TopK(Tables.documents(s, dir), "doc_id", "text", Bm25Terms, RrfDepth)
         .withColumn("rank",
-          row_number().over(Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
+          // input is the <= RrfDepth-row top-k list; lit partition says
+          // "bounded by construction" to the planner (no WindowExec warning)
+          row_number().over(Window.partitionBy(lit(0))
+            .orderBy(col("score_micro").desc, col("doc_id").asc)))
         .select("doc_id", "rank")
       val emb = Tables.embeddings(s, dir)
       val sem = Similarity.bruteTopK(

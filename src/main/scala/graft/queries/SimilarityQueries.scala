@@ -464,9 +464,12 @@ st AS (
     count(*) AS n
   FROM comp GROUP BY 1)
 SELECT vec_id, comp.pos,
-  CAST(floor((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / n)
+  CASE WHEN CAST(s2 AS DOUBLE) / n
+         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) <= 0
+       THEN CAST(0 AS BIGINT)
+       ELSE CAST(floor((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / n)
     / sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
-    * 10000.0 + 0.5) AS BIGINT) AS z_e4
+    * 10000.0 + 0.5) AS BIGINT) END AS z_e4
 FROM comp JOIN st ON comp.pos = st.pos
 ORDER BY vec_id, comp.pos""",
 

@@ -86,9 +86,11 @@ object WarehouseQueries extends QueryGroup {
     // date-disjoint batches, estimate read from merged state alone.
     // The sketch estimate is engine-specific, so the RECORDED columns
     // are the exact distinct (oracle-computable) plus a boolean
-    // asserting the merged-sketch estimate landed within 2% (lgK=12 ⇒
-    // ~1.6% rse; at this cardinality the sketch is still in exact
-    // sparse mode, and GraphWarehouseSpec pins merge ≡ single-pass).
+    // asserting the merged-sketch estimate landed within 5% — ~3× the
+    // lgK=12 RSE (~1.6%), so the assertion holds even once a larger SF
+    // pushes the sketch out of exact sparse mode (at sf0.01 it is
+    // still sparse/exact; ADVICE r5 flagged the old 2% as
+    // SF-dependent). GraphWarehouseSpec pins merge ≡ single-pass.
     "incremental_distinct" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
@@ -101,10 +103,10 @@ object WarehouseQueries extends QueryGroup {
         .agg(countDistinct(col("user_id")).as("exact_users"))
       Warehouse.finalizeDistinct(merged)
         .join(exact, Seq("event_type"))
-        .withColumn("within_2pct",
+        .withColumn("within_tol",
           abs(col("distinct_est") - col("exact_users")).cast("double")
-            / col("exact_users") < 0.02)
-        .select("event_type", "exact_users", "within_2pct")
+            / col("exact_users") < 0.05)
+        .select("event_type", "exact_users", "within_tol")
         .orderBy("event_type")
     }),
 
@@ -182,7 +184,7 @@ FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "incremental_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
-  true AS within_2pct
+  true AS within_tol
 FROM events GROUP BY event_type ORDER BY event_type""",
 
     "snapshot_diff" ->
