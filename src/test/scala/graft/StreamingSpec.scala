@@ -45,6 +45,79 @@ class StreamingSpec extends SparkSuite {
     assert(closed.subsetOf(got), s"missing closed windows: ${(closed -- got).take(3)}")
   }
 
+  test("watermark eviction bounds state: windows and sessions do not accumulate history") {
+    // The 100 TB streaming failure mode no batch-parity test catches:
+    // state that grows with HISTORY instead of with the open-window
+    // tail. Feed a month of event time through small watermarks and
+    // assert the state store holds only the tail — i.e. eviction
+    // actually fires for tumbling windows, hopping windows, and
+    // custom session state.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def tsOf(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+
+    // tumbling 1h windows, 10 min watermark: 30 days x 24 x 2 series =
+    // 1440 window-aggregates fed, only the open tail may remain
+    val m1 = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val q1 = graft.streaming.StreamingExtract.resampleLastStream(
+      m1.toDS().toDF("ts", "event_type", "value"), "ts", "event_type", "value",
+      every = "1 hour", watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("state_bound_tumble").start()
+    for (b <- 0 until 10) {
+      val rows = for (dd <- 0 until 3; h <- 0 until 24; s <- Seq("a", "b"))
+        yield (tsOf(b * 3 + dd + 1, h), s, 1.0)
+      m1.addData(rows)
+      q1.processAllAvailable()
+    }
+    val tumbleRows = stateRows(q1)
+    q1.stop()
+    assert(tumbleRows <= 32,
+      s"tumbling state holds $tumbleRows rows — eviction not firing (1440 windows fed)")
+
+    // hopping 1h/15m windows (4x replication), 10 min watermark
+    val m2 = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val q2 = graft.streaming.StreamingExtract.hoppingAggStream(
+      m2.toDS().toDF("ts", "event_type", "value"), "ts", "event_type", "value",
+      windowLen = "1 hour", slide = "15 minutes", watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("state_bound_hop").start()
+    for (b <- 0 until 10) {
+      val rows = for (dd <- 0 until 3; h <- 0 until 24; s <- Seq("a", "b"))
+        yield (tsOf(b * 3 + dd + 1, h), s, 1.0)
+      m2.addData(rows)
+      q2.processAllAvailable()
+    }
+    val hopRows = stateRows(q2)
+    q2.stop()
+    assert(hopRows <= 128,
+      s"hopping state holds $hopRows rows — eviction not firing (5760 window slices fed)")
+
+    // custom session state (flatMapGroupsWithState, event-time timeout):
+    // 40 one-event sessions fed (2 users x 20 days, gap 30 min) — state
+    // may hold only the still-open sessions, closed ones must be removed
+    val m3 = MemoryStream[graft.streaming.Sessionize.SessionEvent](spark)
+    val q3 = graft.streaming.Sessionize.sessionizeWithState(
+      m3.toDS().withWatermark("ts", "0 seconds")
+        .as[graft.streaming.Sessionize.SessionEvent],
+      gapMs = 30 * 60 * 1000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("state_bound_sessions").start()
+    for (d <- 1 to 20) {
+      m3.addData(
+        graft.streaming.Sessionize.SessionEvent(1L, tsOf(d, 10), "click", d * 10L),
+        graft.streaming.Sessionize.SessionEvent(2L, tsOf(d, 10), "view", d * 10L + 1))
+      q3.processAllAvailable()
+    }
+    val sessRows = stateRows(q3)
+    q3.stop()
+    assert(sessRows <= 4,
+      s"session state holds $sessRows rows — timed-out sessions not removed (40 fed)")
+  }
+
   test("dedupStream drops duplicate keys within the watermark horizon") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream3").toString
     // duplicate every event id 3x with the same payload
