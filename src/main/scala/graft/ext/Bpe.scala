@@ -88,6 +88,90 @@ object Bpe {
       size(expr(s"filter(split($textCol, ' '), x -> x != '')")).cast("long").as("ws_tokens"),
       tokenCountCol(textCol, vocab).as("bpe_tokens"))
 
+  /** The BPE TRAIN loop's core aggregate: corpus-wide counts of
+    * adjacent character pairs within words (every occurrence counts,
+    * as in Sennrich et al. 2016 round 1). One explode + one hash
+    * aggregate — the unavoidable corpus-wide count, shuffling only
+    * (pair, partial-count) rows. Top-N fully ordered (count desc,
+    * pair asc) so the cut is deterministic.
+    */
+  def pairCounts(df: DataFrame, idCol: String, textCol: String, topN: Int = 50): DataFrame =
+    df.select(explode(expr(
+      s"""flatten(transform(filter(split($textCol, ' '), x -> length(x) >= 2),
+         w -> transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))))"""))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topN)
+
+  /** Column: symbol array of word-column `w` after applying `merges`
+    * left-to-right in order — each merge is one bounded fold over the
+    * symbol array (standard single-pass BPE merge application: the
+    * merged token becomes the pending symbol, so cascades like
+    * ("a","a") over "aaa" → [aa, a] behave exactly as the reference
+    * algorithm). Row-local, codegen'd HOFs only. */
+  private def applyMergesCol(wordRef: Column, merges: Seq[(String, String)]): Column = {
+    val chars = split(wordRef, "")
+    merges.foldLeft(chars: Column) { case (syms, (a, b)) =>
+      aggregate(
+        syms,
+        struct(expr("cast(array() as array<string>)").as("out"),
+          lit(null).cast("string").as("prev")),
+        (acc, x) => when(acc.getField("prev").isNull,
+          struct(acc.getField("out").as("out"), x.as("prev")))
+          .when(acc.getField("prev") === lit(a) && x === lit(b),
+            struct(acc.getField("out").as("out"), lit(a + b).as("prev")))
+          .otherwise(
+            struct(concat(acc.getField("out"), array(acc.getField("prev"))).as("out"),
+              x.as("prev"))),
+        acc => when(acc.getField("prev").isNull, acc.getField("out"))
+          .otherwise(concat(acc.getField("out"), array(acc.getField("prev")))))
+    }
+  }
+
+  /** Iterative BPE merge TRAINING: `rounds` times, count adjacent
+    * symbol pairs across the corpus (symbols = chars after the merges
+    * learned so far) and adopt the most frequent pair (ties to the
+    * lexicographically smallest, making the learned table
+    * deterministic). Each round is one distributed aggregate whose
+    * result is a SINGLE row collected to the driver (the merge table
+    * is the k-row training output — driver state is O(rounds), never
+    * corpus-sized); merge application stays row-local, so round r
+    * costs one corpus map + one pair-count shuffle.
+    *
+    * Returns the learned merges with their support counts, in order.
+    */
+  def trainMerges(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int
+  ): Seq[(String, String, Long)] = {
+    val words = df.select(
+      expr(s"filter(split($textCol, ' '), x -> length(x) >= 2)").as("ws"))
+      .select(explode(col("ws")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val learned = collection.mutable.ListBuffer.empty[(String, String, Long)]
+      for (_ <- 1 to rounds) {
+        val syms = applyMergesCol(col("w"), learned.map(m => (m._1, m._2)).toSeq)
+        val top = words.withColumn("__syms", syms)
+          .filter(size(col("__syms")) >= 2)
+          .select(explode(expr("transform(sequence(0, size(__syms) - 2), " +
+            "i -> struct(__syms[i] as a, __syms[i + 1] as b))")).as("p"))
+          .select(col("p.a"), col("p.b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("a").asc, col("b").asc)
+          .limit(1)
+          .collect()
+        if (top.isEmpty) return learned.toSeq
+        val r = top.head
+        learned += ((r.getString(0), r.getString(1), r.getLong(2)))
+      }
+      learned.toSeq
+    } finally { words.unpersist() }
+  }
+
   /** DuckDB replay of the greedy cursor walk (recursive CTE): same
     * CASE, same cursor advance, summed per document. `table` must have
     * (idCol, textCol). Kept here so the Spark fold and its oracle are

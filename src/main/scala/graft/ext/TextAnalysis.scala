@@ -212,6 +212,41 @@ object TextAnalysis {
       "ellipsis_ok" -> (ellipsisLines.cast("double") / nLines <= maxEllipsisRatio))
   }
 
+  /** Linear text-classifier APPLICATION (the fastText/CCNet shape: a
+    * trained model distilled to per-term integer weights, applied at
+    * map cost to gate a corpus). The weight table rides as a Catalyst
+    * map literal (the ≤100k-term form of the worker-side model
+    * broadcast); scoring is a row-local fold — no UDF, no shuffle, no
+    * explode: `margin_milli = bias + Σ weight(word)` in integer milli
+    * units, so any engine replays it bit-for-bit. `hits` counts the
+    * in-vocabulary words (zero weights are disallowed so a hit is
+    * unambiguous); gate on `margin_milli >= 0` or any threshold.
+    */
+  def linearClassifierScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weightsMilli: Seq[(String, Long)],
+      biasMilli: Long = 0L
+  ): DataFrame = {
+    require(weightsMilli.nonEmpty && weightsMilli.forall(_._2 != 0L),
+      "zero weights would make OOV indistinguishable from a hit")
+    val m = map(weightsMilli.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    df.select(
+      col(idCol),
+      expr(s"size(filter(split($textCol, ' '), x -> x != ''))").cast("long").as("n_words"),
+      size(filter(
+        transform(expr(s"filter(split($textCol, ' '), x -> x != '')"),
+          x => element_at(m, x)),
+        w => w.isNotNull)).cast("long").as("hits"),
+      (lit(biasMilli) + coalesce(
+        aggregate(
+          transform(expr(s"filter(split($textCol, ' '), x -> x != '')"),
+            x => coalesce(element_at(m, x), lit(0L))),
+          lit(0L), (acc, x) => acc + x),
+        lit(0L))).as("margin_milli"))
+  }
+
   /** Token counts: whitespace tokens and BPE-ish regex tokens. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

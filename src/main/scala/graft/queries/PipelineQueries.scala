@@ -71,6 +71,15 @@ object PipelineQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Packing measured in REAL subword tokens (ext/Bpe) — bins now
+    // correspond to what the training run actually loads per sequence.
+    "pack_sequences_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.ext.Bpe.tokenCountCol("text").as("n_tokens"))
+      Pipeline.packSequences(docs, "doc_id", "n_tokens", seqLen = 1024L)
+        .orderBy("doc_id")
+    }),
+
     // Per-domain cap (Common Crawl "max N pages per domain"): keep the
     // 20 longest docs of each source, ties by id. Hot domains bound
     // their own output at N — the operator REDUCES downstream skew.
@@ -495,6 +504,24 @@ SELECT w.doc_id, w.n_tokens,
   CAST(bp.bprefix + w.within AS BIGINT) AS start_offset,
   CAST(floor((bp.bprefix + w.within) / 512) AS BIGINT) AS bin,
   CAST((bp.bprefix + w.within) % 512 AS BIGINT) AS bin_offset
+FROM w JOIN bp USING (blk) ORDER BY w.doc_id""",
+
+    "pack_sequences_bpe" ->
+      s"""WITH d AS (
+  SELECT doc_id, bpe_tokens AS n_tokens
+  FROM (${graft.ext.Bpe.oracleSql("documents", "doc_id", "text")})),
+b AS (SELECT doc_id, n_tokens, CAST(floor(doc_id / 4096) AS BIGINT) AS blk FROM d),
+w AS (SELECT doc_id, n_tokens, blk,
+  coalesce(sum(n_tokens) OVER (PARTITION BY blk ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS within
+  FROM b),
+bt AS (SELECT blk, sum(n_tokens) AS btotal FROM b GROUP BY 1),
+bp AS (SELECT blk, coalesce(sum(btotal) OVER (ORDER BY blk
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bprefix FROM bt)
+SELECT w.doc_id, w.n_tokens,
+  CAST(bp.bprefix + w.within AS BIGINT) AS start_offset,
+  CAST(floor((bp.bprefix + w.within) / 1024) AS BIGINT) AS bin,
+  CAST((bp.bprefix + w.within) % 1024 AS BIGINT) AS bin_offset
 FROM w JOIN bp USING (blk) ORDER BY w.doc_id""",
 
     "heavy_hitters_cms" -> {

@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   * ([[TextConstants]]), so both engines score identically.
   */
 object TextQueries extends QueryGroup {
+
+  /** Distilled linear-classifier term weights (milli units) shared by
+    * the Spark map literal and the oracle's VALUES table. */
+  private val ClassifierWeights: Seq[(String, Long)] = Seq(
+    "join" -> 120L, "hash" -> 80L, "spark" -> 200L, "stream" -> 90L,
+    "window" -> 70L, "filter" -> 50L, "merge" -> 30L,
+    "slow" -> -250L, "small" -> -60L, "scan" -> -40L)
+  private val ClassifierBias = 10L
+
+  private def classifierValuesSql: String =
+    ClassifierWeights.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
   import TextConstants._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -52,6 +63,23 @@ object TextQueries extends QueryGroup {
     // and packing should be measured in, vs the whitespace estimate.
     "token_count_bpe" -> ((s, dir) => {
       graft.ext.Bpe.bpeTokenCounts(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // BPE training's core aggregate: corpus-wide adjacent char-pair
+    // counts (Sennrich et al. round 1) — one explode + one hash agg;
+    // the full iterative trainer (ext/Bpe.trainMerges) repeats this
+    // per learned merge and is spec-checked on a hand-computed corpus.
+    "bpe_pair_counts" -> ((s, dir) => {
+      graft.ext.Bpe.pairCounts(Tables.documents(s, dir), "doc_id", "text", topN = 50)
+    }),
+
+    // Trained-model application: per-term integer weights (a distilled
+    // linear quality classifier) applied as a row-local fold — the
+    // CCNet/FineWeb "score every document with the model" gate.
+    "quality_classifier" -> ((s, dir) => {
+      TextAnalysis.linearClassifierScore(Tables.documents(s, dir), "doc_id", "text",
+        ClassifierWeights, biasMilli = ClassifierBias)
         .orderBy("doc_id")
     }),
 
@@ -321,6 +349,34 @@ ORDER BY doc_id, chunk_idx"""
     "token_count" -> tokenSql,
     "token_count_bpe" ->
       (graft.ext.Bpe.oracleSql("documents", "doc_id", "text") + "\nORDER BY doc_id"),
+
+    "bpe_pair_counts" ->
+      """WITH words AS (
+  SELECT word FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) >= 2),
+pairs AS (
+  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair
+  FROM (SELECT word, unnest(generate_series(1, len(word) - 1)) AS i FROM words)),
+c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1)
+SELECT pair, n FROM c ORDER BY n DESC, pair ASC LIMIT 50""",
+
+    "quality_classifier" ->
+      s"""WITH wt(term, w) AS (VALUES $classifierValuesSql),
+words AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''),
+sc AS (
+  SELECT ws.doc_id,
+    CAST(count(*) AS BIGINT) AS n_words,
+    CAST(count(wt.w) AS BIGINT) AS hits,
+    CAST($ClassifierBias + coalesce(sum(wt.w), 0) AS BIGINT) AS margin_milli
+  FROM words ws LEFT JOIN wt ON ws.word = wt.term
+  GROUP BY 1)
+SELECT d.doc_id, coalesce(sc.n_words, 0) AS n_words,
+  coalesce(sc.hits, 0) AS hits,
+  coalesce(sc.margin_milli, $ClassifierBias) AS margin_milli
+FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""",
     "token_stats_by_lang" -> tokenStatsSql,
     "doc_fingerprint" -> fingerprintSql,
     "text_repetition" -> repetitionSql,

@@ -25,6 +25,39 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got(3L) == ((0L, 0L)), s"got $got")
   }
 
+  test("Bpe.trainMerges learns the hand-computed merge sequence") {
+    // corpus: "abab abab cd" ×1  → words: abab, abab, cd
+    // round 1 pairs: ab×4, ba×2, cd×1  → merge (a,b) n=4
+    // round 2 symbols: [ab,ab]×2, [c,d] → pairs: (ab,ab)×2, (c,d)×1
+    //   → merge (ab,ab) n=2
+    // round 3 symbols: [abab]×2, [c,d] → only (c,d)×1 → merge (c,d)
+    val df = docsOf(1L -> "abab abab cd")
+    val merges = graft.ext.Bpe.trainMerges(df, "doc_id", "text", rounds = 3)
+    assert(merges == Seq(("a", "b", 4L), ("ab", "ab", 2L), ("c", "d", 1L)), merges.toString)
+    // exhausted corpus (every word a single symbol): further rounds
+    // return early without error
+    val more = graft.ext.Bpe.trainMerges(df, "doc_id", "text", rounds = 10)
+    assert(more.length == 3, s"dry after the 3 learnable merges: $more")
+  }
+
+  test("Bpe.pairCounts counts every adjacent char pair occurrence") {
+    val df = docsOf(1L -> "aaa ab", 2L -> "ab x")
+    // "aaa" → aa,aa ; "ab" → ab ; "ab" → ab ; "x" filtered (len 1)
+    val got = graft.ext.Bpe.pairCounts(df, "doc_id", "text", topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("aa", 2L), ("ab", 2L)), got.toString)
+  }
+
+  test("linearClassifierScore applies term weights as a row-local fold") {
+    val w = Seq("good" -> 100L, "bad" -> -200L)
+    val df = docsOf(1L -> "good good bad other", 2L -> "nothing matches here", 3L -> "")
+    val got = TextAnalysis.linearClassifierScore(df, "doc_id", "text", w, biasMilli = 5L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((4L, 3L, 5L + 100L + 100L - 200L)), s"got $got")
+    assert(got(2L) == ((3L, 0L, 5L)), s"got $got")
+    assert(got(3L) == ((0L, 0L, 5L)), s"got $got")
+  }
+
   test("langId scores markers and predicts with alphabetical tie-break") {
     val df = docsOf(
       1L -> "the cat and the dog sat in a box",       // en markers: the,a,and,in
