@@ -306,6 +306,9 @@ object Dedup {
           .as(Seq("bidx", "btext")))
       .withColumn("h", expr(s"cast(conv(substr(md5(btext), 1, 15), 16, 10) as bigint)"))
       .select("doc_id", "bidx", "h")
+      // feeds both the canonical pick and the verdict join — persist so
+      // the corpus is scanned and block-hashed once, not per branch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canon = blocks.groupBy("h")
       .agg(min(struct(col("doc_id"), col("bidx"))).as("first"))
       .select(col("h"), col("first.doc_id").as("cdoc"), col("first.bidx").as("cbidx"))
@@ -345,6 +348,12 @@ object Dedup {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = windowWords
+    // window derivation feeds BOTH the canonical pick and the verdict
+    // join, and the marked set feeds BOTH the totals and the coverage
+    // branch — persist each so the corpus is scanned (and every window
+    // hashed) ONCE, not once per branch (at 100 TB the equivalent is
+    // materializing the window table). Bench/Verify clear the cache
+    // between queries.
     val wins = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__w", split(col(textCol), " "))
@@ -356,11 +365,13 @@ object Dedup {
           .as(Seq("pos", "wtext")))
       .withColumn("h", expr(s"cast(conv(substr(md5(wtext), 1, 15), 16, 10) as bigint)"))
       .select(col("doc_id"), col("n_words"), col("pos").cast("long").as("pos"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canon = wins.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
       .select(col("h"), col("first.doc_id").as("cdoc"), col("first.pos").as("cpos"))
     val marked = wins.join(canon, Seq("h"))
       .withColumn("kept", col("doc_id") === col("cdoc") && col("pos") === col("cpos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = marked.groupBy("doc_id")
       .agg(max(col("n_words")).as("n_words"),
         count(lit(1)).as("n_windows"),
