@@ -53,6 +53,37 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Hard-negative mining for retriever/embedding training: each
+    * query's top-k most-similar corpus items whose cosine is BELOW
+    * `tauPos` — similar enough to be informative negatives, but
+    * excluded above the positive/near-dup threshold (where they are
+    * probably unlabeled positives; Karpukhin et al. 2020's BM25-hard-
+    * negative recipe generalized to dense scores). Same broadcast-
+    * query/stream-corpus shape as [[bruteTopK]]: the cut is a
+    * row-local filter BEFORE the per-query rank window, so cost is
+    * one corpus pass per query batch, no extra shuffle. For 10^9-item
+    * corpora substitute the LSH/IVF candidate generation upstream and
+    * apply the same τ-cut + rank.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      tauPos: Double
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
+      .filter(col("cos") < tauPos)
+      .withColumn("rank", row_number().over(rankWindow))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Deterministic random hyperplanes: `tables` tables x `bits` planes
     * x `dim` components, seeded.
     */

@@ -66,6 +66,16 @@ ORDER BY vec_id, pos"""
         .orderBy("query_id", "rank")
     }),
 
+    // Hard negatives for retriever training: top-k below the positive
+    // threshold (cos < 0.6) — informative negatives with probable
+    // unlabeled positives excluded by a row-local τ-cut before ranking.
+    "hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = K, tauPos = 0.6)
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH-bucketed approximate top-5 (8 tables x 8 bits, re-ranked
     // exactly). Rows-only check here; recall >= 0.8 asserted in
     // SimilaritySpec against the brute-force baseline.
@@ -443,6 +453,16 @@ ranked AS (
   SELECT query_id, neighbor_id, cos,
     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM pairs)
+SELECT query_id, rank, neighbor_id, cos FROM ranked
+WHERE rank <= $K ORDER BY query_id, rank""",
+    "hard_negatives" ->
+      s"""WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q", "c")} AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs WHERE cos < 0.6)
 SELECT query_id, rank, neighbor_id, cos FROM ranked
 WHERE rank <= $K ORDER BY query_id, rank""",
     "embedding_label_stats" ->

@@ -252,6 +252,38 @@ class StreamingSpec extends SparkSuite {
     assert(after.count() == batch.count(), "replay replaces, never duplicates")
   }
 
+  test("foreachBatch signature maintenance: streamed signature table gates like full history") {
+    // the ingest-time form of Dedup.signatureTable: each arriving
+    // micro-batch appends its (id, xhash, sig) rows; a later batch
+    // gate reads the ACCUMULATED table — verdicts must equal the
+    // full-history re-hash path, and the history text is never touched
+    import graft.ext.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sig").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val history = docs.filter(col("doc_id") % 5 =!= 0)
+    val batchNew = docs.filter(col("doc_id") % 5 === 0)
+    history.write.mode("overwrite").parquet(s"$tmp/in")
+
+    val streamed = StreamingExtract.source(spark, s"$tmp/in", history.schema)
+    val q = streamed.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.signatureTable(b, "doc_id", "text")
+          .write.mode("append").parquet(s"$tmp/sigs")
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val sigs = spark.read.parquet(s"$tmp/sigs")
+    val viaStream = Dedup.incrementalDupsFromSignatures(sigs, batchNew, "doc_id", "text", 0.5)
+      .orderBy("doc_id").collect().toSeq
+    val direct = Dedup.incrementalDups(history, batchNew, "doc_id", "text", 0.5)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaStream == direct, "streamed signature table must gate identically")
+  }
+
   test("stream-static enrichment: a streaming fact joins the static dim per micro-batch") {
     // the ingest-enrichment shape: events stream in, the dimension
     // table is read fresh per micro-batch and broadcast — no state,
