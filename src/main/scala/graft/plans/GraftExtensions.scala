@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.dotFunction)
     e.injectFunction(GraftFunctions.cosineFunction)
     e.injectOptimizerRule(_ => NanosRangePushdown)
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
 

@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftshim.GraftShim
+
+/** Whole-operator Catalyst extension (SURVEY §4 preference tier (c)):
+  * per-key top-k as a custom LogicalPlan + SparkStrategy + SparkPlan.
+  *
+  * The DataFrame spelling — `row_number().over(partitionBy(key).orderBy
+  * (...)) <= k` — plans as WindowExec: shuffle on the key, then SORT
+  * THE ENTIRE PARTITION by (key, order) and buffer it, even though all
+  * but k rows per key are discarded. This operator keeps the same
+  * shuffle (ClusteredDistribution on the key) but replaces the full
+  * sort with one bounded max-heap per key: O(n log k) comparisons, and
+  * memory O(distinct keys in partition × k rows) instead of the whole
+  * partition — the difference between "buffer 100 TB / shard" and
+  * "hold k rows per key" on a hot-key table scan.
+  *
+  * Correctness contract: `order` must be a TOTAL order over the rows
+  * (include a unique tiebreaker, e.g. the primary key) — ties are
+  * resolved by heap arrival order otherwise, which is
+  * partitioning-dependent. The operator emits the top-k SET per key
+  * (first k rows under `order`), with no rank column and no emission-
+  * order guarantee; sort downstream if presentation order matters.
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan
+) extends UnaryNode {
+  require(k > 0, "top-k needs k > 0")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan
+) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  /** All rows of a key must meet in one partition for a global per-key
+    * answer; Catalyst inserts the hash Exchange (or reuses a
+    * compatible existing distribution — e.g. bucketed layout). */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ord = RowOrdering.create(sortOrder, childOutput)
+      // max-heap per key under `ord`: head is the WORST retained row,
+      // replaced when a strictly better row arrives
+      val heaps = scala.collection.mutable.HashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.put(key.copy(), h)
+            h
+        }
+        if (heap.size < kk) heap.enqueue(row.copy())
+        else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Plans the logical node; injected via `GraftExtensions`
+  * (injectPlannerStrategy) or at runtime through
+  * `spark.experimental.extraStrategies` (what [[TopKPerKey.apply]]
+  * does, so the operator works on un-configured sessions too). */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  /** Top-k rows per key group under a TOTAL order (include a unique
+    * tiebreaker column). `orderSpec` = (column, descending?) pairs,
+    * with Spark's default null ordering (desc → NULLS LAST, asc →
+    * NULLS FIRST — the same as `col.desc`/`col.asc` in the window
+    * spelling). Output columns = input columns (the top-k set).
+    *
+    * Catalyst SortOrders are built directly from attribute names
+    * rather than accepting `Column`s: a `Column.desc` carries an
+    * internal (connect-style) sort node that only converts at the
+    * standard Dataset API boundary — inside a custom logical node it
+    * would survive to execution unresolved and unserializable.
+    */
+  def apply(df: DataFrame, keyCols: Seq[String], orderSpec: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val sortOrder = orderSpec.map { case (name, desc) =>
+      if (desc)
+        SortOrder(UnresolvedAttribute(name), org.apache.spark.sql.catalyst.expressions.Descending)
+      else
+        SortOrder(UnresolvedAttribute(name), org.apache.spark.sql.catalyst.expressions.Ascending)
+    }
+    GraftShim.ofRows(spark,
+      TopKPerKeyNode(
+        keyCols.map(UnresolvedAttribute(_)), sortOrder, k,
+        GraftShim.logicalPlan(df)))
+  }
+}

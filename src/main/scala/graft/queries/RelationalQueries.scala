@@ -124,6 +124,20 @@ object RelationalQueries extends QueryGroup {
     }),
 
     // Ranking window — top-3 customers by balance per segment.
+    // Same per-segment top-3, but through the custom whole-operator
+    // extension (plans/TopKPerKey: LogicalPlan + Strategy + SparkPlan,
+    // bounded per-key heaps instead of WindowExec's full partition
+    // sort). Emits the top-k SET (no rank column); ordered for the
+    // hash compare. PlansSpec asserts WindowExec-free planning.
+    "topk_per_group_native" -> ((s, dir) => {
+      graft.plans.TopKPerKey(
+        Tables.customer(s, dir).select("c_mktsegment", "c_custkey", "c_acctbal"),
+        keyCols = Seq("c_mktsegment"),
+        orderSpec = Seq("c_acctbal" -> true, "c_custkey" -> false),
+        k = 3)
+        .orderBy(col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey").asc)
+    }),
+
     "window_rank" -> ((s, dir) => {
       Relational.topKPerGroup(
         Tables.customer(s, dir),
@@ -456,6 +470,14 @@ FROM orders JOIN lineitem
  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
 WHERE o_orderkey < 1000
 GROUP BY 1 ORDER BY 1""",
+
+    "topk_per_group_native" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+    row_number() OVER (PARTITION BY c_mktsegment
+      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer) t
+WHERE rn <= 3 ORDER BY c_mktsegment, c_acctbal DESC, c_custkey ASC""",
 
     "window_rank" ->
       """SELECT c_mktsegment, rank, c_custkey, c_acctbal FROM (

@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Column <-> catalyst Expression bridge. Spark 4 made the classic
@@ -9,9 +10,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * columnNodeSupport.scala in the Spark source); extensions that define
   * native codegen expressions reach it through a shim in the sql
   * package namespace — the standard pattern for out-of-tree Catalyst
-  * expressions.
+  * expressions. `ofRows` is the same bridge for custom LOGICAL PLAN
+  * nodes (Dataset.ofRows is `private[sql]` too).
   */
 object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
 }
