@@ -42,21 +42,33 @@ case class TopKPerKeyNode(
     copy(child = newChild)
 }
 
+/** `partial = true` is the MAP-SIDE pass (no distribution requirement,
+  * runs before the exchange): each map partition keeps its own per-key
+  * heaps, cutting shuffle volume from all rows to ≤ keys×k rows per
+  * map partition — the same two-phase shape as partial aggregation,
+  * and the part that matters most at 100 TB (top-k of a union is the
+  * top-k of per-partition top-k's, so the final pass stays exact). */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan
 ) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
-  /** All rows of a key must meet in one partition for a global per-key
-    * answer; Catalyst inserts the hash Exchange (or reuses a
-    * compatible existing distribution — e.g. bucketed layout). */
+  /** Final pass: all surviving rows of a key must meet in one partition
+    * for a global per-key answer; Catalyst inserts the hash Exchange
+    * (or reuses a compatible distribution — e.g. bucketed layout).
+    * Partial pass: runs wherever the data already is. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -97,7 +109,10 @@ case class TopKPerKeyExec(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      // two-phase: map-side partial cut, exchange (inserted by the
+      // final's distribution requirement), exact final pass
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -30,11 +30,14 @@ class PlansSpec extends SparkSuite {
     val df = TopKPerKey(customer, Seq("c_mktsegment"),
       Seq("c_acctbal" -> true, "c_custkey" -> false), k = 3)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("TopKPerKey"), plan.take(800))
+    assert(plan.contains("TopKPerKeyFinal"), plan.take(800))
+    // two-phase: the map-side partial cut sits BELOW the exchange, so
+    // shuffle volume is <= keys x k rows per map partition
+    assert(plan.contains("TopKPerKeyPartial"), plan.take(800))
+    assert(plan.indexOf("TopKPerKeyFinal") < plan.indexOf("Exchange"), plan.take(800))
+    assert(plan.indexOf("Exchange") < plan.indexOf("TopKPerKeyPartial"), plan.take(800))
     assert(!plan.contains("Window"), "window operator must be gone:\n" + plan.take(800))
     assert(!plan.contains("Sort "), "no partition-wide sort:\n" + plan.take(800))
-    // the key shuffle the distribution contract demands is still there
-    assert(plan.contains("Exchange") || plan.contains("ShuffleExchange"), plan.take(800))
   }
 
   test("TopKPerKey is partitioning-independent under a total order") {
