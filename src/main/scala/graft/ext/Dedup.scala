@@ -320,6 +320,49 @@ object Dedup {
         sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** [[spanDedup]] that emits the CLEANED corpus — the deliverable a
+    * C4-style pipeline actually writes: every non-canonical block is
+    * REMOVED from the document text, kept blocks re-joined in
+    * position order. Same shuffle shape as the counting form (blocks
+    * row-local, one hash agg on the 60-bit hash, verdict join back,
+    * then one per-doc aggregate); the reassembly is a row-local
+    * `array_sort`+`array_join` over that doc's kept blocks, so no new
+    * scale hazard — per-doc memory is the document itself.
+    */
+  def spanDedupClean(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockWords: Int = 5
+  ): DataFrame = {
+    val blocks = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__w", split(col(textCol), " "))
+      .select(col(idCol).as("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(floor((size(__w) - 1) / $blockWords) as int)), " +
+            s"i -> array_join(slice(__w, i * $blockWords + 1, $blockWords), ' '))"))
+          .as(Seq("bidx", "btext")))
+      .withColumn("h", expr(s"cast(conv(substr(md5(btext), 1, 15), 16, 10) as bigint)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = blocks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("bidx"))).as("first"))
+      .select(col("h"), col("first.doc_id").as("cdoc"), col("first.bidx").as("cbidx"))
+    blocks.join(canon, Seq("h"))
+      .withColumn("kept", col("doc_id") === col("cdoc") && col("bidx") === col("cbidx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+        // collect_list skips the null (removed) branch; struct sort is
+        // by field order, bidx first — position order restored
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("bidx"), col("btext"))))),
+            s => s.getField("btext")),
+          " ").as("cleaned_text"))
+  }
+
   /** Unaligned span dedup: the shingle-anchored step toward Lee et
     * al. 2022's suffix-array substring dedup. [[spanDedup]] cuts fixed
     * blocks, so a repeated passage that straddles a block boundary or

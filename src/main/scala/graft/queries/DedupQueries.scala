@@ -74,6 +74,13 @@ object DedupQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // The cleaned-corpus deliverable: duplicate blocks removed from
+    // the text itself, kept blocks rejoined in order.
+    "dedup_spans_clean" -> ((s, dir) => {
+      Dedup.spanDedupClean(Tables.documents(s, dir), "doc_id", "text", blockWords = 5)
+        .orderBy("doc_id")
+    }),
+
     // Unaligned (stride-1) span dedup: every 5-word sliding window
     // hashed, first global occurrence kept, per-doc interval-union
     // coverage of removed spans — catches boundary-straddling repeats
@@ -186,6 +193,34 @@ SELECT b.doc_id, count(*) AS n_blocks,
                 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
 FROM blocks b JOIN canon c USING (h)
 GROUP BY b.doc_id ORDER BY b.doc_id"""
+
+  /** Replays the block dedup and the in-order reassembly: string_agg
+    * skips the removed (NULL) branch; ORDER BY bidx restores position
+    * order; all-blocks-removed docs coalesce to the empty string. */
+  private val spanCleanSql =
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idxd AS (
+  SELECT doc_id, w,
+    unnest(generate_series(0, CAST(floor((len(w) - 1) / 5) AS BIGINT))) AS i
+  FROM docs),
+blocks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS bidx,
+    array_to_string(list_slice(w, i * 5 + 1, i * 5 + 5), ' ') AS btext,
+    CAST(('0x' || substr(md5(
+      array_to_string(list_slice(w, i * 5 + 1, i * 5 + 5), ' ')), 1, 15)) AS BIGINT) AS h
+  FROM idxd),
+canon AS (
+  SELECT h, min(struct_pack(doc_id := doc_id, bidx := bidx)) AS first
+  FROM blocks GROUP BY h),
+marked AS (
+  SELECT b.doc_id, b.bidx, b.btext,
+    (b.doc_id = c.first.doc_id AND b.bidx = c.first.bidx) AS kept
+  FROM blocks b JOIN canon c USING (h))
+SELECT doc_id, count(*) AS n_blocks,
+  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+  coalesce(string_agg(CASE WHEN kept THEN btext END, ' ' ORDER BY bidx), '')
+    AS cleaned_text
+FROM marked GROUP BY doc_id ORDER BY doc_id"""
 
   /** Replays the sliding-window hash, the first-occurrence pick, and
     * the gaps-and-islands coverage sum with the same integer
@@ -330,6 +365,7 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_embedding" -> cosineSql,
     "dedup_embedding_lsh" -> embLshSql,
     "dedup_spans" -> spanSql,
+    "dedup_spans_clean" -> spanCleanSql,
     "dedup_spans_exact" -> spanExactSql,
     "dedup_fuzzy_edit" -> fuzzyEditSql,
     "dedup_incremental" -> incrementalSql,

@@ -117,6 +117,23 @@ class DedupSimilaritySpec extends SparkSuite {
       "history scan must not read a text column:\n" + plan.take(1200))
   }
 
+  test("spanDedupClean removes duplicate blocks and reassembles in order") {
+    // doc 2 = exact copy of doc 1 (its blocks all remove); doc 3
+    // shares only its FIRST block with doc 1 — the cleaned text keeps
+    // the tail in position order; the all-removed doc cleans to ""
+    val fx = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a b c d e f g h i j"),
+        Row(2L, "a b c d e f g h i j"),
+        Row(3L, "a b c d e x y z w v"))),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val got = Dedup.spanDedupClean(fx, "doc_id", "text", blockWords = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((2L, 0L, "a b c d e f g h i j")), s"got $got")
+    assert(got(2L) == ((2L, 2L, "")), s"got $got")
+    assert(got(3L) == ((2L, 1L, "x y z w v")), s"got $got")
+  }
+
   test("spanDedupExact catches a boundary-straddling repeat spanDedup misses") {
     // the shared 6-word run "a b c d e f" starts at word 0 of doc 1 but
     // word 1 of doc 2 — no 5-aligned block is shared, so the block form
