@@ -36,4 +36,21 @@ object Bucketing {
     */
   def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Range-sorted layout: `repartitionByRange(files, cols)` +
+    * `sortWithinPartitions(cols)` + write — every output file covers a
+    * DISJOINT range of the sort key, and rows inside each file are
+    * sorted. Parquet footer min/max stats then prune file reads for
+    * range predicates on those columns (the zone-map complement to
+    * [[graft.operators.Zorder]]'s multi-dimension clustering: for ONE
+    * dominant range column — time, id — straight range-sorting prunes
+    * strictly better). Range boundaries come from Spark's reservoir
+    * sampling of the key distribution, so files are ~equal-sized even
+    * on skewed keys; `files` sizes the layout (target ≈ data /
+    * desired-file-bytes at 100 TB).
+    */
+  def writeRangeSorted(df: DataFrame, path: String, cols: Seq[String], files: Int): Unit =
+    df.repartitionByRange(files, cols.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").parquet(path)
 }

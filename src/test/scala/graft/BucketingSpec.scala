@@ -106,4 +106,34 @@ class BucketingSpec extends SparkSuite {
         direct.filter(col("change_type") === "added").count())
     }
   }
+
+  test("writeRangeSorted: disjoint per-file key ranges that prune range scans") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rangesort").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "value")
+    Bucketing.writeRangeSorted(events, s"$tmp/by_ts", Seq("ts"), files = 8)
+
+    // one parquet file per range partition, ranges pairwise disjoint
+    val files = new java.io.File(s"$tmp/by_ts").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 8, s"${files.length} files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("ts"), max("ts")).head()
+      (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, aMax), (bMin, _)) =>
+      assert(aMax <= bMin, s"file ranges overlap: $aMax > $bMin")
+    }
+
+    // footer min/max stats prune a narrow time-range scan to few files
+    val narrow = spark.read.parquet(s"$tmp/by_ts")
+      .filter(col("ts") >= "2024-01-05 00:00:00" && col("ts") < "2024-01-06 00:00:00")
+    narrow.count()
+    val scanned = narrow.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles")
+    // row-group stats prune at read: a one-day slice of a month touches
+    // a small minority of the 8 range files
+    assert(narrow.count() > 0)
+    scanned.foreach(m => assert(m.value < 8, s"scanned ${m.value} of 8 files"))
+  }
 }
