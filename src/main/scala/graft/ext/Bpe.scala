@@ -43,8 +43,16 @@ object Bpe {
     "of", "ed", "is", "it", "al", "ar", "st", "to", "nt", "ng", "se",
     "ha", "ou", "le", "ve", "co", "me", "de", "hi", "ri", "ro", "ic")
 
-  private def sqlQuote(s: String): String =
-    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+  private def sqlQuote(s: String): String = {
+    // pieces are inlined into BOTH Spark-expr and DuckDB string
+    // literals, whose escape rules differ (Spark honors backslash
+    // escapes, standard SQL does not) — restrict to the alphanumeric
+    // subset where the two spellings coincide rather than carrying
+    // two escapers
+    require(s.matches("[A-Za-z0-9]+"),
+      s"vocab piece must be alphanumeric (got '$s')")
+    "'" + s + "'"
+  }
 
   /** SQL CASE computing the greedy piece length at 1-based cursor `i`
     * of word `w` — longest candidate first; 1 (single char) fallback.

@@ -20,7 +20,12 @@ object TextQueries extends QueryGroup {
   private val ClassifierBias = 10L
 
   private def classifierValuesSql: String =
-    ClassifierWeights.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    ClassifierWeights.map { case (t, w) =>
+      // terms are inlined into a SQL VALUES literal — keep them in the
+      // quote-free subset so no escaping question arises
+      require(t.matches("[A-Za-z0-9_-]+"), s"classifier term must be plain (got '$t')")
+      s"('$t', $w)"
+    }.mkString(", ")
   import TextConstants._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
