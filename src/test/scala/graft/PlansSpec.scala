@@ -51,6 +51,33 @@ class PlansSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("TopKPerKey null keys and null order values match the window spelling") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // null key forms its own group (like PARTITION BY); null order
+    // values sort NULLS LAST under desc — both defaults shared with
+    // the col.desc window spelling
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a", 1L, java.lang.Double.valueOf(5.0)),
+        Row("a", 2L, null),
+        Row("a", 3L, java.lang.Double.valueOf(7.0)),
+        Row("a", 4L, java.lang.Double.valueOf(6.0)),
+        Row(null, 5L, java.lang.Double.valueOf(1.0)),
+        Row(null, 6L, null))),
+      StructType(Seq(StructField("seg", StringType), StructField("id", LongType),
+        StructField("bal", DoubleType))))
+    val native = TopKPerKey(df, Seq("seg"), Seq("bal" -> true, "id" -> false), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val window = Relational.topKPerGroup(df,
+      partition = Seq(col("seg")),
+      order = Seq(col("bal").desc, col("id").asc), k = 2)
+      .select("seg", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(native == window, s"native=$native window=$window")
+    assert(native == Set(("a", 3L), ("a", 4L), (null, 5L), (null, 6L)))
+  }
+
   test("TopKPerKey with k larger than any group returns every row") {
     val n = customer.count()
     val all = TopKPerKey(customer, Seq("c_mktsegment"),
