@@ -24,7 +24,8 @@ object SparkEntry {
     WarehouseQueries,
     GraphQueries,
     LexicalQueries,
-    AnalyticsQueries
+    AnalyticsQueries,
+    EvalQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -21,6 +21,18 @@ object Pipeline {
   private def keyHash(keyCol: String): org.apache.spark.sql.Column =
     expr(s"cast(conv(substr(md5(cast($keyCol as string)), 1, 15), 16, 10) as bigint)")
 
+  /** Constant-valued but NON-foldable window partition key for inputs
+    * that are provably bounded (<= 2^blockBits rows by construction):
+    * one window task is fine, and a non-empty partition spec documents
+    * that to the planner. A plain `lit(0)` no longer works — Spark 4's
+    * `EliminateWindowPartitions` rule folds literal partition keys
+    * away, bringing back the "No Partition Defined" warning — but
+    * `c * 0` survives (not foldable: Catalyst cannot simplify it since
+    * `c` could be null) and evaluates to 0 for every non-null row.
+    */
+  private[graft] def boundedPartKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c * lit(0L)
+
   /** Deterministic ~(permille/1000) sample: keep rows whose key hash
     * lands in the accept window. Unlike `df.sample`, membership is a
     * pure function of the key — stable across reruns, partitioning, and
@@ -96,11 +108,10 @@ object Pipeline {
     val block = floor(col(idCol) / blockSize).as("__block")
     val within = Window.partitionBy(col("__block"))
       .orderBy(col(idCol)).rowsBetween(Long.MinValue, -1)
-    // partitionBy(lit(0)): the input is <= 2^blockBits rows by
-    // construction (one per block), so a single window task is fine —
-    // the literal partition key just says so to the planner (no
-    // "No Partition Defined" warning for a provably bounded input)
-    val perBlock = Window.partitionBy(lit(0)).orderBy(col("__block")).rowsBetween(Long.MinValue, -1)
+    // boundedPartKey: <= 2^blockBits input rows by construction (one
+    // per block) — one window task, spelled so the planner knows it
+    val perBlock = Window.partitionBy(boundedPartKey(col("__block")))
+      .orderBy(col("__block")).rowsBetween(Long.MinValue, -1)
     val blockPrefix = df.select(block, col(tokenCountCol))
       .groupBy("__block").agg(sum(col(tokenCountCol)).as("__btotal"))
       .withColumn("__bprefix",
@@ -141,11 +152,10 @@ object Pipeline {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = df.withColumn("__block", floor(col(valueCol) / blockWidth).cast("long"))
-    // partitionBy(lit(0)): the input is <= 2^blockBits rows by
-    // construction (one per block), so a single window task is fine —
-    // the literal partition key just says so to the planner (no
-    // "No Partition Defined" warning for a provably bounded input)
-    val perBlock = Window.partitionBy(lit(0)).orderBy(col("__block")).rowsBetween(Long.MinValue, -1)
+    // boundedPartKey: <= 2^blockBits input rows by construction (one
+    // per block) — one window task, spelled so the planner knows it
+    val perBlock = Window.partitionBy(boundedPartKey(col("__block")))
+      .orderBy(col("__block")).rowsBetween(Long.MinValue, -1)
     val prefixes = b.groupBy("__block").agg(count(lit(1)).as("__bcnt"))
       .withColumn("__bprefix", coalesce(sum(col("__bcnt")).over(perBlock), lit(0L)))
     val total = prefixes.agg(sum(col("__bcnt")).as("__n"))
@@ -261,11 +271,10 @@ object Pipeline {
     val h = keyHash(keyCol)
     val b = df.withColumn("__h", h)
       .withColumn("__block", shiftright(col("__h"), 60 - blockBits))
-    // partitionBy(lit(0)): the input is <= 2^blockBits rows by
-    // construction (one per block), so a single window task is fine —
-    // the literal partition key just says so to the planner (no
-    // "No Partition Defined" warning for a provably bounded input)
-    val perBlock = Window.partitionBy(lit(0)).orderBy(col("__block")).rowsBetween(Long.MinValue, -1)
+    // boundedPartKey: <= 2^blockBits input rows by construction (one
+    // per block) — one window task, spelled so the planner knows it
+    val perBlock = Window.partitionBy(boundedPartKey(col("__block")))
+      .orderBy(col("__block")).rowsBetween(Long.MinValue, -1)
     val prefixes = b.groupBy("__block").agg(count(lit(1)).as("__bcnt"))
       .withColumn("__bprefix", coalesce(sum(col("__bcnt")).over(perBlock), lit(0L)))
     val within = Window.partitionBy(col("__block")).orderBy(col("__h"), col(keyCol))

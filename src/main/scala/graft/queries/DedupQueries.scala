@@ -136,7 +136,7 @@ object DedupQueries extends QueryGroup {
   // ---- oracle SQL, generated from the same constants ----
 
   /** Shared shingle + hash CTEs (DuckDB 1-based lists). */
-  private def shingleCtes(m: Long): String =
+  private[queries] def shingleCtes(m: Long): String =
     s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
 idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM docs),
 sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),

@@ -57,9 +57,9 @@ object LexicalQueries extends QueryGroup {
     "hybrid_rrf" -> ((s, dir) => {
       val lex = Lexical.bm25TopK(Tables.documents(s, dir), "doc_id", "text", Bm25Terms, RrfDepth)
         .withColumn("rank",
-          // input is the <= RrfDepth-row top-k list; lit partition says
-          // "bounded by construction" to the planner (no WindowExec warning)
-          row_number().over(Window.partitionBy(lit(0))
+          // input is the <= RrfDepth-row top-k list; the bounded (non-
+          // foldable) partition key says so to the planner (no warning)
+          row_number().over(Window.partitionBy(graft.ext.Pipeline.boundedPartKey(col("doc_id")))
             .orderBy(col("score_micro").desc, col("doc_id").asc)))
         .select("doc_id", "rank")
       val emb = Tables.embeddings(s, dir)

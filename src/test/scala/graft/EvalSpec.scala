@@ -1,0 +1,94 @@
+package graft
+
+import graft.ext.Eval
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Specs for the dataset-evaluation operators: hand-computed NDCG on a
+  * tiny fixture, majority-vote tie-breaks, Wilson-bound ordering (the
+  * small-perfect vs large-near-perfect property the bound exists for),
+  * and eval-overlap boundary cases.
+  */
+class EvalSpec extends SparkSuite {
+
+  test("dcgWeightsE6: w(1)=1e6, strictly decreasing, cum table monotone") {
+    val w = Eval.dcgWeightsE6(10)
+    assert(w.head == 1000000L)
+    assert(w == w.sortBy(-_), s"not decreasing: $w")
+    assert(w.last > 0L)
+  }
+
+  test("ndcgAtK matches a hand-computed fixture") {
+    // query 100 (label 1) retrieves ranks 1..3 = labels (1, 2, 1):
+    // rel = [1,0,1] -> dcg = w1 + w3, n_rel = 2 -> idcg = w1 + w2.
+    // query 200 (label 5) retrieves nothing relevant -> ndcg 0.
+    val ranked = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(100L, 1, 11L), Row(100L, 2, 12L), Row(100L, 3, 13L),
+        Row(200L, 1, 11L), Row(200L, 2, 12L), Row(200L, 3, 13L))),
+      StructType(Seq(StructField("query_id", LongType),
+        StructField("rank", IntegerType), StructField("neighbor_id", LongType))))
+    val labels = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(100L, 1), Row(200L, 5), Row(11L, 1), Row(12L, 2), Row(13L, 1))),
+      StructType(Seq(StructField("id", LongType), StructField("lab", IntegerType))))
+    val out = Eval.ndcgAtK(ranked, labels, "id", "lab", k = 3)
+      .orderBy("query_id").collect()
+    val w = Eval.dcgWeightsE6(3)
+    val expDcg = w(0) + w(2)
+    val expNdcg = (expDcg * 1000000L) / (w(0) + w(1))
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((100L, 2L, expDcg, expNdcg), (200L, 0L, 0L, 0L)))
+  }
+
+  test("majorityLabel: highest votes wins, ties break to smallest label") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        // user 1: b x2, a x2 -> tie -> 'a' wins
+        Row(1L, "b"), Row(1L, "b"), Row(1L, "a"), Row(1L, "a"),
+        // user 2: clear majority 'z'
+        Row(2L, "z"), Row(2L, "z"), Row(2L, "z"), Row(2L, "y"))),
+      StructType(Seq(StructField("u", LongType), StructField("l", StringType))))
+    val out = Eval.majorityLabel(df, "u", "l").orderBy("u").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, "a", 2L, 4L, 5000L), (2L, "z", 3L, 4L, 7500L)))
+  }
+
+  test("wilsonQuality: 4/4 does NOT outrank 96/100; all-good closed form") {
+    val direct = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1 to 4).map(_ => Row("small", 300L)) ++
+        (1 to 96).map(_ => Row("large", 300L)) ++ (1 to 4).map(_ => Row("large", 10L)) ++
+        (1 to 10).map(_ => Row("perfect", 300L))),
+      StructType(Seq(StructField("src", StringType), StructField("chars", LongType))))
+    val out = Eval.wilsonQuality(direct, "src", col("chars") >= 300L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (sn, ss, sw) = out("small")
+    val (ln, ls, lw) = out("large")
+    val (pn, ps, pw) = out("perfect")
+    assert((sn, ss) == (4L, 4L) && (ln, ls) == (100L, 96L) && (pn, ps) == (10L, 10L))
+    // the whole point of the bound: 96/100 beats 4/4 despite lower rate
+    assert(lw > sw, s"large=$lw small=$sw")
+    // s = n closed form: inner = 1 -> r = 1e6 -> (n+2)*1e6 - 2e6 = n*1e6
+    assert(sw == 4L * 1000000L / (4L + 4L))
+    assert(pw == 10L * 1000000L / (10L + 4L))
+  }
+
+  test("ngramOverlap: contained doc scores 10000 bp, disjoint doc 0, short doc dropped") {
+    val mk = (id: Long, t: String) => Row(id, t)
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        mk(1L, "alpha beta gamma delta"),        // both 3-grams in eval
+        mk(2L, "one two three four five"),       // disjoint
+        mk(3L, "too short"))),                   // < 3 words -> no grams
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val eval = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(mk(9L, "alpha beta gamma delta epsilon"))),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val out = Eval.ngramOverlap(corpus, "doc_id", "text", eval, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 10000L), (2L, 3L, 0L, 0L)))
+  }
+}
