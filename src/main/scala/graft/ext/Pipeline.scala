@@ -26,12 +26,14 @@ object Pipeline {
     * one window task is fine, and a non-empty partition spec documents
     * that to the planner. A plain `lit(0)` no longer works — Spark 4's
     * `EliminateWindowPartitions` rule folds literal partition keys
-    * away, bringing back the "No Partition Defined" warning — but
-    * `c * 0` survives (not foldable: Catalyst cannot simplify it since
-    * `c` could be null) and evaluates to 0 for every non-null row.
+    * away, bringing back the "No Partition Defined" warning — and
+    * `c * 0` is simplified to a literal too when `c` is non-nullable.
+    * `pmod(c, 1)` survives every current simplification rule and
+    * evaluates to 0 for every non-null row (null keeps its own
+    * partition — still bounded).
     */
   private[graft] def boundedPartKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    c * lit(0L)
+    pmod(c, lit(1L))
 
   /** Deterministic ~(permille/1000) sample: keep rows whose key hash
     * lands in the accept window. Unlike `df.sample`, membership is a
@@ -414,6 +416,37 @@ object Pipeline {
       .crossJoin(orphan.agg(count(lit(1)).as("n_orphan_child")))
       .crossJoin(parent.agg(count(lit(1)).as("n_parent")))
       .crossJoin(childless.agg(count(lit(1)).as("n_childless_parent")))
+  }
+
+  /** Key-skew report: the top-N heaviest keys with their absolute
+    * count, share of all rows, and cumulative share (basis points) —
+    * the audit a pipeline runs BEFORE picking a join/agg strategy
+    * (broadcast vs salt vs AQE skew split). A `share_bp` over ~500 on
+    * a join key is the "salt this" signal; `cum_bp` shows how head-
+    * heavy the distribution is.
+    *
+    * Scale shape: one map-side-combined hash aggregate per key, a
+    * K-bounded TakeOrdered for the top-N (never a global sort), a
+    * 1-row total broadcast, and rank/cumulative windows over the
+    * N-row result (bounded partition key — no single-task funnel of
+    * anything data-sized).
+    */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = counted.agg(sum(col("cnt")).as("__total"))
+    val top = counted.orderBy(col("cnt").desc, col(keyCol).asc).limit(topN)
+    val w = Window.partitionBy(boundedPartKey(col("cnt")))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+    // ROWS frame (not the default RANGE): ties on cnt must accumulate
+    // one row at a time in the tie-broken order, matching the oracle
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("__cum", sum(col("cnt")).over(cum))
+      .withColumn("share_bp", expr("(cnt * 10000) div __total"))
+      .withColumn("cum_bp", expr("(__cum * 10000) div __total"))
+      .select(col(keyCol), col("cnt"), col("rank"), col("share_bp"), col("cum_bp"))
   }
 
   /** Per-group z-score outliers over an INTEGER measure column (centi/

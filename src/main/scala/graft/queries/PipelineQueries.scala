@@ -303,6 +303,14 @@ object PipelineQueries extends QueryGroup {
         .orderBy("node")
     }),
 
+    // Key-skew audit of events.user_id: top-20 heaviest keys with
+    // share / cumulative share in basis points — the pre-join salting
+    // decision input (TakeOrdered top-N, never a global sort).
+    "skew_report" -> ((s, dir) => {
+      Pipeline.skewReport(Tables.events(s, dir), "user_id", topN = 20)
+        .orderBy("rank")
+    }),
+
     // One-pass data-quality profile of the orders table: null/distinct
     // counts per column + discretized price bounds and date range.
     "profile_orders" -> ((s, dir) => {
@@ -742,6 +750,22 @@ FROM orders""",
   $perCol
 FROM orders"""
     },
+
+    "skew_report" ->
+      """WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+top AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id ASC LIMIT 20),
+r AS (
+  SELECT user_id, cnt,
+    CAST(row_number() OVER w AS INTEGER) AS rank,
+    CAST(sum(cnt) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM top
+  WINDOW w AS (ORDER BY cnt DESC, user_id ASC))
+SELECT user_id, cnt, rank,
+  CAST((cnt * 10000) // t.total AS BIGINT) AS share_bp,
+  CAST((cum * 10000) // t.total AS BIGINT) AS cum_bp
+FROM r, t ORDER BY rank""",
 
     "profile_orders" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

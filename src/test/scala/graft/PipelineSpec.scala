@@ -442,4 +442,29 @@ class PipelineSpec extends SparkSuite {
       assert(byBin(b).max <= byBin(b + 1).min, s"monotone at $b")
     }
   }
+
+  test("skewReport: counts/shares exact, cum monotone, top-N via TakeOrdered not global sort") {
+    val ev = Tables.events(spark, sf)
+    val rep = Pipeline.skewReport(ev, "user_id", topN = 5)
+    val rows = rep.orderBy("rank").collect()
+    assert(rows.length == 5)
+    val total = ev.count()
+    val truth = ev.groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    rows.zip(truth).zipWithIndex.foreach { case ((r, (id, c)), i) =>
+      assert(r.getLong(0) == id && r.getLong(1) == c, s"row $i")
+      assert(r.getLong(3) == c * 10000L / total, s"share row $i")
+    }
+    val cums = rows.map(_.getLong(4))
+    assert(cums.sorted.sameElements(cums), "cum_bp monotone")
+    assert(cums.last == truth.map(_._2).sum * 10000L / total)
+    // scale shape: the top-N must come from a K-bounded TakeOrdered,
+    // and the rank/cum windows must keep a partition spec (no
+    // single-partition WindowExec warning path)
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), plan.take(600))
+    assert(plan.contains("pmod(cnt"),
+      "bounded partition key must survive optimization:\n" + plan.take(600))
+  }
 }
