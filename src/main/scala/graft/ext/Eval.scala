@@ -71,6 +71,25 @@ object Eval {
       .select("query_id", "n_rel", "dcg_e6", "ndcg_e6")
   }
 
+  /** Recall@k of an approximate retrieval result against the exact
+    * one: per query, how many of the true top-k the index recovered
+    * (`hits`) and the recall in basis points. The acceptance metric
+    * for every ANN tier — run on a bounded sampled query set, since
+    * the exact side is the expensive one at corpus scale.
+    *
+    * Shape at 100 TB: both inputs are |queries| x k rows (top-k lists,
+    * not corpora); the join and aggregate are bounded by construction.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    exact.select("query_id", "neighbor_id")
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .withColumn("recall_bp", expr(s"(hits * 10000) div $k"))
+  }
+
   /** Majority-vote label resolution (annotation aggregation): per key,
     * the modal label with a deterministic tie-break (highest vote
     * count, then lexicographically smallest label). Emits the winning

@@ -47,6 +47,17 @@ object EvalQueries extends QueryGroup {
         .orderBy(col("wilson_e6").desc, col("source"))
     }),
 
+    // Recall@5 of the LSH ANN tier vs the exact brute-force top-5 —
+    // the index-acceptance metric, first-class and oracle-checked
+    // (both sides are seeded/deterministic, so recall is too).
+    "ann_recall_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteTopK(emb, qs, "vec_id", "embedding", 5)
+      val approx = Similarity.lshTopK(emb, qs, "vec_id", "embedding", 5)
+      Eval.recallAtK(exact, approx, 5).orderBy("query_id")
+    }),
+
     // Per-doc contamination score: fraction (basis points) of the
     // doc's distinct 3-gram hashes present anywhere in the eval split
     // (doc_id % 20 = 0), zero-overlap docs kept.
@@ -97,6 +108,17 @@ SELECT query_id, n_rel, dcg_e6,
   CAST(CASE WHEN n_rel = 0 THEN 0
        ELSE (dcg_e6 * 1000000) // ($cumCase) END AS BIGINT) AS ndcg_e6
 FROM agg ORDER BY query_id""",
+
+    // Wraps the two (deterministic) ANN oracles verbatim as subqueries
+    // — same constants, same hyperplanes — and counts the overlap.
+    "ann_recall_lsh" ->
+      s"""WITH b AS (SELECT query_id, neighbor_id FROM (${SimilarityQueries.oracleSql("ann_topk_brute")})),
+l AS (SELECT query_id, neighbor_id FROM (${SimilarityQueries.oracleSql("ann_topk_lsh")}))
+SELECT b.query_id,
+  CAST(count(l.neighbor_id) AS BIGINT) AS hits,
+  CAST((count(l.neighbor_id) * 10000) // 5 AS BIGINT) AS recall_bp
+FROM b LEFT JOIN l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id ORDER BY b.query_id""",
 
     "label_majority" ->
       """WITH c AS (

@@ -42,6 +42,17 @@ class EvalSpec extends SparkSuite {
       Seq((100L, 2L, expDcg, expNdcg), (200L, 0L, 0L, 0L)))
   }
 
+  test("recallAtK: hit counting, zero-hit queries kept, basis points exact") {
+    val mk = (rows: Seq[(Long, Long)]) => spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (q, n) => Row(q, n) }),
+      StructType(Seq(StructField("query_id", LongType), StructField("neighbor_id", LongType))))
+    val exact = mk(Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)))
+    val approx = mk(Seq((1L, 10L), (1L, 99L), (2L, 98L), (2L, 97L)))
+    val out = Eval.recallAtK(exact, approx, k = 2).orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 5000L), (2L, 0L, 0L)))
+  }
+
   test("majorityLabel: highest votes wins, ties break to smallest label") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
