@@ -153,6 +153,36 @@ object Eval {
       .withColumn("wilson_e6", expr("((n_good + 2) * 1000000 - 2 * __r) div (n_docs + 4)"))
       .select(col(groupCol), col("n_docs"), col("n_good"), col("wilson_e6"))
 
+  /** Cross-split leakage audit: near-duplicate pairs whose members
+    * landed in DIFFERENT dataset splits — the contamination path a
+    * random split leaves open (train memorizes, test rewards it) and
+    * the reason splits should hash a canonical/cluster id, not the raw
+    * doc id. `pairs` is any dedup pair report (`doc_a, doc_b`);
+    * `splits` maps `idCol -> splitCol`. Emits only the leaking pairs
+    * with both split labels.
+    *
+    * Shape at 100 TB: split assignment is a scan-side hash column (no
+    * shuffle); the pair set (∝ actual duplication) joins against it
+    * twice on the doc id — matched rows only. Run it as the acceptance
+    * gate after [[Pipeline.datasetSplit]]; a non-empty result means
+    * re-split on the dedup-cluster representative.
+    */
+  def splitLeakage(
+      pairs: DataFrame,
+      splits: DataFrame,
+      idCol: String,
+      splitCol: String
+  ): DataFrame = {
+    val s = splits.select(col(idCol).as("__id"), col(splitCol).as("__split"))
+    pairs.select("doc_a", "doc_b")
+      .join(s, col("doc_a") === col("__id"))
+      .withColumnRenamed("__split", "split_a").drop("__id")
+      .join(s, col("doc_b") === col("__id"))
+      .withColumnRenamed("__split", "split_b").drop("__id")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "split_a", "split_b")
+  }
+
   /** Per-document eval-set overlap score: the fraction (in basis
     * points) of a corpus doc's distinct word n-gram hashes that appear
     * anywhere in the eval set — [[Decontaminate.ngramContamination]]'s

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{DedupConstants, Eval, Similarity}
+import graft.ext.{Dedup, DedupConstants, Eval, Pipeline, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,6 +56,18 @@ object EvalQueries extends QueryGroup {
       val exact = Similarity.bruteTopK(emb, qs, "vec_id", "embedding", 5)
       val approx = Similarity.lshTopK(emb, qs, "vec_id", "embedding", 5)
       Eval.recallAtK(exact, approx, 5).orderBy("query_id")
+    }),
+
+    // Cross-split leakage audit: MinHash near-dup pairs split across
+    // train/val/test by the hash split — the contamination a raw-id
+    // split leaves open. Non-empty result = re-split on cluster reps.
+    "split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      val splits = Pipeline.datasetSplit(docs.select("doc_id"), "doc_id",
+        valPermille = 100, testPermille = 100)
+      Eval.splitLeakage(pairs, splits, "doc_id", "split")
+        .orderBy("doc_a", "doc_b")
     }),
 
     // Per-doc contamination score: fraction (basis points) of the
@@ -119,6 +131,23 @@ SELECT b.query_id,
   CAST((count(l.neighbor_id) * 10000) // 5 AS BIGINT) AS recall_bp
 FROM b LEFT JOIN l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
 GROUP BY b.query_id ORDER BY b.query_id""",
+
+    // Wraps the MinHash-pair oracle verbatim; split spelling identical
+    // to dataset_split's (same md5 hash family, same permilles).
+    "split_leakage" ->
+      s"""WITH p AS (SELECT doc_a, doc_b FROM (${DedupQueries.oracleSql("dedup_minhash_lsh")})),
+s AS (
+  SELECT doc_id,
+    CASE WHEN ${PipelineQueries.duckHash("doc_id")} % 1000 >= 900 THEN 'test'
+         WHEN ${PipelineQueries.duckHash("doc_id")} % 1000 >= 800 THEN 'val'
+         ELSE 'train' END AS split
+  FROM documents)
+SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+FROM p
+JOIN s sa ON sa.doc_id = p.doc_a
+JOIN s sb ON sb.doc_id = p.doc_b
+WHERE sa.split <> sb.split
+ORDER BY p.doc_a, p.doc_b""",
 
     "label_majority" ->
       """WITH c AS (

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object PipelineQueries extends QueryGroup {
 
   /** Portable key hash, DuckDB spelling (matches Pipeline.keyHash). */
-  private def duckHash(keyCol: String): String =
+  private[queries] def duckHash(keyCol: String): String =
     s"CAST(('0x' || substr(md5(CAST($keyCol AS VARCHAR)), 1, 15)) AS BIGINT)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

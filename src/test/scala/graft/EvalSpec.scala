@@ -86,6 +86,22 @@ class EvalSpec extends SparkSuite {
     assert(pw == 10L * 1000000L / (10L + 4L))
   }
 
+  test("splitLeakage: only cross-split pairs survive, labels attached to the right side") {
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 2L), Row(3L, 4L), Row(5L, 6L))),
+      StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType))))
+    val splits = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "train"), Row(2L, "test"),   // leaks
+        Row(3L, "train"), Row(4L, "train"),  // same split — fine
+        Row(5L, "val"), Row(6L, "train"))),  // leaks
+      StructType(Seq(StructField("doc_id", LongType), StructField("split", StringType))))
+    val out = Eval.splitLeakage(pairs, splits, "doc_id", "split")
+      .orderBy("doc_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 2L, "train", "test"), (5L, 6L, "val", "train")))
+  }
+
   test("ngramOverlap: contained doc scores 10000 bp, disjoint doc 0, short doc dropped") {
     val mk = (id: Long, t: String) => Row(id, t)
     val corpus = spark.createDataFrame(
