@@ -88,6 +88,38 @@ object Pipeline {
         .otherwise("train"))
   }
 
+  /** Leakage-safe dataset split: assign train/val/test by the hash of
+    * the doc's DEDUP-CLUSTER representative, so near-duplicates land in
+    * the SAME split by construction — the fix for what
+    * [[Eval.splitLeakage]] audits (a raw-id split puts ~half of every
+    * near-dup pair's mass across a split boundary). Docs with no
+    * near-dup pair use their own id (identical assignment to
+    * [[datasetSplit]] for the unique majority, so adding dedup pairs
+    * never reshuffles unique docs between splits).
+    *
+    * Shape at 100 TB: `pairs` (∝ duplication, not corpus) resolve via
+    * [[connectedComponents]] (O(log d) bounded rounds); the label table
+    * — also ∝ duplication — left-joins onto the corpus scan, and the
+    * split itself stays a row-local hash predicate on `rep_id`.
+    */
+  def splitByCluster(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      valPermille: Int = 50,
+      testPermille: Int = 50,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol, checkpointDir = checkpointDir)
+    val withRep = df
+      .join(labels, df(idCol) === labels("node"), "left")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col(idCol)))
+      .drop("node", "cluster_id")
+    datasetSplit(withRep, "rep_id", valPermille, testPermille)
+  }
+
   /** Sequence packing: lay documents end-to-end in `idCol` order and
     * cut the stream into fixed `seqLen`-token training windows — each
     * row gets its global start offset, its window (`bin`), and the

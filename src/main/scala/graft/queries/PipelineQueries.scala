@@ -60,6 +60,19 @@ object PipelineQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Leakage-safe split: assignment hashes the dedup-cluster
+    // representative, so near-dup pairs land in the same split by
+    // construction (EvalSpec proves splitLeakage returns empty on it);
+    // unique docs keep their dataset_split assignment.
+    "split_by_cluster" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      Pipeline.splitByCluster(docs.select("doc_id"), "doc_id",
+        pairs, "doc_a", "doc_b", valPermille = 100, testPermille = 100)
+        .select("doc_id", "rep_id", "split")
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing: documents laid end-to-end in id order, cut
     // into 512-token training windows via the two-phase distributed
     // prefix sum (per-block cumsum + tiny block rollup — never a
@@ -496,6 +509,17 @@ ORDER BY o_orderkey""",
        WHEN ${duckHash("doc_id")} % 1000 >= 800 THEN 'val'
        ELSE 'train' END AS split
 FROM documents ORDER BY doc_id""",
+
+    "split_by_cluster" ->
+      s"""WITH RECURSIVE $clusterCtes,
+rep AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS rep_id
+  FROM documents d LEFT JOIN labeled l ON l.node = d.doc_id)
+SELECT doc_id, rep_id,
+  CASE WHEN ${duckHash("rep_id")} % 1000 >= 900 THEN 'test'
+       WHEN ${duckHash("rep_id")} % 1000 >= 800 THEN 'val'
+       ELSE 'train' END AS split
+FROM rep ORDER BY doc_id""",
 
     "pack_sequences" ->
       """WITH d AS (

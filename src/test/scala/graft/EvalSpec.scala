@@ -102,6 +102,33 @@ class EvalSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 2L, "train", "test"), (5L, 6L, "val", "train")))
   }
 
+  test("splitByCluster: co-locates near-dups (audit empty), unique docs keep their raw split") {
+    import graft.ext.Pipeline
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize((1L to 60L).map(Row(_))),
+      StructType(Seq(StructField("doc_id", LongType))))
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 2L), Row(2L, 3L), Row(10L, 11L), Row(40L, 41L))),
+      StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType))))
+    val out = Pipeline.splitByCluster(docs, "doc_id", pairs, "doc_a", "doc_b",
+      valPermille = 300, testPermille = 300)
+    val m = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // chain 1-2-3 resolves to rep 1 and one shared split
+    assert(Seq(1L, 2L, 3L).map(m(_)._1).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(m(_)._2).distinct.size == 1)
+    assert(m(10L)._2 == m(11L)._2 && m(40L)._2 == m(41L)._2)
+    // the audit the operator exists to satisfy
+    assert(Eval.splitLeakage(pairs, out, "doc_id", "split").count() == 0L)
+    // unique docs: rep = own id, split identical to the raw hash split
+    val raw = Pipeline.datasetSplit(docs, "doc_id", valPermille = 300, testPermille = 300)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val paired = Set(1L, 2L, 3L, 10L, 11L, 40L, 41L)
+    (1L to 60L).filterNot(paired).foreach { id =>
+      assert(m(id)._1 == id && m(id)._2 == raw(id), s"doc $id moved")
+    }
+  }
+
   test("ngramOverlap: contained doc scores 10000 bp, disjoint doc 0, short doc dropped") {
     val mk = (id: Long, t: String) => Row(id, t)
     val corpus = spark.createDataFrame(
