@@ -176,6 +176,32 @@ class ScaleBehaviorSpec extends SparkSuite {
     assert(!fnPlan.contains("Join"), fnPlan.take(1000))
   }
 
+  test("eval-tier queries keep their claimed plan shapes") {
+    val dir = "/root/testdata/sf0.001"
+
+    // ndcg: the bounded ranked list broadcasts into BOTH label joins —
+    // the corpus-scale labels table never sort-merge-joins
+    val nd = graft.queries.EvalQueries.queries("ndcg_at_k")(spark, dir)
+    val ndPlan = nd.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(ndPlan).size >= 2, ndPlan.take(1200))
+    assert(!ndPlan.contains("SortMergeJoin"), ndPlan.take(1200))
+
+    // wilson: one aggregate pass over one scan — no join, no window
+    val wq = graft.queries.EvalQueries.queries("quality_wilson")(spark, dir)
+    val wqPlan = wq.queryExecution.executedPlan.toString
+    assert(wqPlan.split("Scan parquet").length - 1 == 1, wqPlan.take(800))
+    assert(!wqPlan.contains("Join") && !wqPlan.contains("WindowExec"), wqPlan.take(800))
+
+    // majority vote: the arg-max window runs AFTER the (key,label)
+    // hash aggregate (partial agg below the exchange), never on raw rows
+    val lm = graft.queries.EvalQueries.queries("label_majority")(spark, dir)
+    val lmPlan = lm.queryExecution.executedPlan.toString
+    assert(lmPlan.indexOf("HashAggregate") >= 0 &&
+      lmPlan.indexOf("Window") < lmPlan.indexOf("HashAggregate"),
+      "window (printed above) must consume the aggregate (printed below):\n" + lmPlan.take(1200))
+    assert(!lmPlan.contains("SinglePartition"), lmPlan.take(1200))
+  }
+
   test("co-bucketed tables sort-merge join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
