@@ -88,6 +88,41 @@ object Pipeline {
         .otherwise("train"))
   }
 
+  /** Mixture planner: turn a global token budget + target per-stratum
+    * mixture weights into the per-stratum sampling PERMILLES that
+    * [[weightedSample]] consumes — the planning step before the
+    * mixture sample. Per stratum: `desired = budget * weight_bp /
+    * 10000`, `permille = min(1000, desired * 1000 / available)` (a
+    * stratum with less material than its target saturates at 1000 —
+    * the under-supply shows up as `expected < desired`), and
+    * `expected = available * permille / 1000` (what the downstream
+    * hash sample will actually keep, in expectation). All integer
+    * floor-division, so the plan is engine-exact.
+    *
+    * Shape at 100 TB: one map-side-combined aggregate to |strata|
+    * rows; the arithmetic is driver-free column math on that bounded
+    * result. The weight table is config-sized (a when-chain, like
+    * [[weightedSample]]'s rates).
+    */
+  def mixturePlan(
+      df: DataFrame,
+      strataCol: String,
+      tokenCol: String,
+      targetTokens: Long,
+      weightsBp: Map[String, Int],
+      defaultBp: Int = 0
+  ): DataFrame = {
+    val wBp = weightsBp.foldLeft(lit(defaultBp)) {
+      case (acc, (s, w)) => when(col(strataCol) === s, lit(w)).otherwise(acc)
+    }
+    df.groupBy(col(strataCol))
+      .agg(sum(col(tokenCol)).as("available"))
+      .withColumn("weight_bp", wBp.cast("long"))
+      .withColumn("desired", expr(s"($targetTokens * weight_bp) div 10000"))
+      .withColumn("permille", least(lit(1000L), expr("(desired * 1000) div available")))
+      .withColumn("expected", expr("(available * permille) div 1000"))
+  }
+
   /** Leakage-safe dataset split: assign train/val/test by the hash of
     * the doc's DEDUP-CLUSTER representative, so near-duplicates land in
     * the SAME split by construction — the fix for what

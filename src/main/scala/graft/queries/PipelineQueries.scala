@@ -165,6 +165,18 @@ object PipelineQueries extends QueryGroup {
         .orderBy("lang", "doc_id")
     }),
 
+    // Mixture planner: the step BEFORE sample_weighted — turn a 100k
+    // token budget + target weights (en 50%, zh 30%, fr 15%, others
+    // 5%) into the per-language sampling permilles; under-supplied
+    // languages saturate at 1000‰ and report expected < desired.
+    "mixture_plan" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Pipeline.mixturePlan(docs, "lang", "n_tokens", targetTokens = 100000L,
+        Map("en" -> 5000, "zh" -> 3000, "fr" -> 1500), defaultBp = 500)
+        .orderBy("lang")
+    }),
+
     // Domain-mixing weights: en 500‰, zh 300‰, fr 150‰, others 50‰ —
     // the deterministic mixture-sampling step of a training pipeline.
     "sample_weighted" -> ((s, dir) => {
@@ -640,6 +652,27 @@ WHERE ${duckHash("doc_id")} % 1000 <
   CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 300
        WHEN lang = 'fr' THEN 150 ELSE 50 END
 ORDER BY doc_id""",
+
+    "mixture_plan" ->
+      """WITH a AS (
+  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available
+  FROM documents GROUP BY 1),
+w AS (
+  SELECT lang, available,
+    CAST(CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'zh' THEN 3000
+              WHEN lang = 'fr' THEN 1500 ELSE 500 END AS BIGINT) AS weight_bp
+  FROM a),
+d AS (
+  SELECT lang, available, weight_bp,
+    CAST((100000 * weight_bp) // 10000 AS BIGINT) AS desired
+  FROM w),
+p AS (
+  SELECT lang, available, weight_bp, desired,
+    CAST(least(1000, (desired * 1000) // available) AS BIGINT) AS permille
+  FROM d)
+SELECT lang, available, weight_bp, desired, permille,
+  CAST((available * permille) // 1000 AS BIGINT) AS expected
+FROM p ORDER BY lang""",
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM (

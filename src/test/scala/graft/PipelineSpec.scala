@@ -443,6 +443,27 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("mixturePlan: integer plan math, saturation at 1000 permille, under-supply visible") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("en", 1000L), Row("en", 1000L),   // available 2000
+        Row("zh", 100L),                      // available 100 — under-supplied
+        Row("misc", 500L))),
+      StructType(Seq(StructField("lang", StringType), StructField("toks", LongType))))
+    val out = Pipeline.mixturePlan(df, "lang", "toks", targetTokens = 1000L,
+      Map("en" -> 6000, "zh" -> 3000), defaultBp = 1000)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // en: desired 600 of 2000 -> 300 permille, expected 600 exactly
+    assert(out("en") == (2000L, 6000L, 600L, 300L, 600L))
+    // zh: desired 300 but only 100 available -> saturates, expected < desired
+    assert(out("zh") == (100L, 3000L, 300L, 1000L, 100L))
+    // misc: default weight 10% -> desired 100 of 500 -> 200 permille
+    assert(out("misc") == (500L, 1000L, 100L, 200L, 100L))
+  }
+
   test("skewReport: counts/shares exact, cum monotone, top-N via TakeOrdered not global sort") {
     val ev = Tables.events(spark, sf)
     val rep = Pipeline.skewReport(ev, "user_id", topN = 5)
