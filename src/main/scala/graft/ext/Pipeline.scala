@@ -88,6 +88,32 @@ object Pipeline {
         .otherwise("train"))
   }
 
+  /** Dedup health report: the cluster-size histogram of a pair report
+    * — per size, how many clusters, how many docs they hold, and how
+    * many a keep-one policy would remove. THE summary number a dedup
+    * run reports (duplication rate = Σ removable / corpus size) and
+    * the tuning signal for thresholds (a fat tail of giant clusters
+    * usually means boilerplate, not true duplication). Singleton docs
+    * (no near-dup pair) are not represented — the report covers the
+    * duplicated sub-corpus.
+    *
+    * Shape at 100 TB: clusters resolve in O(log d) bounded rounds on
+    * the pair set (∝ duplication); both aggregates reduce to at most
+    * |clusters| then |distinct sizes| rows.
+    */
+  def dedupSummary(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      checkpointDir: Option[String] = None
+  ): DataFrame =
+    connectedComponents(pairs, aCol, bCol, checkpointDir = checkpointDir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("__s"))
+      .groupBy(col("__s").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", expr("cluster_size * n_clusters"))
+      .withColumn("removable", expr("(cluster_size - 1) * n_clusters"))
+
   /** Mixture planner: turn a global token budget + target per-stratum
     * mixture weights into the per-stratum sampling PERMILLES that
     * [[weightedSample]] consumes — the planning step before the

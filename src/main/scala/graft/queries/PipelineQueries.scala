@@ -60,6 +60,16 @@ object PipelineQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Dedup health report: cluster-size histogram of the MinHash near-
+    // dup clusters — dup rate and keep-one removable counts, the
+    // numbers a dedup run actually reports.
+    "dedup_summary" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.5)
+      Pipeline.dedupSummary(pairs, "doc_a", "doc_b")
+        .orderBy("cluster_size")
+    }),
+
     // Leakage-safe split: assignment hashes the dedup-cluster
     // representative, so near-dup pairs land in the same split by
     // construction (EvalSpec proves splitLeakage returns empty on it);
@@ -521,6 +531,16 @@ ORDER BY o_orderkey""",
        WHEN ${duckHash("doc_id")} % 1000 >= 800 THEN 'val'
        ELSE 'train' END AS split
 FROM documents ORDER BY doc_id""",
+
+    "dedup_summary" ->
+      s"""WITH RECURSIVE $clusterCtes,
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS s FROM labeled GROUP BY 1)
+SELECT s AS cluster_size,
+  CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(s * count(*) AS BIGINT) AS n_docs,
+  CAST((s - 1) * count(*) AS BIGINT) AS removable
+FROM sizes GROUP BY s ORDER BY cluster_size""",
 
     "split_by_cluster" ->
       s"""WITH RECURSIVE $clusterCtes,

@@ -443,6 +443,20 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("dedupSummary: cluster-size histogram with keep-one removable counts") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 2L), Row(2L, 3L),          // chain -> cluster of 3
+        Row(10L, 11L), Row(20L, 21L))),    // two clusters of 2
+      StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType))))
+    val out = Pipeline.dedupSummary(pairs, "doc_a", "doc_b")
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((2L, 2L, 4L, 2L), (3L, 1L, 3L, 2L)))
+  }
+
   test("mixturePlan: integer plan math, saturation at 1000 permille, under-supply visible") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
