@@ -58,6 +58,18 @@ object EvalQueries extends QueryGroup {
       Eval.recallAtK(exact, approx, 5).orderBy("query_id")
     }),
 
+    // Same acceptance metric for the IVF tier (nProbe-bounded probe
+    // set instead of hash buckets) — recall is per-query, so a probe
+    // config that strands a region shows up as specific low rows, not
+    // a diluted average.
+    "ann_recall_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteTopK(emb, qs, "vec_id", "embedding", 5)
+      val approx = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5)
+      Eval.recallAtK(exact, approx, 5).orderBy("query_id")
+    }),
+
     // Cross-split leakage audit: MinHash near-dup pairs split across
     // train/val/test by the hash split — the contamination a raw-id
     // split leaves open. Non-empty result = re-split on cluster reps.
@@ -126,6 +138,15 @@ FROM agg ORDER BY query_id""",
     "ann_recall_lsh" ->
       s"""WITH b AS (SELECT query_id, neighbor_id FROM (${SimilarityQueries.oracleSql("ann_topk_brute")})),
 l AS (SELECT query_id, neighbor_id FROM (${SimilarityQueries.oracleSql("ann_topk_lsh")}))
+SELECT b.query_id,
+  CAST(count(l.neighbor_id) AS BIGINT) AS hits,
+  CAST((count(l.neighbor_id) * 10000) // 5 AS BIGINT) AS recall_bp
+FROM b LEFT JOIN l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id ORDER BY b.query_id""",
+
+    "ann_recall_ivf" ->
+      s"""WITH b AS (SELECT query_id, neighbor_id FROM (${SimilarityQueries.oracleSql("ann_topk_brute")})),
+l AS (SELECT query_id, neighbor_id FROM (${SimilarityQueries.oracleSql("ann_topk_ivf")}))
 SELECT b.query_id,
   CAST(count(l.neighbor_id) AS BIGINT) AS hits,
   CAST((count(l.neighbor_id) * 10000) // 5 AS BIGINT) AS recall_bp
