@@ -142,6 +142,54 @@ object Warehouse {
     state.select(state.columns.filterNot(_ == "s_hll").map(col) :+
       hll_sketch_estimate(col("s_hll")).as("distinct_est"): _*)
 
+  /** Mergeable QUANTILE state — the other non-decomposable staple
+    * [[aggState]] can't carry (p50/p95/p99 latency boards). Exact
+    * percentiles need a global sort per refresh; the incremental
+    * layout instead keeps a fixed-width integer histogram per key:
+    * `histogramState` buckets a batch's (already integer-discretized)
+    * values into `binWidth`-wide bins and counts — one hash aggregate,
+    * state bounded by value range / binWidth per key regardless of row
+    * count. [[mergeHistogramStates]] folds states by summing per-bin
+    * counts (associative + commutative, exact under any batch split).
+    * [[finalizeQuantiles]] answers any permille from state alone: the
+    * first bin where the cumulative count covers p‰ of the total,
+    * reported as the bin's lower edge — a deterministic integer both
+    * engines compute identically, with error bounded by `binWidth` by
+    * construction (vs the unbounded rank error of a mis-merged
+    * sketch). Values are assumed non-negative (integer `div` ==
+    * floor); the per-key cumulative window runs over the BIN table,
+    * bounded by bins-per-key, never the row count.
+    */
+  def histogramState(
+      df: DataFrame, keyCols: Seq[String], valueCol: String, binWidth: Long): DataFrame =
+    df.groupBy(keyCols.map(col) :+ expr(s"$valueCol div ${binWidth}L").as("s_bin"): _*)
+      .agg(count(lit(1)).as("s_cnt"))
+
+  /** Fold histogram states (per-bin count sum; same binWidth by construction). */
+  def mergeHistogramStates(states: Seq[DataFrame], keyCols: Seq[String]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy((keyCols :+ "s_bin").map(col): _*)
+      .agg(sum("s_cnt").as("s_cnt"))
+
+  /** Quantile read from histogram state alone: for each requested
+    * permille, the lower edge of the first bin whose cumulative count
+    * reaches ceil(p‰ · total). Long format: (keys…, p_permille,
+    * q_value) — integer-exact in both engines.
+    */
+  def finalizeQuantiles(
+      state: DataFrame, keyCols: Seq[String], permilles: Seq[Int], binWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(keyCols.map(col): _*)
+    val cum = state
+      .withColumn("cum", sum("s_cnt").over(byKey.orderBy(col("s_bin"))))
+      .withColumn("total", sum("s_cnt").over(byKey))
+    cum
+      .withColumn("p_permille", explode(array(permilles.map(p => lit(p)): _*)))
+      .filter(col("cum") * 1000 >= col("p_permille") * col("total"))
+      .groupBy((keyCols :+ "p_permille").map(col): _*)
+      .agg((min("s_bin") * binWidth).as("q_value"))
+  }
+
   /** Snapshot diff — the change-data-capture feed derived from two
     * immutable snapshots when the source system emits none: rows only
     * in `newDf` → `added`, only in `oldDf` → `removed`, in both with

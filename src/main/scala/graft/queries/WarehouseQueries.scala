@@ -110,6 +110,26 @@ object WarehouseQueries extends QueryGroup {
         .orderBy("event_type")
     }),
 
+    // Incremental QUANTILE maintenance: per-batch fixed-width integer
+    // histograms (50-centi bins over the centi-discretized value),
+    // merged across the two date-disjoint batches by summing per-bin
+    // counts, p50/p95/p99 read from merged state alone as the first
+    // bin whose cumulative count covers p‰ — integer-exact in both
+    // engines, error bounded by the bin width by construction (no
+    // sketch estimate to tolerance-check).
+    "incremental_quantile" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_centi"))
+      val merged = Warehouse.mergeHistogramStates(
+        Seq(
+          Warehouse.histogramState(e.filter(col("day") < "2024-01-15"), Seq("event_type"), "value_centi", 50L),
+          Warehouse.histogramState(e.filter(col("day") >= "2024-01-15"), Seq("event_type"), "value_centi", 50L)),
+        Seq("event_type"))
+      Warehouse.finalizeQuantiles(merged, Seq("event_type"), Seq(500, 950, 990), 50L)
+        .orderBy("event_type", "p_permille")
+    }),
+
     // Snapshot diff: CDC derived from two full dumps. Both snapshots
     // are deterministic slices of orders (in cents): the old snapshot
     // is missing the %50==3 keys (→ added), the new one is missing
@@ -181,6 +201,31 @@ SELECT event_type, day,
   max(value_centi) AS s_max,
   (CAST(sum(value_centi) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS mean_micro
 FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "incremental_quantile" ->
+      """WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_centi
+  FROM events),
+b1 AS (
+  SELECT event_type, value_centi // 50 AS s_bin, CAST(count(*) AS BIGINT) AS s_cnt
+  FROM e WHERE day < DATE '2024-01-15' GROUP BY 1, 2),
+b2 AS (
+  SELECT event_type, value_centi // 50 AS s_bin, CAST(count(*) AS BIGINT) AS s_cnt
+  FROM e WHERE day >= DATE '2024-01-15' GROUP BY 1, 2),
+st AS (
+  SELECT event_type, s_bin, CAST(sum(s_cnt) AS BIGINT) AS s_cnt
+  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) GROUP BY 1, 2),
+c AS (
+  SELECT event_type, s_bin,
+    CAST(sum(s_cnt) OVER (PARTITION BY event_type ORDER BY s_bin) AS BIGINT) AS cum,
+    CAST(sum(s_cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM st),
+p AS (SELECT * FROM (VALUES (500), (950), (990)) AS t(p_permille))
+SELECT event_type, p_permille, CAST(min(s_bin) * 50 AS BIGINT) AS q_value
+FROM c CROSS JOIN p
+WHERE cum * 1000 >= p_permille * total
+GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "incremental_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,

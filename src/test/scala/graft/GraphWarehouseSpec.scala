@@ -162,6 +162,34 @@ class GraphWarehouseSpec extends SparkSuite {
     assert(direct == exact, "sparse-mode HLL is exact here")
   }
 
+  test("histogramState merges are split-invariant; quantile pick matches hand-computed bins") {
+    // values 1..100 for k0 (bin width 10 -> bins 0..10), 5 copies of 7 for k1
+    val rows = (1 to 100).map(i => ("k0", i.toLong)) ++ Seq.fill(5)(("k1", 7L))
+    val df = rows.toDF("k", "v")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k", "s_bin").as[(String, Long, Long)].collect().toSeq
+
+    val direct = Warehouse.histogramState(df, Seq("k"), "v", 10L)
+    // any split of the rows merges back to the single-pass histogram
+    val merged = Warehouse.mergeHistogramStates(
+      Seq(
+        Warehouse.histogramState(df.filter(col("v") % 3 === 0), Seq("k"), "v", 10L),
+        Warehouse.histogramState(df.filter(col("v") % 3 =!= 0), Seq("k"), "v", 10L)),
+      Seq("k"))
+    assert(canon(merged) == canon(direct), "merge(parts) == single-pass histogram")
+
+    // k0: total 100, p500 -> first bin with cum >= 50. bins: bin0 holds
+    // 1..9 (9 rows), bin b holds 10b..10b+9 (10 rows), bin10 holds 100.
+    // cum(bin4) = 9+40 = 49 < 50, cum(bin5) = 59 >= 50 -> q500 = 50.
+    // p990 -> need cum >= 99: cum(bin9) = 99 -> q990 = 90.
+    // k1: single bin 0 (7 div 10) -> every quantile = 0.
+    val q = Warehouse.finalizeQuantiles(direct, Seq("k"), Seq(500, 990), 10L)
+      .as[(String, Int, Long)].collect().map { case (k, p, v) => (k, p) -> v }.toMap
+    assert(q(("k0", 500)) == 50L)
+    assert(q(("k0", 990)) == 90L)
+    assert(q(("k1", 500)) == 0L && q(("k1", 990)) == 0L)
+  }
+
   test("snapshotDiff labels added/removed/changed and drops unchanged rows") {
     val old = Seq(
       (1L, Some(100L), "A"), (2L, Some(200L), "B"), (3L, Some(300L), "C"),
