@@ -71,6 +71,41 @@ object Eval {
       .select("query_id", "n_rel", "dcg_e6", "ndcg_e6")
   }
 
+  /** MRR@k of a ranked retrieval result against item labels: per
+    * query, the reciprocal rank of the FIRST relevant neighbor (label
+    * equals the query's label), as an exact integer `1e6 div rank`;
+    * 0 when no retrieved neighbor is relevant. The companion to
+    * [[ndcgAtK]] when only the first hit matters (known-item search,
+    * dedup-candidate lookup).
+    *
+    * Shape at 100 TB: identical to [[ndcgAtK]] — the bounded
+    * |queries| x k ranked list broadcasts into the labels scan twice;
+    * the labels table never shuffles; the final aggregate is over
+    * k-row groups.
+    */
+  def mrrAtK(
+      ranked: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__lab"))
+    val withN = lab
+      .join(broadcast(ranked), col("__id") === col("neighbor_id"))
+      .select(col("query_id"), col("rank"), col("__lab").as("n_lab"))
+    val withQ = lab
+      .join(broadcast(withN), col("__id") === col("query_id"))
+      .select(col("query_id"), col("rank"),
+        when(col("__lab") === col("n_lab"), 1L).otherwise(0L).as("rel"))
+    withQ
+      .groupBy("query_id")
+      .agg(min(when(col("rel") === 1L, col("rank"))).cast("long").as("__first"))
+      .withColumn("first_rel_rank", coalesce(col("__first"), lit(0L)))
+      .withColumn("rr_e6",
+        when(col("__first").isNull, 0L).otherwise(expr("1000000 div __first")))
+      .select("query_id", "first_rel_rank", "rr_e6")
+  }
+
   /** Recall@k of an approximate retrieval result against the exact
     * one: per query, how many of the true top-k the index recovered
     * (`hits`) and the recall in basis points. The acceptance metric

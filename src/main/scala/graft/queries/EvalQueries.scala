@@ -32,6 +32,18 @@ object EvalQueries extends QueryGroup {
         .orderBy("query_id")
     }),
 
+    // MRR over the same ranked list as ndcg_at_k: reciprocal rank of
+    // the first same-label neighbor, exact integer 1e6 div rank —
+    // the known-item-search companion to NDCG's graded view.
+    "mrr_at_k" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val ranked = Similarity.bruteTopK(
+        emb, emb.filter(col("vec_id") < QCount), "vec_id", "embedding", NdcgK)
+        .select("query_id", "rank", "neighbor_id")
+      Eval.mrrAtK(ranked, emb.select("vec_id", "label"), "vec_id", "label")
+        .orderBy("query_id")
+    }),
+
     // Modal event_type per user with deterministic tie-break — the
     // annotation-aggregation shape (votes desc, then label asc).
     "label_majority" -> ((s, dir) => {
@@ -132,6 +144,27 @@ SELECT query_id, n_rel, dcg_e6,
   CAST(CASE WHEN n_rel = 0 THEN 0
        ELSE (dcg_e6 * 1000000) // ($cumCase) END AS BIGINT) AS ndcg_e6
 FROM agg ORDER BY query_id""",
+
+    "mrr_at_k" ->
+      s"""WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${SimilarityQueries.cosSql("q", "c")} AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id < $QCount AND q.vec_id <> c.vec_id),
+t AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM pairs) WHERE rank <= $NdcgK),
+m AS (
+  SELECT t.query_id, min(t.rank) AS first_rel
+  FROM t
+  JOIN embeddings ql ON ql.vec_id = t.query_id
+  JOIN embeddings nl ON nl.vec_id = t.neighbor_id
+  WHERE ql.label = nl.label GROUP BY 1)
+SELECT qq.query_id,
+  CAST(coalesce(m.first_rel, 0) AS BIGINT) AS first_rel_rank,
+  CAST(CASE WHEN m.first_rel IS NULL THEN 0 ELSE 1000000 // m.first_rel END AS BIGINT) AS rr_e6
+FROM (SELECT DISTINCT query_id FROM t) qq LEFT JOIN m ON qq.query_id = m.query_id
+ORDER BY qq.query_id""",
 
     // Wraps the two (deterministic) ANN oracles verbatim as subqueries
     // — same constants, same hyperplanes — and counts the overlap.

@@ -42,6 +42,26 @@ class EvalSpec extends SparkSuite {
       Seq((100L, 2L, expDcg, expNdcg), (200L, 0L, 0L, 0L)))
   }
 
+  test("mrrAtK: first relevant rank reciprocal, zero when none relevant") {
+    // query 100 (label 1): ranks 1..3 = labels (2, 1, 1) -> first rel
+    // at rank 2 -> rr_e6 = 1e6 div 2 = 500000.
+    // query 200 (label 5): nothing relevant -> (0, 0).
+    val ranked = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(100L, 1, 12L), Row(100L, 2, 11L), Row(100L, 3, 13L),
+        Row(200L, 1, 11L), Row(200L, 2, 12L), Row(200L, 3, 13L))),
+      StructType(Seq(StructField("query_id", LongType),
+        StructField("rank", IntegerType), StructField("neighbor_id", LongType))))
+    val labels = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(100L, 1), Row(200L, 5), Row(11L, 1), Row(12L, 2), Row(13L, 1))),
+      StructType(Seq(StructField("id", LongType), StructField("lab", IntegerType))))
+    val out = Eval.mrrAtK(ranked, labels, "id", "lab")
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((100L, 2L, 500000L), (200L, 0L, 0L)))
+  }
+
   test("recallAtK: hit counting, zero-hit queries kept, basis points exact") {
     val mk = (rows: Seq[(Long, Long)]) => spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map { case (q, n) => Row(q, n) }),
