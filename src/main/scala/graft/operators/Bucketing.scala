@@ -53,4 +53,43 @@ object Bucketing {
     df.repartitionByRange(files, cols.map(org.apache.spark.sql.functions.col): _*)
       .sortWithinPartitions(cols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").parquet(path)
+
+  /** Small-files compaction — the maintenance pass every streaming /
+    * upsert sink needs: micro-batch and dynamic-partition writers
+    * fragment a table into thousands of KB-sized parquet files, and a
+    * 100 TB scan then pays a task launch + footer read + non-contiguous
+    * IO per file. Rewrites `inPath` into ceil(inputBytes /
+    * targetFileBytes) files (floor 1), sized from the SOURCE's on-disk
+    * bytes (compressed parquet → compressed parquet, so the ratio
+    * carries over; no row sampling or driver-side data reads).
+    *
+    * `sortCols` optionally restores a range-sorted layout during the
+    * rewrite ([[writeRangeSorted]] semantics — compaction is the
+    * natural moment to recover clustering an incremental writer
+    * destroyed); otherwise a round-robin `repartition(n)` packs files
+    * evenly with a full-width shuffle-free exchange.
+    *
+    * Writes to `outPath` + atomic-swap is left to the caller's table
+    * format (overwriting the live dir in place is only safe where the
+    * catalog swaps pointers); this operator does the data movement.
+    * Returns the file count written.
+    */
+  def compactFiles(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetFileBytes: Long,
+      sortCols: Seq[String] = Nil
+  ): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    if (sortCols.nonEmpty) writeRangeSorted(df, outPath, sortCols, n)
+    else df.repartition(n).write.mode("overwrite").parquet(outPath)
+    n
+  }
 }

@@ -136,4 +136,45 @@ class BucketingSpec extends SparkSuite {
     assert(narrow.count() > 0)
     scanned.foreach(m => assert(m.value < 8, s"scanned ${m.value} of 8 files"))
   }
+
+  test("compactFiles: fragmented table rewritten to size-targeted files, rows identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "value")
+    // simulate a micro-batch sink: 64 tiny files
+    events.repartition(64).write.parquet(s"$tmp/frag")
+    val fragFiles = new java.io.File(s"$tmp/frag").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(fragFiles == 64, s"$fragFiles fragment files")
+    val fragBytes = new java.io.File(s"$tmp/frag").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+
+    // target ~quarter of the input per file -> ceil gives a small count
+    val target = fragBytes / 4
+    val n = Bucketing.compactFiles(spark, s"$tmp/frag", s"$tmp/compact", target)
+    val outFiles = new java.io.File(s"$tmp/compact").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(n == outFiles, s"returned $n, wrote $outFiles")
+    assert(outFiles < 10, s"$outFiles files after compaction")
+
+    // content identical (same multiset of rows)
+    val a = spark.read.parquet(s"$tmp/frag").orderBy("event_id").collect().toSeq
+    val b = spark.read.parquet(s"$tmp/compact").orderBy("event_id").collect().toSeq
+    assert(a == b, "compaction changed the data")
+
+    // sorted variant restores range clustering during the rewrite
+    val n2 = Bucketing.compactFiles(spark, s"$tmp/frag", s"$tmp/compact_sorted", target, Seq("ts"))
+    val sortedFiles = new java.io.File(s"$tmp/compact_sorted").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(sortedFiles.length == n2)
+    if (sortedFiles.length > 1) {
+      val ranges = sortedFiles.map { f =>
+        val r = spark.read.parquet(f).agg(min("ts"), max("ts")).head()
+        (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach { case Array((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"compacted file ranges overlap: $aMax > $bMin")
+      }
+    }
+  }
 }
