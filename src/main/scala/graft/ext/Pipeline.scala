@@ -380,17 +380,22 @@ object Pipeline {
 
   /** Deterministic stratified sample: the `perStratum` rows with the
     * smallest key hashes within each stratum (hash-order = uniform
-    * random order, but reproducible). One shuffle on the stratum key;
-    * at scale, skewed strata parallelize because row_number's sort is
-    * per-partition after the hash exchange.
+    * random order, but reproducible). One shuffle on the stratum key —
+    * and, since round 6, bounded per-key heaps instead of WindowExec:
+    * the [[graft.plans.TopKPerKey]] whole-operator extension holds
+    * O(strata × perStratum) rows per task where the row_number
+    * spelling SORTED AND BUFFERED every stratum in full, so a hot
+    * stratum costs O(n log k) comparisons and k rows of memory instead
+    * of a full partition sort. (hash, key) is a total order, so the
+    * kept set is identical to the window spelling's.
     */
-  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String, perStratum: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(strataCol)).orderBy(keyHash(keyCol), col(keyCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= perStratum)
-      .drop("__rn")
-  }
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String, perStratum: Int): DataFrame =
+    graft.plans.TopKPerKey(
+      df.withColumn("__h", keyHash(keyCol)),
+      keyCols = Seq(strataCol),
+      orderSpec = Seq("__h" -> false, keyCol -> false),
+      k = perStratum)
+      .drop("__h")
 
   /** Per-domain document cap (the Common Crawl pipeline rule "at most N
     * pages per registered domain"): keep the `maxPerDomain` best rows of

@@ -40,6 +40,15 @@ class PlansSpec extends SparkSuite {
     assert(!plan.contains("Sort "), "no partition-wide sort:\n" + plan.take(800))
   }
 
+  test("stratifiedSample rides TopKPerKey: WindowExec-free with the map-side partial cut") {
+    val plan = graft.ext.Pipeline
+      .stratifiedSample(customer, "c_mktsegment", "c_custkey", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyFinal") && plan.contains("TopKPerKeyPartial"),
+      plan.take(800))
+    assert(!plan.contains("Window"), "window operator must be gone:\n" + plan.take(800))
+  }
+
   test("TopKPerKey is partitioning-independent under a total order") {
     val base = customer
     val a = TopKPerKey(base.repartition(17), Seq("c_mktsegment"),
