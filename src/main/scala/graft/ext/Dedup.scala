@@ -59,16 +59,16 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   /** Row-level form of [[exact]]: keep each duplicate group's canonical
-    * (min-id) ROW with all its columns — ONE shuffle (row_number over
-    * the key partition) instead of groupBy + semi-join back, the shape
-    * a pipeline wants when it filters dups inline.
+    * (min-id) ROW with all its columns — ONE shuffle instead of
+    * groupBy + semi-join back, the shape a pipeline wants when it
+    * filters dups inline. Rides [[graft.plans.TopKPerKey]] with k=1
+    * (id is globally unique, so the order is total): a viral duplicate
+    * with millions of copies costs one held row per task instead of
+    * WindowExec buffering the whole group, and the map-side partial
+    * cut shrinks the shuffle to one row per (map partition, key).
     */
-  def exactCanonical(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+  def exactCanonical(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    graft.plans.TopKPerKey(df, keyCols, Seq(idCol -> false), k = 1)
 
   /** Word n-gram shingles of `textCol` in document order (duplicates
     * kept — winnowing needs positions).

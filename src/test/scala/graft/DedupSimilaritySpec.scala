@@ -28,13 +28,17 @@ class DedupSimilaritySpec extends SparkSuite {
       Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
   }
 
-  test("exactCanonical keeps the same canonical rows in one window shuffle") {
+  test("exactCanonical keeps the same canonical rows in one shuffle") {
     val rows = Dedup.exactCanonical(docs, "doc_id", Seq("text"))
     assert(rows.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L, 5L))
     assert(rows.columns.toSeq == docs.columns.toSeq) // full rows, no helper cols
-    // rank-limit pushdown: the partial WindowGroupLimit prunes map-side
+    // k=1 top-per-key via the native operator: bounded heaps (one held
+    // row per key), map-side partial cut below the exchange, no
+    // WindowExec buffering a viral duplicate group
     val plan = rows.queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+    assert(plan.contains("TopKPerKeyFinal") && plan.contains("TopKPerKeyPartial"),
+      plan.take(800))
+    assert(!plan.contains("Window"), "window operator must be gone:\n" + plan.take(800))
   }
 
   test("ngram jaccard finds exact and near dups, skips tiny docs") {
