@@ -24,6 +24,16 @@ object DedupQueries extends QueryGroup {
         .orderBy("canonical_id")
     }),
 
+    // Row-level canonical keep: each duplicate group's min-id ROW with
+    // all columns, through the native TopKPerKey k=1 plan (bounded
+    // heaps, map-side partial cut) — the inline-filter form a pipeline
+    // composes; registered so the k=1 path is oracle-checked directly.
+    "dedup_exact_rows" -> ((s, dir) => {
+      Dedup.exactCanonical(Tables.documents(s, dir), "doc_id", Seq("text"))
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // MinHash + LSH banding candidates (est Jaccard >= 0.5).
     "dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
@@ -356,6 +366,12 @@ WHERE round(dot / (na * nb), 4) >= 0.45
 ORDER BY id_a, id_b"""
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_exact_rows" ->
+      """SELECT doc_id, source, lang, n_chars FROM (
+  SELECT doc_id, source, lang, n_chars,
+    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1 ORDER BY doc_id""",
+
     "dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
 FROM documents GROUP BY text ORDER BY canonical_id""",
