@@ -56,6 +56,29 @@ object TextAnalysis {
 
   private def wordsCol(textCol: String): Column = split(col(textCol), " ")
 
+  /** Text canonicalization — the normalization pass a C4/Gopher-style
+    * pipeline runs BEFORE exact dedup so case/punctuation/whitespace
+    * variants of the same document hash together: lowercase, replace
+    * every non-alphanumeric with a space, collapse space runs, trim.
+    * Row-local (map-only, inside whole-stage codegen); no shuffle.
+    *
+    * ASCII-safe by construction: the character class keeps only
+    * `[a-z0-9 ]`, so engine differences in unicode case folding (the
+    * Turkish-İ family) can only appear in the REPLACED characters,
+    * never the kept ones — but `lower` itself is applied to the raw
+    * string, so corpora with non-ASCII cased letters should lowercase
+    * identically in any oracle engine being compared against (true for
+    * ICU-less DuckDB + JVM on ASCII; verified for the test corpus).
+    */
+  def normalizeTextCol(textCol: String): Column =
+    trim(regexp_replace(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** [[normalizeTextCol]] applied per document: (id, norm_text, changed). */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      normalizeTextCol(textCol).as("norm_text"),
+      (normalizeTextCol(textCol) =!= col(textCol)).as("changed"))
+
   /** Marker-count language scores + argmax prediction (first-wins on
     * ties, i.e. alphabetical language preference). A real detector
     * would use char-n-gram profiles; the scoring/argmax plumbing is

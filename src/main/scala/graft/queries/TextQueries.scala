@@ -49,6 +49,26 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // Canonicalization before exact dedup: lowercase, punctuation ->
+    // space, collapse runs, trim — row-local map inside codegen.
+    "text_normalize" -> ((s, dir) => {
+      TextAnalysis.normalizeText(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup over the NORMALIZED text: catches the case /
+    // punctuation / whitespace duplicate variants raw exact dedup
+    // misses — same one-hash-aggregate shape, normalization fused
+    // into the scan.
+    "dedup_exact_norm" -> ((s, dir) => {
+      graft.ext.Dedup.exact(
+        Tables.documents(s, dir)
+          .withColumn("norm_text", TextAnalysis.normalizeTextCol("text")),
+        "doc_id", Seq("norm_text"))
+        .select("canonical_id", "n_copies")
+        .orderBy("canonical_id")
+    }),
+
     // Gopher-rules composite keep/drop filter (row-local, all booleans;
     // thresholds tuned so the synthetic corpus genuinely splits:
     // 30-90 words keeps the bulk, drops the short/long tails).
@@ -350,6 +370,20 @@ ORDER BY doc_id, chunk_idx"""
     "text_langid" -> langidSql,
     "text_langid_ngram" -> langidNgramSql,
     "text_quality" -> qualitySql,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) <> text AS changed
+FROM documents ORDER BY doc_id""",
+
+    "dedup_exact_norm" ->
+      """WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+  FROM documents)
+SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM n GROUP BY norm_text ORDER BY canonical_id""",
     "quality_filter_gopher" -> gopherSql,
     "token_count" -> tokenSql,
     "token_count_bpe" ->

@@ -11,6 +11,27 @@ class TextAnalysisSpec extends SparkSuite {
       spark.sparkContext.parallelize(rows.map { case (i, t) => Row(i, t) }),
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
 
+  test("normalizeText canonicalizes case/punct/whitespace; variants collapse under exact dedup") {
+    val df = docsOf(
+      1L -> "Hello, World!",
+      2L -> "hello   world",   // whitespace + case variant of 1
+      3L -> "HELLO WORLD.",    // punctuation + case variant of 1
+      4L -> "goodbye world")
+    val norm = TextAnalysis.normalizeText(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(norm(1L) == (("hello world", true)))
+    assert(norm(2L) == (("hello world", true)))
+    assert(norm(3L) == (("hello world", true)))
+    assert(norm(4L) == (("goodbye world", false)))
+
+    // raw exact dedup sees 4 distinct docs; normalized sees 2 groups
+    val normed = df.withColumn("norm_text", TextAnalysis.normalizeTextCol("text"))
+    val groups = graft.ext.Dedup.exact(normed, "doc_id", Seq("norm_text"))
+      .collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(groups == Map(1L -> 3L, 4L -> 1L), s"got $groups")
+  }
+
   test("Bpe greedy longest-match: hand-walked tokenizations") {
     // "theorem":  the|or|e|m          -> 4  ("theo" not in vocab, "the" is;
     //                                        then "or", then single chars)
