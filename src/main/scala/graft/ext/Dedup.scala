@@ -289,6 +289,17 @@ object Dedup {
     * block hash, and the verdict joins back on that hash — shuffle
     * volume ∝ blocks, never pairs; the md5-derived hash keys uniformly
     * so no hot buckets.
+    *
+    * Cache contract (also [[spanDedupClean]]/[[spanDedupExact]]): the
+    * block/window table is `persist()`ed because two branches consume
+    * it, and the returned DataFrame is LAZY — the operator cannot
+    * unpersist before the caller's action without forcing one here.
+    * Long-lived callers own cleanup: run the action, then
+    * `spark.catalog.clearCache()` (what Bench/Verify do between
+    * queries) or track `spark.sharedState.cacheManager` entries —
+    * same contract as [[Bpe.trainMerges]]'s persist/finally block,
+    * inverted because here the caller, not the operator, runs the
+    * action.
     */
   def spanDedup(
       df: DataFrame,

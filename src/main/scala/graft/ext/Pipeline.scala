@@ -145,7 +145,12 @@ object Pipeline {
       .agg(sum(col(tokenCol)).as("available"))
       .withColumn("weight_bp", wBp.cast("long"))
       .withColumn("desired", expr(s"($targetTokens * weight_bp) div 10000"))
-      .withColumn("permille", least(lit(1000L), expr("(desired * 1000) div available")))
+      // a stratum whose token sum is 0 (all-empty texts) must surface in
+      // the plan as unsupplied (permille 0, expected 0), not abort the
+      // whole job with ANSI DIVIDE_BY_ZERO
+      .withColumn("permille",
+        when(col("available") === 0, lit(0L))
+          .otherwise(least(lit(1000L), expr("(desired * 1000) div available"))))
       .withColumn("expected", expr("(available * permille) div 1000"))
   }
 

@@ -83,9 +83,19 @@ object Bucketing {
   ): Int = {
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(p)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // a Hive-partitioned layout has only subdirectories at the top level;
+    // rewriting it here would flatten the partition layout (and a flat
+    // listStatus would sum 0 bytes → 1 output file). Partitioned tables
+    // must be compacted per-partition directory.
+    require(
+      !fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.contains("=")),
+      s"$inPath is Hive-partitioned: compact each partition directory separately")
+    val it = fs.listFiles(p, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) bytes += s.getLen
+    }
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(inPath)
     if (sortCols.nonEmpty) writeRangeSorted(df, outPath, sortCols, n)

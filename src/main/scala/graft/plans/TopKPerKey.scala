@@ -47,7 +47,24 @@ case class TopKPerKeyNode(
   * heaps, cutting shuffle volume from all rows to ≤ keys×k rows per
   * map partition — the same two-phase shape as partial aggregation,
   * and the part that matters most at 100 TB (top-k of a union is the
-  * top-k of per-partition top-k's, so the final pass stays exact). */
+  * top-k of per-partition top-k's, so the final pass stays exact).
+  *
+  * Memory bound: the partial map holds one key row + ≤k data rows PER
+  * DISTINCT KEY seen, so on near-unique keys (top-k over an almost-
+  * distinct key — the `dedup_exact_rows` shape on a low-duplication
+  * corpus) an uncapped map would approach partition size with no
+  * spill path. The partial pass therefore FLUSHES: when the map
+  * exceeds `spark.graft.topk.partialMaxKeys` (default 65536) distinct
+  * keys, it emits every buffered heap downstream and restarts empty.
+  * Early emission is always correct — the final pass re-cuts the
+  * union — it only costs shuffle volume, and only when key cardinality
+  * is high enough that the partial cut was not paying for itself
+  * anyway (a flushing partial degrades gracefully toward pass-
+  * through). Peak memory is thus ≤ maxKeys×(k+1) rows regardless of
+  * key cardinality; the `partialFlushes` SQLMetric makes the behavior
+  * observable (PlansSpec pins it). The FINAL pass never flushes — it
+  * must hold each clustered key's single heap to stay exact, and after
+  * the partial cut its input is already ≤ keys×k rows. */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
@@ -70,11 +87,21 @@ case class TopKPerKeyExec(
   override def nodeName: String =
     if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
 
+  override lazy val metrics = Map(
+    "partialFlushes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "partial map flushes (cap exceeded)"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val kk = k
+    // key cap applies ONLY to the partial pass; the final pass must hold
+    // each clustered key's heap to stay exact (its input is already cut)
+    val maxKeys =
+      if (partial) conf.getConfString("spark.graft.topk.partialMaxKeys", "65536").toInt
+      else Int.MaxValue
+    val flushMetric = longMetric("partialFlushes")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = RowOrdering.create(sortOrder, childOutput)
@@ -82,19 +109,44 @@ case class TopKPerKeyExec(
       // replaced when a strictly better row arrives
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
-            heaps.put(key.copy(), h)
-            h
-        }
-        if (heap.size < kk) heap.enqueue(row.copy())
-        else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
+      def drain(): Iterator[InternalRow] = {
+        val snap = heaps.values.toArray
+        heaps.clear()
+        snap.iterator.flatMap(_.iterator)
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private var inputDone = false
+        private def advance(): Unit = {
+          while (!out.hasNext && !inputDone) {
+            var flushed = false
+            while (iter.hasNext && !flushed) {
+              val row = iter.next()
+              val key = keyProj(row)
+              heaps.get(key) match {
+                case Some(heap) =>
+                  if (heap.size < kk) heap.enqueue(row.copy())
+                  else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
+                case None =>
+                  if (heaps.size >= maxKeys) {
+                    // cap hit on a NEW key: emit everything buffered and
+                    // restart — the final pass re-cuts, so early emission
+                    // trades shuffle volume for a hard memory bound
+                    flushMetric += 1
+                    out = drain()
+                    flushed = true
+                  }
+                  val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+                  h.enqueue(row.copy())
+                  heaps.put(key.copy(), h)
+              }
+            }
+            if (!flushed) { inputDone = true; out = drain() }
+          }
+        }
+        override def hasNext: Boolean = { advance(); out.hasNext }
+        override def next(): InternalRow = { advance(); out.next() }
+      }
     }, preservesPartitioning = true)
   }
 
@@ -132,9 +184,15 @@ object TopKPerKey {
     */
   def apply(df: DataFrame, keyCols: Seq[String], orderSpec: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    // registration is a session-global side effect: synchronize the
+    // check-then-append (concurrent first calls would double-register),
+    // and consult the PLANNER's full strategy list so an extension-
+    // injected copy (GraftExtensions) isn't re-added via this path
+    spark.experimental.synchronized {
+      if (!spark.sessionState.planner.strategies.contains(TopKPerKeyStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
     val sortOrder = orderSpec.map { case (name, desc) =>
       if (desc)
         SortOrder(UnresolvedAttribute(name), org.apache.spark.sql.catalyst.expressions.Descending)

@@ -688,7 +688,8 @@ d AS (
   FROM w),
 p AS (
   SELECT lang, available, weight_bp, desired,
-    CAST(least(1000, (desired * 1000) // available) AS BIGINT) AS permille
+    CAST(CASE WHEN available = 0 THEN 0
+              ELSE least(1000, (desired * 1000) // available) END AS BIGINT) AS permille
   FROM d)
 SELECT lang, available, weight_bp, desired, permille,
   CAST((available * permille) // 1000 AS BIGINT) AS expected

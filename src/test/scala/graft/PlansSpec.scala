@@ -93,4 +93,41 @@ class PlansSpec extends SparkSuite {
       Seq("c_acctbal" -> true, "c_custkey" -> false), k = 100000)
     assert(all.count() == n)
   }
+
+  test("partial pass bounds its map on near-distinct keys (flush-and-restart)") {
+    // c_custkey is unique: every row is its own key, the worst case for
+    // the partial map. With a tiny cap the partial pass must flush (the
+    // metric proves the map never exceeded the cap) and the final answer
+    // must be IDENTICAL — early emission only costs shuffle volume.
+    import graft.plans.TopKPerKeyExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def partialFlushes(df: org.apache.spark.sql.DataFrame): Long = {
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan // unwrap AQE
+        case p => p
+      }
+      plan.collect {
+        case e: TopKPerKeyExec if e.partial => e.metrics("partialFlushes").value
+      }.sum
+    }
+    val uncapped = TopKPerKey(customer, Seq("c_custkey"),
+      Seq("c_acctbal" -> true, "c_custkey" -> false), k = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    withSQLConf("spark.graft.topk.partialMaxKeys" -> "4") {
+      val df = TopKPerKey(customer, Seq("c_custkey"),
+        Seq("c_acctbal" -> true, "c_custkey" -> false), k = 1)
+      val capped = df.collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(capped == uncapped)
+      // sf0.001 customer: ~150 unique keys over 4 map partitions with a
+      // 4-key cap — the bounded map must have flushed repeatedly
+      val flushes = partialFlushes(df)
+      assert(flushes > 10, s"expected flushes under a 4-key cap, got $flushes")
+    }
+    // sanity: grouped keys under the default cap never flush
+    val grouped = TopKPerKey(customer, Seq("c_mktsegment"),
+      Seq("c_acctbal" -> true, "c_custkey" -> false), k = 3)
+    grouped.collect()
+    assert(partialFlushes(grouped) == 0,
+      "default cap must not flush on 5 segments")
+  }
 }

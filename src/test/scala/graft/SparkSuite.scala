@@ -16,4 +16,16 @@ trait SparkSuite extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Set session confs for the duration of `f`, restoring prior values
+    * (or unsetting) afterwards — the shared session must not leak conf
+    * between suites. */
+  def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val prior = pairs.map { case (k, _) => k -> scala.util.Try(spark.conf.get(k)).toOption }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
