@@ -142,7 +142,10 @@ object Pipeline {
       case (acc, (s, w)) => when(col(strataCol) === s, lit(w)).otherwise(acc)
     }
     df.groupBy(col(strataCol))
-      .agg(sum(col(tokenCol)).as("available"))
+      // coalesce: a stratum whose tokenCol is entirely NULL sums to NULL,
+      // not 0 — without it the ===0 guard below falls through and the plan
+      // row carries NULL permille/expected
+      .agg(coalesce(sum(col(tokenCol)), lit(0L)).as("available"))
       .withColumn("weight_bp", wBp.cast("long"))
       .withColumn("desired", expr(s"($targetTokens * weight_bp) div 10000"))
       // a stratum whose token sum is 0 (all-empty texts) must surface in

@@ -97,7 +97,10 @@ object Bucketing {
       if (s.isFile && s.getPath.getName.endsWith(".parquet")) bytes += s.getLen
     }
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.parquet(inPath)
+    // recursiveFileLookup so the data read agrees with the recursive byte
+    // sum above — a plain read skips nested non-partition subdirectories
+    // (leftover job dirs), which would make n oversized for the rows kept
+    val df = spark.read.option("recursiveFileLookup", "true").parquet(inPath)
     if (sortCols.nonEmpty) writeRangeSorted(df, outPath, sortCols, n)
     else df.repartition(n).write.mode("overwrite").parquet(outPath)
     n

@@ -675,7 +675,7 @@ ORDER BY doc_id""",
 
     "mixture_plan" ->
       """WITH a AS (
-  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available
+  SELECT lang, CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) AS available
   FROM documents GROUP BY 1),
 w AS (
   SELECT lang, available,
