@@ -17,13 +17,15 @@ import org.apache.spark.sql.functions._
   * whole computation stays inside whole-stage codegen — no shuffle, no
   * driver state, scales embarrassingly.
   *
-  * Vocabulary handling: merge pieces are inlined as expression
-  * literals — the right call for the ≤100k-entry vocabs real
-  * tokenizers ship (BPE merge tables are compiled into every worker's
-  * tokenizer in production systems too; this is the Catalyst-literal
-  * form of that broadcast). The pieces are grouped by length so the
-  * match test is one `IN` set-membership per candidate length,
-  * longest first.
+  * Vocabulary handling: the apply path holds the merge pieces as DATA
+  * on a native expression ([[graft.functions.BpeTokenCountExpr]]) — a
+  * hash-set probe per candidate length, shipped to executors once as a
+  * Catalyst reference object. That is what survives the 30k–100k-piece
+  * vocabs real tokenizers ship: the alternative (inlining the pieces as
+  * SQL `IN`-list literals) generates one literal per piece and blows
+  * Janino's 64 KB method ceiling in the hundreds. The literal `CASE`
+  * spelling is retained ONLY for the DuckDB oracle replay
+  * ([[oracleSql]]), whose demo vocab is 47 pieces.
   *
   * Determinism: pure integer/string ops, identical in any engine with
   * 1-based bounded `substring` — the DuckDB oracle replays the greedy
@@ -68,20 +70,11 @@ object Bpe {
 
   /** Column: total subword-token count of whitespace-split `textCol`
     * under greedy longest-match over `vocab`. Empty words (from runs
-    * of spaces) are filtered on both engines. */
+    * of spaces) are filtered on both engines. Vocabulary-scale-safe:
+    * the pieces ride as data on [[graft.functions.BpeTokenCountExpr]],
+    * not as SQL literals. */
   def tokenCountCol(textCol: String, vocab: Seq[String] = DefaultVocab): Column =
-    expr(
-      s"""aggregate(
-  filter(split($textCol, ' '), x -> x != ''),
-  cast(0 as bigint),
-  (t, w) -> t + aggregate(
-    sequence(1, length(w)),
-    named_struct('skip', 0, 'ntok', cast(0 as bigint)),
-    (acc, i) -> if(acc.skip > 0,
-      named_struct('skip', acc.skip - 1, 'ntok', acc.ntok),
-      named_struct('skip', ${pieceLenCase("w", "i", vocab)} - 1,
-                   'ntok', acc.ntok + 1)),
-    acc -> acc.ntok))""")
+    graft.functions.BpeTokenCountExpr.tokenCount(col(textCol), vocab)
 
   /** Per-document token counts: whitespace tokens alongside the real
     * subword count (`bpe_tokens`) a budget should be measured in. */

@@ -2,6 +2,7 @@ package graft
 
 import graft.ext.TextAnalysis
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 class TextAnalysisSpec extends SparkSuite {
@@ -44,6 +45,51 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got(1L) == ((2L, 7L)), s"got $got")
     assert(got(2L) == ((2L, 2L)), s"got $got")
     assert(got(3L) == ((0L, 0L)), s"got $got")
+  }
+
+  test("BpeTokenCountExpr carries a 20k-piece vocabulary through codegen") {
+    // the inlined-CASE spelling this expression replaced generated one
+    // SQL literal per piece and hit Janino's 64KB method ceiling in the
+    // hundreds; the probe holds pieces as data, so vocab size must be
+    // a non-event. CODEGEN_ONLY + fallback=false turn any silent
+    // interpreted-mode fallback into a hard failure.
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val vocab = (1 to 20000).map { _ =>
+      val len = 2 + rnd.nextInt(5)
+      (1 to len).map(_ => alpha(rnd.nextInt(26))).mkString
+    }.distinct
+    // driver-side reference tokenizer: same greedy longest-match walk
+    val pieceSet = vocab.toSet
+    val lens = vocab.map(_.length).distinct.sorted.reverse
+    def refCount(text: String): Long =
+      text.split(" ", -1).filter(_.nonEmpty).map { w =>
+        var p = 0; var n = 0L
+        while (p < w.length) {
+          val l = lens.find(l => p + l <= w.length && pieceSet(w.substring(p, p + l))).getOrElse(1)
+          p += l; n += 1
+        }
+        n
+      }.sum
+    val texts = Seq(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "aaabbbcccdddeee fffggghhh", 3L -> "", 4L -> "xy  zw")
+    val df = docsOf(texts: _*)
+    withSQLConf(
+      "spark.sql.codegen.fallback" -> "false",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      val got = df.select(col("doc_id"),
+        graft.ext.Bpe.tokenCountCol("text", vocab).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      texts.foreach { case (id, t) =>
+        assert(got(id) == refCount(t), s"doc $id: got ${got(id)}, ref ${refCount(t)}")
+      }
+    }
+    // structural equality: two instances over equal vocab seqs must be
+    // equal (canonicalization requirement — vocab is Seq, not Array)
+    import graft.functions.BpeTokenCountExpr
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val child = Literal.create("x", org.apache.spark.sql.types.StringType)
+    assert(BpeTokenCountExpr(child, vocab) == BpeTokenCountExpr(child, vocab.toList))
   }
 
   test("Bpe.trainMerges learns the hand-computed merge sequence") {
