@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through raw instead of prefixing
+// every line with "[info] ": the bench harness parses the one JSON
+// line Bench prints, and a line-anchored parser never matches
+// "[info] {...}". With StdoutOutput the line arrives as `^{...}$`.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -120,7 +120,15 @@ object Bench {
         val warmTotal = if (warm.nonEmpty) warm.values.sum else 0.0
         val sfName = new java.io.File(sfDir).getName
         val (qjs, dropped) = js(cold, 1100)
-        println(s"""{"metric":"total","unit":"sec","value":${f(total)},"sf":"$sfName","plans":"$combined","dropped_fastest":$dropped,"queries":$qjs,"warm_total":${f(warmTotal)}}""")
+        val line = s"""{"metric":"total","unit":"sec","value":${f(total)},"sf":"$sfName","plans":"$combined","dropped_fastest":$dropped,"queries":$qjs,"warm_total":${f(warmTotal)}}"""
+        println(line)
+        // file hedge alongside planhash.json: a recorder that misses the
+        // stdout line (truncation, prefixing) can pick the same JSON up
+        // from the working directory
+        try {
+          val w = new java.io.PrintWriter("bench.json", "UTF-8")
+          try w.println(line) finally w.close()
+        } catch { case _: Throwable => () }
     }
     spark.stop()
   }
