@@ -105,40 +105,44 @@ object Bpe {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(topN)
 
-  /** Column: symbol array of word-column `w` after applying `merges`
-    * left-to-right in order — each merge is one bounded fold over the
-    * symbol array (standard single-pass BPE merge application: the
-    * merged token becomes the pending symbol, so cascades like
-    * ("a","a") over "aaa" → [aa, a] behave exactly as the reference
-    * algorithm). Row-local, codegen'd HOFs only. */
-  private def applyMergesCol(wordRef: Column, merges: Seq[(String, String)]): Column = {
-    val chars = split(wordRef, "")
-    merges.foldLeft(chars: Column) { case (syms, (a, b)) =>
-      aggregate(
-        syms,
-        struct(expr("cast(array() as array<string>)").as("out"),
-          lit(null).cast("string").as("prev")),
-        (acc, x) => when(acc.getField("prev").isNull,
-          struct(acc.getField("out").as("out"), x.as("prev")))
-          .when(acc.getField("prev") === lit(a) && x === lit(b),
-            struct(acc.getField("out").as("out"), lit(a + b).as("prev")))
-          .otherwise(
-            struct(concat(acc.getField("out"), array(acc.getField("prev"))).as("out"),
-              x.as("prev"))),
-        acc => when(acc.getField("prev").isNull, acc.getField("out"))
-          .otherwise(concat(acc.getField("out"), array(acc.getField("prev")))))
-    }
-  }
+  /** Column: symbol array after applying ONE merge (a,b) — a single
+    * bounded fold over the symbol array (standard single-pass BPE merge
+    * application: the merged token becomes the pending symbol, so
+    * cascades like ("a","a") over "aaa" → [aa, a] behave exactly as the
+    * reference algorithm). Row-local, codegen'd HOFs only. */
+  private def applyOneMerge(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      struct(expr("cast(array() as array<string>)").as("out"),
+        lit(null).cast("string").as("prev")),
+      (acc, x) => when(acc.getField("prev").isNull,
+        struct(acc.getField("out").as("out"), x.as("prev")))
+        .when(acc.getField("prev") === lit(a) && x === lit(b),
+          struct(acc.getField("out").as("out"), lit(a + b).as("prev")))
+        .otherwise(
+          struct(concat(acc.getField("out"), array(acc.getField("prev"))).as("out"),
+            x.as("prev"))),
+      acc => when(acc.getField("prev").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("prev")))))
 
-  /** Iterative BPE merge TRAINING: `rounds` times, count adjacent
-    * symbol pairs across the corpus (symbols = chars after the merges
-    * learned so far) and adopt the most frequent pair (ties to the
-    * lexicographically smallest, making the learned table
-    * deterministic). Each round is one distributed aggregate whose
-    * result is a SINGLE row collected to the driver (the merge table
-    * is the k-row training output — driver state is O(rounds), never
-    * corpus-sized); merge application stays row-local, so round r
-    * costs one corpus map + one pair-count shuffle.
+  /** Iterative BPE merge TRAINING, the incremental formulation: the
+    * loop carries the WORD-FREQUENCY DICTIONARY (distinct word →
+    * occurrence count) with its symbol arrays MATERIALIZED, exactly as
+    * Sennrich et al. 2016 train on a word-count dict. Each round counts
+    * adjacent symbol pairs (weighted by word count — identical totals
+    * to counting every corpus occurrence), adopts the most frequent
+    * pair (ties to the lexicographically smallest pair, making the
+    * learned table deterministic), then applies ONLY the new merge to
+    * the carried symbol column and `localCheckpoint()`s — so round r
+    * costs one dict-sized map + one pair-count shuffle, the plan depth
+    * is CONSTANT in r (no re-applied merge chain, no growing codegen
+    * method), and total work is O(dict × rounds), not O(corpus ×
+    * rounds²) as the previous re-apply-all formulation was. Words
+    * reduced to a single symbol can never pair again and are dropped,
+    * so the carried state shrinks monotonically. Driver state is the
+    * O(rounds) merge table — one collected row per round, never
+    * corpus-sized (the same per-round checkpoint discipline as
+    * [[graft.ext.Graph.pageRank]]).
     *
     * Returns the learned merges with their support counts, in order.
     */
@@ -148,29 +152,38 @@ object Bpe {
       textCol: String,
       rounds: Int
   ): Seq[(String, String, Long)] = {
-    val words = df.select(
+    var words = df.select(
       expr(s"filter(split($textCol, ' '), x -> length(x) >= 2)").as("ws"))
       .select(explode(col("ws")).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val learned = collection.mutable.ListBuffer.empty[(String, String, Long)]
-      for (_ <- 1 to rounds) {
-        val syms = applyMergesCol(col("w"), learned.map(m => (m._1, m._2)).toSeq)
-        val top = words.withColumn("__syms", syms)
-          .filter(size(col("__syms")) >= 2)
-          .select(explode(expr("transform(sequence(0, size(__syms) - 2), " +
-            "i -> struct(__syms[i] as a, __syms[i + 1] as b))")).as("p"))
-          .select(col("p.a"), col("p.b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("a").asc, col("b").asc)
-          .limit(1)
-          .collect()
-        if (top.isEmpty) return learned.toSeq
-        val r = top.head
-        learned += ((r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(split(col("w"), "").as("syms"), col("n"))
+      .localCheckpoint()
+    val learned = collection.mutable.ListBuffer.empty[(String, String, Long)]
+    var r = 0
+    var dry = false
+    while (r < rounds && !dry) {
+      // every word carried has >= 2 symbols (initial filter + per-round
+      // drop below), so sequence(0, size-2) never runs backwards
+      val top = words
+        .select(explode(expr("transform(sequence(0, size(syms) - 2), " +
+          "i -> struct(syms[i] as a, syms[i + 1] as b))")).as("p"), col("n"))
+        .groupBy("p.a", "p.b").agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) dry = true
+      else {
+        val t = top.head
+        val (a, b) = (t.getString(0), t.getString(1))
+        learned += ((a, b, t.getLong(2)))
+        words = words
+          .select(applyOneMerge(col("syms"), a, b).as("syms"), col("n"))
+          .filter(size(col("syms")) >= 2)
+          .localCheckpoint()
+        r += 1
       }
-      learned.toSeq
-    } finally { words.unpersist() }
+    }
+    learned.toSeq
   }
 
   /** DuckDB replay of the greedy cursor walk (recursive CTE): same

@@ -107,6 +107,50 @@ class TextAnalysisSpec extends SparkSuite {
     assert(more.length == 3, s"dry after the 3 learnable merges: $more")
   }
 
+  test("Bpe.trainMerges matches a driver-side reference trainer over 30 rounds") {
+    // the incremental loop (carry symbol arrays, apply only the newest
+    // merge, checkpoint) must learn the exact same table as the naive
+    // reference algorithm; 30 rounds also exercises the constant-depth
+    // claim — the old formulation's plan grew one nested fold per round
+    val rnd = new scala.util.Random(7)
+    val vocabWords = Seq("the", "theory", "other", "mother", "there",
+      "aaaa", "abab", "banana", "cabbage", "deed", "needed", "feedee")
+    val texts = (1 to 40).map { i =>
+      i.toLong -> (1 to 12).map(_ => vocabWords(rnd.nextInt(vocabWords.length))).mkString(" ")
+    }
+    // driver-side reference: word-count dict, count pairs weighted,
+    // tie-break (count desc, a asc, b asc), apply merge left-to-right
+    var dict: Map[List[String], Long] = texts.flatMap(_._2.split(" "))
+      .filter(_.length >= 2).groupBy(identity).map { case (w, ws) =>
+        w.toList.map(_.toString) -> ws.length.toLong }
+    def refRound(): Option[(String, String, Long)] = {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (syms, n) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + n) }
+      if (counts.isEmpty) None
+      else {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        dict = dict.toSeq.map { case (syms, n) =>
+          val out = collection.mutable.ListBuffer.empty[String]
+          var prev: String = null
+          syms.foreach { x =>
+            if (prev == null) prev = x
+            else if (prev == a && x == b) prev = a + b
+            else { out += prev; prev = x }
+          }
+          if (prev != null) out += prev
+          out.toList -> n
+        }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+        dict = dict.filter(_._1.length >= 2)
+        Some((a, b, c))
+      }
+    }
+    val expected = Iterator.continually(refRound()).takeWhile(_.isDefined).map(_.get).take(30).toSeq
+    val df = docsOf(texts: _*)
+    val got = graft.ext.Bpe.trainMerges(df, "doc_id", "text", rounds = 30)
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+  }
+
   test("Bpe.pairCounts counts every adjacent char pair occurrence") {
     val df = docsOf(1L -> "aaa ab", 2L -> "ab x")
     // "aaa" → aa,aa ; "ab" → ab ; "ab" → ab ; "x" filtered (len 1)
