@@ -26,6 +26,89 @@ object TextQueries extends QueryGroup {
       require(t.matches("[A-Za-z0-9_-]+"), s"classifier term must be plain (got '$t')")
       s"('$t', $w)"
     }.mkString(", ")
+
+  /** Logistic-trainer features and label — a distillation setup: the
+    * TEACHER rule labels a document "good" when it mentions `fast` more
+    * often than `slow`, and the linear student must re-discover that
+    * rule from term counts (the synthetic corpus carries no text↔lang
+    * correlation, so a metadata label would only teach the majority
+    * class). `fast`/`slow` lead the term list so the label CASE can
+    * reuse their count columns (c0/c1) in the oracle replay. */
+  private val TrainTerms = Seq("fast", "slow", "join", "hash", "the", "a")
+  /** Teacher rule: more `fast` than `slow` mentions. */
+  private def trainLabelExpr =
+    expr("size(filter(split(text, ' '), x -> x = 'fast')) > size(filter(split(text, ' '), x -> x = 'slow'))")
+  private val TrainEpochs = 12
+  private val TrainLrMilli = 1500L
+
+  /** Unrolled-epoch SQL replay of [[graft.ext.Classifier.trainLogistic]]:
+    * the driver's per-epoch loop becomes one CTE pair per epoch
+    * (gradient sums `gr{e}`, weight update `wt{e}`). Every float step is
+    * an IEEE correctly-rounded op (`+ - * / abs floor`) in the exact
+    * association order the Spark expressions use, per-row contributions
+    * are discretized to integer micros BEFORE summing (order-independent
+    * sums), and the Long weight update's truncating division is DuckDB's
+    * `//` — so the replay is bit-identical, epoch by epoch. */
+  private def classifierTrainCtes: String = {
+    val k = TrainTerms.length
+    val tcCols = TrainTerms.zipWithIndex.map { case (t, j) =>
+      s"CAST(SUM(CASE WHEN word = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS c$j"
+    }.mkString(",\n    ")
+    val cntCols = (0 until k).map(j => s"COALESCE(tc.c$j, 0) AS c$j").mkString(", ")
+    def zSql = "(CAST((" + ((s"w0") +: (0 until k).map(j => s"w${j + 1} * c$j"))
+      .mkString(" + ") + ") AS DOUBLE) / 1000000.0)"
+    def gSql(cj: String) =
+      s"CAST(FLOOR((0.5 + $zSql / (2.0 * (1.0 + ABS($zSql))) - y) * CAST($cj AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+    val epochs = (1 to TrainEpochs).map { e =>
+      val grCols = (s"SUM(${gSql("1")}) AS G0" +:
+        (0 until k).map(j => s"SUM(${gSql(s"c$j")}) AS G${j + 1}")).mkString(",\n    ")
+      val wtCols = (0 to k).map(j =>
+        s"w$j - ($TrainLrMilli * G$j) // (1000 * n) AS w$j").mkString(", ")
+      s"""gr$e AS MATERIALIZED (SELECT
+    $grCols
+  FROM cnt, wt${e - 1}),
+wt$e AS MATERIALIZED (SELECT $wtCols FROM gr$e, wt${e - 1}, nn)"""
+    }.mkString(",\n")
+    val zeroW = (0 to k).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")
+    s"""words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tc AS MATERIALIZED (
+  SELECT doc_id,
+    $tcCols
+  FROM words GROUP BY 1),
+cnt AS MATERIALIZED (
+  SELECT d.doc_id,
+    CASE WHEN COALESCE(tc.c0, 0) > COALESCE(tc.c1, 0) THEN 1.0 ELSE 0.0 END AS y,
+    $cntCols
+  FROM documents d LEFT JOIN tc USING (doc_id)),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cnt),
+wt0 AS (SELECT $zeroW),
+$epochs"""
+  }
+
+  private def classifierTrainSql: String = {
+    val k = TrainTerms.length
+    val rows = (s"SELECT '${graft.ext.Classifier.BiasFeature}' AS feature, w0 AS weight_micro FROM wt$TrainEpochs" +:
+      TrainTerms.zipWithIndex.map { case (t, j) =>
+        s"SELECT '$t', w${j + 1} FROM wt$TrainEpochs"
+      }).mkString("\n  UNION ALL ")
+    s"""WITH $classifierTrainCtes
+SELECT feature, weight_micro FROM (
+  $rows
+) ORDER BY feature"""
+  }
+
+  private def classifierTrainedConfusionSql: String = {
+    val k = TrainTerms.length
+    val marginSql = (s"w0" +: (0 until k).map(j => s"w${j + 1} * c$j")).mkString(" + ")
+    s"""WITH $classifierTrainCtes,
+scored AS (
+  SELECT CAST(cnt.y AS BIGINT) AS label,
+    CAST(CASE WHEN ($marginSql) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+  FROM cnt, wt$TrainEpochs)
+SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM scored GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
   import TextConstants._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -106,6 +189,35 @@ object TextQueries extends QueryGroup {
       TextAnalysis.linearClassifierScore(Tables.documents(s, dir), "doc_id", "text",
         ClassifierWeights, biasMilli = ClassifierBias)
         .orderBy("doc_id")
+    }),
+
+    // Classifier TRAINING: full-batch logistic GD (en vs non-en over
+    // marker-term counts) — one integer-gradient aggregate per epoch,
+    // driver state = the weight vector. Deterministic enough to replay
+    // epoch-by-epoch in the DuckDB oracle (unrolled CTEs).
+    "classifier_train" -> ((s, dir) => {
+      import s.implicits._
+      graft.ext.Classifier.trainLogistic(
+        Tables.documents(s, dir), "doc_id", "text",
+        TrainTerms, trainLabelExpr,
+        epochs = TrainEpochs, lrMilli = TrainLrMilli)
+        .toDF("feature", "weight_micro").orderBy("feature")
+    }),
+
+    // The learned weights feeding the apply gate: train, score every
+    // document, report the label×prediction confusion counts — the
+    // self-contained train→apply loop CCNet/FineWeb-style pipelines run.
+    "quality_classifier_trained" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = graft.ext.Classifier.trainLogistic(docs, "doc_id", "text",
+        TrainTerms, trainLabelExpr,
+        epochs = TrainEpochs, lrMilli = TrainLrMilli)
+      graft.ext.Classifier.featureCounts(docs, "doc_id", "text", TrainTerms, trainLabelExpr)
+        .select(col("y").cast("long").as("label"),
+          when(graft.ext.Classifier.marginMicroCol(w.map(_._2)) >= 0, 1L)
+            .otherwise(0L).as("pred"))
+        .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
     }),
 
     // per-language corpus rollup of token counts — the aggregate view a
@@ -416,6 +528,8 @@ SELECT d.doc_id, coalesce(sc.n_words, 0) AS n_words,
   coalesce(sc.hits, 0) AS hits,
   coalesce(sc.margin_milli, $ClassifierBias) AS margin_milli
 FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""",
+    "classifier_train" -> classifierTrainSql,
+    "quality_classifier_trained" -> classifierTrainedConfusionSql,
     "token_stats_by_lang" -> tokenStatsSql,
     "doc_fingerprint" -> fingerprintSql,
     "text_repetition" -> repetitionSql,
