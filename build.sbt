@@ -29,6 +29,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // ImageIO decode must not touch a display — headless keeps it safe
+  // under any forked JVM (tests, Verify, Bench)
+  "-Djava.awt.headless=true",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -28,6 +28,45 @@ class MultimodalSpec extends SparkSuite {
     assert(frames.head.toSeq == Seq[Byte](0, 1, 2, 3))
   }
 
+  test("decodeImage decodes PNG and BMP fixtures to exact dimensions and histogram") {
+    // hand-built 2x2 image: pixels (0,0)=black, (1,0)=white, (0,1)=mid
+    // gray 128, (1,1)=pure red. Integer luminance: 0, 255, 128,
+    // (299*255)/1000 = 76 → bins 0, 15, 8, 4.
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    img.setRGB(0, 1, 0x808080); img.setRGB(1, 1, 0xff0000)
+    for (fmt <- Seq("png", "bmp")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK should ship a $fmt writer")
+      val Some((gotFmt, w, h, hist)) = Multimodal.decodeImage(bos.toByteArray)
+      assert(gotFmt == fmt, s"format: $gotFmt")
+      assert((w, h) == ((2, 2)))
+      val expected = Array.fill(Multimodal.HistBins)(0L)
+      expected(0) = 1; expected(15) = 1; expected(8) = 1; expected(4) = 1
+      assert(hist.toSeq == expected.toSeq, s"hist ${hist.toSeq}")
+    }
+    // non-image payloads are None → callers fall back to the stub
+    assert(Multimodal.decodeImage("just some text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array[Byte]()).isEmpty)
+    // truncated PNG: signature matches but decode fails cleanly
+    val png = { val b = new java.io.ByteArrayOutputStream(); javax.imageio.ImageIO.write(img, "png", b); b.toByteArray }
+    assert(Multimodal.decodeImage(png.take(20)).isEmpty)
+  }
+
+  test("syntheticPng round-trips through a real ImageIO decode to the analytic features") {
+    for (id <- Seq(0L, 1L, 7L, 42L, 499L)) {
+      val Some((fmt, w, h, hist)) = Multimodal.decodeImage(Multimodal.syntheticPng(id))
+      assert(fmt == "png")
+      assert(w == 1 + (id % 8).toInt && h == 1 + (id % 5).toInt, s"id $id: ${(w, h)}")
+      val expected = Array.fill(Multimodal.HistBins)(0L)
+      for (x <- 0 until w; y <- 0 until h) {
+        val g = ((31 * id + 7 * x + 13 * y) % 256).toInt
+        expected((g * Multimodal.HistBins) >> 8) += 1
+      }
+      assert(hist.toSeq == expected.toSeq, s"id $id: ${hist.toSeq} vs ${expected.toSeq}")
+    }
+  }
+
   test("attachMedia builds binary payload + typed metadata") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(7L, "hello"))),
