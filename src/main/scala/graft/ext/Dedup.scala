@@ -402,30 +402,7 @@ object Dedup {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = windowWords
-    // window derivation feeds BOTH the canonical pick and the verdict
-    // join, and the marked set feeds BOTH the totals and the coverage
-    // branch — persist each so the corpus is scanned (and every window
-    // hashed) ONCE, not once per branch (at 100 TB the equivalent is
-    // materializing the window table). Bench/Verify clear the cache
-    // between queries.
-    val wins = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("__w", split(col(textCol), " "))
-      .withColumn("n_words", size(col("__w")).cast("long"))
-      .select(col(idCol).as("doc_id"), col("n_words"),
-        posexplode(expr(
-          s"transform(sequence(0, cast(greatest(size(__w) - $w, 0) as int)), " +
-            s"i -> array_join(slice(__w, i + 1, $w), ' '))"))
-          .as(Seq("pos", "wtext")))
-      .withColumn("h", expr(s"cast(conv(substr(md5(wtext), 1, 15), 16, 10) as bigint)"))
-      .select(col("doc_id"), col("n_words"), col("pos").cast("long").as("pos"), col("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val canon = wins.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-      .select(col("h"), col("first.doc_id").as("cdoc"), col("first.pos").as("cpos"))
-    val marked = wins.join(canon, Seq("h"))
-      .withColumn("kept", col("doc_id") === col("cdoc") && col("pos") === col("cpos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val marked = markedWindows(df, idCol, textCol, w)
     val totals = marked.groupBy("doc_id")
       .agg(max(col("n_words")).as("n_words"),
         count(lit(1)).as("n_windows"),
@@ -448,6 +425,88 @@ object Dedup {
     totals.join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"), col("n_windows"), col("n_removed"),
         coalesce(col("covered_words"), lit(0L)).as("covered_words"))
+  }
+
+  /** Sliding windows of `df` hashed and marked kept/removed — the
+    * shared core of [[spanDedupExact]] and [[spanDedupRanges]]: every
+    * `w`-word stride-1 window hashed (60-bit md5 prefix), first global
+    * occurrence (min doc id, then min position) kept. The window
+    * derivation feeds BOTH the canonical pick and the verdict join,
+    * and the marked set feeds two downstream branches — persist each
+    * so the corpus is scanned (and every window hashed) ONCE, not
+    * once per branch (at 100 TB the equivalent is materializing the
+    * window table). Bench/Verify clear the cache between queries. */
+  private def markedWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int
+  ): DataFrame = {
+    val wins = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__w", split(col(textCol), " "))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .select(col(idCol).as("doc_id"), col("n_words"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(greatest(size(__w) - $w, 0) as int)), " +
+            s"i -> array_join(slice(__w, i + 1, $w), ' '))"))
+          .as(Seq("pos", "wtext")))
+      .withColumn("h", expr(s"cast(conv(substr(md5(wtext), 1, 15), 16, 10) as bigint)"))
+      .select(col("doc_id"), col("n_words"), col("pos").cast("long").as("pos"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = wins.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .select(col("h"), col("first.doc_id").as("cdoc"), col("first.pos").as("cpos"))
+    wins.join(canon, Seq("h"))
+      .withColumn("kept", col("doc_id") === col("cdoc") && col("pos") === col("cpos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** MAXIMAL repeated spans — the Lee et al. 2022 output shape: merge
+    * overlapping/adjacent removed windows into maximal (doc_id,
+    * span_start, span_len) intervals. Where [[spanDedupExact]] reports
+    * per-doc COVERAGE (how much of the doc is repeated), this emits
+    * the repeated spans THEMSELVES: a repeated passage of L words
+    * yields L−w+1 overlapping removed windows, which collapse here to
+    * ONE interval of length L — at any word offset, spanning any block
+    * boundary, since the windows are stride-1.
+    *
+    * Shape at 100 TB: same window table as [[spanDedupExact]] (shuffle
+    * ∝ windows, keyed by hash then doc id); the merge is
+    * gaps-and-islands — a running max of prior span ends marks island
+    * starts, a running sum numbers the islands, one per-doc-keyed
+    * aggregate emits the intervals. All integer arithmetic, replayed
+    * verbatim by the SQL oracle.
+    */
+  def spanDedupRanges(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowWords: Int = 5
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = windowWords
+    val marked = markedWindows(df, idCol, textCol, w)
+    val removed = marked.filter(!col("kept"))
+      .select(col("doc_id"), col("pos"),
+        least(col("pos") + w - 1, col("n_words") - 1).as("e"))
+    val prior = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val running = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    removed
+      .withColumn("pe", max(col("e")).over(prior))
+      // a window starts a new island iff it begins past the furthest
+      // prior end + 1 (adjacent spans merge: positions stay contiguous)
+      .withColumn("is_start",
+        when(col("pos") > coalesce(col("pe"), lit(-2L)) + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("is_start")).over(running))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("e")) - min(col("pos")) + 1).as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_len", "n_windows")
   }
 
   /** Incremental dedup gate: flag NEW (batch) documents that exactly or

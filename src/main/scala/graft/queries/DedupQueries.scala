@@ -100,6 +100,14 @@ object DedupQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // The Lee et al. output shape: maximal repeated spans themselves —
+    // overlapping/adjacent removed windows merged (gaps-and-islands)
+    // into (doc_id, span_start, span_len) intervals.
+    "dedup_spans_ranges" -> ((s, dir) => {
+      Dedup.spanDedupRanges(Tables.documents(s, dir), "doc_id", "text", windowWords = 5)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // Character-level verification of the minhash candidates: edit
     // distance over the first 80 chars (Levenshtein is O(len²) per
     // pair — affordable exactly BECAUSE it runs on the LSH candidate
@@ -273,6 +281,41 @@ SELECT t.doc_id, t.n_words, t.n_windows, t.n_removed,
 FROM totals t LEFT JOIN cov c USING (doc_id)
 ORDER BY t.doc_id"""
 
+  private val spanRangesSql =
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idxd AS (
+  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_words,
+    unnest(generate_series(0, greatest(CAST(len(w) AS BIGINT) - 5, 0))) AS i
+  FROM docs),
+wins AS (
+  SELECT doc_id, n_words, CAST(i AS BIGINT) AS pos,
+    CAST(('0x' || substr(md5(
+      array_to_string(list_slice(w, i + 1, i + 5), ' ')), 1, 15)) AS BIGINT) AS h
+  FROM idxd),
+canon AS (
+  SELECT h, min(struct_pack(doc_id := doc_id, pos := pos)) AS first
+  FROM wins GROUP BY h),
+rem AS (
+  SELECT b.doc_id, b.pos, least(b.pos + 4, b.n_words - 1) AS e
+  FROM wins b JOIN canon c USING (h)
+  WHERE NOT (b.doc_id = c.first.doc_id AND b.pos = c.first.pos)),
+pe AS (
+  SELECT doc_id, pos, e,
+    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM rem),
+isl AS (
+  SELECT doc_id, pos, e,
+    sum(CASE WHEN pos > COALESCE(pe, -2) + 1 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM pe)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_len,
+  CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start"""
+
   private val fuzzyEditSql =
     s"""$minhashCandCtes,
 sel AS (SELECT doc_a, doc_b FROM cand WHERE $estExpr >= 0.5)
@@ -383,6 +426,7 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_spans" -> spanSql,
     "dedup_spans_clean" -> spanCleanSql,
     "dedup_spans_exact" -> spanExactSql,
+    "dedup_spans_ranges" -> spanRangesSql,
     "dedup_fuzzy_edit" -> fuzzyEditSql,
     "dedup_incremental" -> incrementalSql,
     "decontaminate_ngram" -> decontaminateSql

@@ -160,6 +160,34 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(exact(2L) == ((6L, 2L, 6L)), s"got $exact")
   }
 
+  test("spanDedupRanges merges overlapping removed windows into maximal intervals") {
+    // doc 2 repeats doc 1's 7-word passage "a b c d e f g" at the ODD
+    // offset 3 (straddling any 5-block boundary), plus a separate exact
+    // 5-word repeat "p q r s t" at offset 12 — two islands expected:
+    // windows at pos 3..5 union to [3, 9] (len 7), window at pos 12 is
+    // [12, 16] (len 5). The 2-word gap at pos 10-11 keeps them apart.
+    val fx = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a b c d e f g h i j p q r s t u v w"),
+        Row(2L, "x y z a b c d e f g m n p q r s t"))),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val got = Dedup.spanDedupRanges(fx, "doc_id", "text", windowWords = 5)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, 3L, 7L, 3L), (2L, 12L, 5L, 1L)),
+      s"got ${got.toSeq}")
+    // a doc-final repeat whose windows clip at the text end: "a b c d e"
+    // repeated at the END of doc 4 (pos 2..6 clipped to n-1)
+    val clip = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(3L, "a b c d e z z2 z3 z4 z5"),
+        Row(4L, "q w a b c d e"))),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val got2 = Dedup.spanDedupRanges(clip, "doc_id", "text", windowWords = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got2.toSeq == Seq((4L, 2L, 5L, 1L)), s"got ${got2.toSeq}")
+  }
+
   test("incrementalDups flags exact / near / novel batch docs against history") {
     val history = docs.filter(col("doc_id").isin(1L, 4L, 5L))
     val batch = docs.filter(col("doc_id").isin(2L, 3L)).union(
