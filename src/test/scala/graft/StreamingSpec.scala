@@ -284,6 +284,61 @@ class StreamingSpec extends SparkSuite {
     assert(viaStream == direct, "streamed signature table must gate identically")
   }
 
+  test("streaming dedup gate lifecycle: day-2 gates against day-1 signatures, never day-1 text") {
+    import graft.ext.Dedup
+    import graft.streaming.StreamingDedupGate
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-gate").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val day1 = docs.filter(col("doc_id") % 5 =!= 0)
+    val day2 = docs.filter(col("doc_id") % 5 === 0)
+
+    // DAY 1: first ingest — no signature table yet, everything is new
+    day1.write.mode("overwrite").parquet(s"$tmp/in")
+    StreamingDedupGate.start(
+      StreamingExtract.source(spark, s"$tmp/in", day1.schema),
+      "doc_id", "text", s"$tmp/sigs", s"$tmp/verdicts", s"$tmp/ckpt")
+      .awaitTermination(120000)
+    val v1 = spark.read.parquet(s"$tmp/verdicts")
+    assert(v1.count() == day1.count() && v1.filter(col("is_new")).count() == day1.count(),
+      "day 1: every doc is new")
+
+    // DAY 2: new files land in the same dir; the checkpoint resumes and
+    // gates ONLY the new batch against the accumulated signatures, then
+    // appends day-2 signatures
+    day2.write.mode("append").parquet(s"$tmp/in")
+    StreamingDedupGate.start(
+      StreamingExtract.source(spark, s"$tmp/in", day1.schema),
+      "doc_id", "text", s"$tmp/sigs", s"$tmp/verdicts", s"$tmp/ckpt")
+      .awaitTermination(120000)
+
+    val day2Verdicts = spark.read.parquet(s"$tmp/verdicts")
+      .filter(col("doc_id") % 5 === 0).orderBy("doc_id")
+      .select("doc_id", "exact_dup_id", "near_dup_id", "near_est", "is_new")
+    val batchPath = Dedup.incrementalDups(day1, day2, "doc_id", "text", threshold = 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "exact_dup_id", "near_dup_id", "near_est", "is_new")
+    assert(day2Verdicts.collect().toSeq == batchPath.collect().toSeq,
+      "day-2 stream verdicts ≡ batch path")
+
+    // the signature table now carries both days, one row per doc, and
+    // holds no text at all — day-1 re-hashing is structurally impossible
+    val sigs = spark.read.parquet(s"$tmp/sigs")
+    assert(sigs.count() == docs.count(), "signatures accumulate day over day")
+    assert(!sigs.columns.contains("text"))
+
+    // plan shape of the day-2 gate: with the batch in-memory, the only
+    // parquet scan is the signature table, column-pruned — no parquet
+    // scan reads a text column, so history text never re-scans
+    val gate = Dedup.incrementalDupsFromSignatures(
+      sigs, day2.localCheckpoint(), "doc_id", "text", threshold = 0.5)
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan parquet"), plan.take(800))
+    assert(!plan.split("Scan parquet").drop(1)
+      .exists(_.takeWhile(_ != '\n').contains("text")),
+      "history side must not read text:\n" + plan.take(1200))
+  }
+
   test("stream-static enrichment: a streaming fact joins the static dim per micro-batch") {
     // the ingest-enrichment shape: events stream in, the dimension
     // table is read fresh per micro-batch and broadcast — no state,
