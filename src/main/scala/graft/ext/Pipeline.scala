@@ -423,10 +423,16 @@ object Pipeline {
       maxPerDomain: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // native per-key cut: a hot domain's rows are heap-capped at N in
+    // every MAP task before the exchange (the window spelling shipped
+    // and sort-buffered the domain's full row set); the rank window
+    // then runs over ≤N rows per domain on the exchange the final pass
+    // already clustered
+    val cut = graft.plans.TopKPerKey(
+      df, Seq(domainCol), Seq((orderCol, true), (idCol, false)), maxPerDomain)
     val w = Window.partitionBy(col(domainCol))
       .orderBy(col(orderCol).desc, col(idCol).asc)
-    df.withColumn("domain_rank", row_number().over(w))
-      .filter(col("domain_rank") <= maxPerDomain)
+    cut.withColumn("domain_rank", row_number().over(w))
   }
 
   /** Token-budget mixture sampling: within each stratum, walk documents
@@ -636,14 +642,27 @@ object Pipeline {
       idCol: String,
       qualityCol: String
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val l = labels.select(col("node"), col("cluster_id").as("__cid"))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col(qualityCol).desc, col(idCol).asc)
-    df.join(l, col(idCol) === col("node"), "left")
+    val base = df.join(l, col(idCol) === col("node"), "left")
       .withColumn("cluster_id", coalesce(col("__cid"), col(idCol)))
       .drop("node", "__cid")
-      .withColumn("keep", row_number().over(w) === 1)
+    // Representative pick via the native TopKPerKey (k=1) instead of a
+    // rank-1 window: the window spelling shuffles the FULL corpus on
+    // cluster_id and sort-buffers every cluster; the native cut ships a
+    // 3-column projection through a map-side partial pass (≤1 row per
+    // cluster per map task reaches the exchange), and the winner set —
+    // one row per cluster — joins back by cluster_id, where AQE
+    // broadcasts it when it fits, leaving the corpus entirely
+    // unshuffled. Total order (quality desc NULLS LAST, id asc) matches
+    // the window spelling exactly, so `keep` is bit-identical.
+    val winners = graft.plans.TopKPerKey(
+      base.select(col("cluster_id"), col(qualityCol), col(idCol)),
+      Seq("cluster_id"), Seq((qualityCol, true), (idCol, false)), 1)
+      .select(col("cluster_id"), col(idCol).as("__win_id"))
+    base.join(winners, Seq("cluster_id"))
+      .withColumn("keep", col(idCol) === col("__win_id"))
+      .drop("__win_id")
+      .select((base.columns.map(col) :+ col("keep")).toSeq: _*)
   }
 
   /** Inner equi-join where the big side is pre-filtered by a bloom

@@ -27,8 +27,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def rankWindow: org.apache.spark.sql.expressions.WindowSpec =
-    Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+  /** The shared re-rank tail of every ANN tier: per-query top-k under
+    * (score, neighbor_id) via the native [[graft.plans.TopKPerKey]]
+    * operator, then ranks 1..k assigned by a window over the ≤k
+    * survivors. The window spelling alone plans as WindowExec — full
+    * sort + buffer of EVERY candidate per query (the whole corpus per
+    * query in the brute tier); the native cut holds one k-row heap per
+    * query instead, with a map-side partial pass before the exchange,
+    * and the rank window then reuses the final pass's clustered
+    * distribution (same key), so the whole tail is ONE exchange and a
+    * sort over k-row groups. Both orders include the neighbor-id
+    * tiebreaker, so the cut set and the ranks are total-order exact —
+    * identical output to the window-only spelling.
+    */
+  private def rankedTopK(df: DataFrame, scoreCol: String, scoreDesc: Boolean, k: Int): DataFrame = {
+    val cut = graft.plans.TopKPerKey(
+      df, Seq("query_id"), Seq((scoreCol, scoreDesc), ("neighbor_id", false)), k)
+    val score = if (scoreDesc) col(scoreCol).desc else col(scoreCol).asc
+    val w = Window.partitionBy(col("query_id")).orderBy(score, col("neighbor_id").asc)
+    cut.withColumn("rank", row_number().over(w))
+      .select("query_id", "rank", "neighbor_id", scoreCol)
+  }
 
   /** Exact top-k neighbors of each query vector, excluding self.
     * Ordering ties broken by rounded cosine then neighbor id — fully
@@ -46,11 +65,10 @@ object Similarity {
     // count; a small parquet corpus arrives as one split — spread it
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
-      .withColumn("rank", row_number().over(rankWindow))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rankedTopK(
+      c.join(q, col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4)),
+      "cos", scoreDesc = true, k)
   }
 
   /** Hard-negative mining for retriever/embedding training: each
@@ -76,12 +94,11 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
-      .filter(col("cos") < tauPos)
-      .withColumn("rank", row_number().over(rankWindow))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rankedTopK(
+      c.join(q, col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
+        .filter(col("cos") < tauPos),
+      "cos", scoreDesc = true, k)
   }
 
   /** Deterministic random hyperplanes: `tables` tables x `bits` planes
@@ -134,13 +151,12 @@ object Similarity {
     val q = broadcast(withBuckets(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv", planes))
 
-    c.join(q, Seq("t", "b"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
-      .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
-      .withColumn("rank", row_number().over(rankWindow))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rankedTopK(
+      c.join(q, Seq("t", "b"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv").distinct()
+        .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4)),
+      "cos", scoreDesc = true, k)
   }
 
   /** Deterministic Lloyd (k-means) refinement of the hash-picked IVF
@@ -258,13 +274,10 @@ object Similarity {
 
     val adist = (0 until m).map(mi =>
       element_at(col(s"dt_$mi"), col(s"code_$mi").cast("int"))).reduce(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    encoded.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", round(adist, 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "adist")
+    rankedTopK(
+      encoded.join(q, col("query_id") =!= col("neighbor_id"))
+        .withColumn("adist", round(adist, 4)),
+      "adist", scoreDesc = false, k)
   }
 
   /** IVF-PQ: the two approximations composed — the standard layout for
@@ -338,14 +351,11 @@ object Similarity {
 
     val adist = (0 until m).map(mi =>
       element_at(col(s"dt_$mi"), col(s"code_$mi").cast("int"))).reduce(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    encoded.join(broadcast(probes.join(dtables, Seq("query_id"))), Seq("list"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", round(adist, 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "adist")
+    rankedTopK(
+      encoded.join(broadcast(probes.join(dtables, Seq("query_id"))), Seq("list"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adist", round(adist, 4)),
+      "adist", scoreDesc = false, k)
   }
 
   /** Per-label embedding statistics: class counts and the mean vector,
@@ -530,12 +540,11 @@ object Similarity {
       .filter(col("r") <= nProbe)
       .select("query_id", "qv", "list")
 
-    assigned.join(broadcast(probes), Seq("list"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
-      .withColumn("rank", row_number().over(rankWindow))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rankedTopK(
+      assigned.join(broadcast(probes), Seq("list"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4)),
+      "cos", scoreDesc = true, k)
   }
 
   /** SemDeDup (Abbas et al., 2023): semantic dedup by k-means

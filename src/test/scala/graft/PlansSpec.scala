@@ -143,4 +143,73 @@ class PlansSpec extends SparkSuite {
     assert(partialFlushes(grouped) == 0,
       "default cap must not flush on 5 segments")
   }
+
+  private def hashExchanges(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).size
+
+  test("ANN brute re-rank rides TopKPerKey: heap cut, rank over the cut, one hash exchange") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = graft.ext.Similarity
+      .bruteTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyFinal") && plan.contains("TopKPerKeyPartial"),
+      plan.take(1200))
+    // the rank window consumes the final pass's clustered distribution
+    // directly — the candidate set crosses exactly one hash exchange,
+    // already cut to <=k rows per query by the map-side partial
+    assert(hashExchanges(plan) == 1, plan.take(1200))
+    // parity with the window-only spelling, rank column included
+    val q = broadcast(emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val ref = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(graft.functions.VectorOps.cosine(col("qv"), col("cv")), 4))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+    assert(out.collect().map(_.toSeq).toSet == ref.collect().map(_.toSeq).toSet)
+  }
+
+  test("keepBestPerCluster picks winners via TopKPerKey: window-free, window-identical") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_chars")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 3L))
+      .toDF("node", "cluster_id")
+    val out = graft.ext.Pipeline.keepBestPerCluster(docs, labels, "doc_id", "n_chars")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyFinal"), plan.take(1200))
+    assert(!plan.contains("Window"),
+      "representative pick must not sort-buffer clusters:\n" + plan.take(1200))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val ref = docs
+      .join(labels.select(col("node"), col("cluster_id").as("__cid")),
+        col("doc_id") === col("node"), "left")
+      .withColumn("cluster_id", coalesce(col("__cid"), col("doc_id")))
+      .drop("node", "__cid")
+      .withColumn("keep", row_number().over(w) === 1)
+    assert(out.select("doc_id", "cluster_id", "keep").collect().map(_.toSeq).toSet ==
+      ref.select("doc_id", "cluster_id", "keep").collect().map(_.toSeq).toSet)
+  }
+
+  test("domainCap rides TopKPerKey: hot domains heap-capped before the exchange") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "n_chars")
+    val out = graft.ext.Pipeline.domainCap(docs, "source", "n_chars", "doc_id", 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyFinal") && plan.contains("TopKPerKeyPartial"),
+      plan.take(1200))
+    assert(hashExchanges(plan) == 1, plan.take(1200))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val ref = docs.withColumn("domain_rank", row_number().over(w))
+      .filter(col("domain_rank") <= 5)
+    assert(out.collect().map(_.toSeq).toSet == ref.collect().map(_.toSeq).toSet)
+  }
 }
