@@ -7,8 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * table; the read call is the only thing that changes.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every query path passes through here — make sure the native
+    // planner surface (top-k strategy + window-topk rewrite) is live
+    graft.plans.GraftPlanner.ensure(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** `events.ts` is Parquet INT64 TIMESTAMP(NANOS) (FIXTURES.md §B), which
     * Spark's vectorized reader rejects. Read it as raw nanos via the

@@ -16,10 +16,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *   - [[GraftFunctions.register]] on a live session — the
   *     library/notebook route.
   *
-  * No custom LogicalPlan/Strategy is registered: SURVEY §4 found zero
-  * operators needing one (the as-of join composes into the optimal
-  * plan from built-ins — see Relational.asOfJoin), so the extension
-  * surface is intentionally just functions.
+  * Beyond functions it registers the whole-operator surface: the
+  * nanos-pushdown optimizer rule, the top-k planner strategy, and (via
+  * [[GraftPlanner.ensure]], because [[WindowTopKRewrite]] must run in
+  * the LAST optimizer batch — after Spark's `InferWindowGroupLimit`
+  * has inserted the node it matches — which `injectOptimizerRule`'s
+  * operator-optimization slot cannot do) the window-top-k rewrite.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
@@ -27,7 +29,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.cosineFunction)
     e.injectOptimizerRule(_ => NanosRangePushdown)
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // the rewrite needs experimental.extraOptimizations (last batch);
+    // hook session creation for it
+    e.injectPostHocResolutionRule { session =>
+      GraftPlanner.ensure(session)
+      NoopResolutionRule
+    }
   }
+}
+
+/** Carrier for the [[GraftExtensions]] session hook above — resolution
+  * rules are the one extension point handed a live session at session
+  * build time; this one only triggers [[GraftPlanner.ensure]] and
+  * never alters a plan. */
+object NoopResolutionRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = plan
 }
 
 object GraftFunctions {

@@ -184,15 +184,7 @@ object TopKPerKey {
     */
   def apply(df: DataFrame, keyCols: Seq[String], orderSpec: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession
-    // registration is a session-global side effect: synchronize the
-    // check-then-append (concurrent first calls would double-register),
-    // and consult the PLANNER's full strategy list so an extension-
-    // injected copy (GraftExtensions) isn't re-added via this path
-    spark.experimental.synchronized {
-      if (!spark.sessionState.planner.strategies.contains(TopKPerKeyStrategy))
-        spark.experimental.extraStrategies =
-          spark.experimental.extraStrategies :+ TopKPerKeyStrategy
-    }
+    GraftPlanner.ensure(spark)
     val sortOrder = orderSpec.map { case (name, desc) =>
       if (desc)
         SortOrder(UnresolvedAttribute(name), org.apache.spark.sql.catalyst.expressions.Descending)

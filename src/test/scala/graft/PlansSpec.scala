@@ -197,6 +197,32 @@ class PlansSpec extends SparkSuite {
       ref.select("doc_id", "cluster_id", "keep").collect().map(_.toSeq).toSet)
   }
 
+  test("window row_number spelling auto-rewrites to the native top-k operator") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    def spelled = customer.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val plan = spelled.queryExecution.executedPlan.toString
+    // Spark's InferWindowGroupLimit proves the pattern; the rewrite
+    // swaps its sort-based node for the heap-based native pair
+    assert(plan.contains("TopKPerKeyFinal") && plan.contains("TopKPerKeyPartial"),
+      plan.take(1200))
+    assert(!plan.contains("WindowGroupLimit"), plan.take(1200))
+    // rank() keeps >k rows on ties — must NOT rewrite
+    val ranked = customer.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+    assert(ranked.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rank() group limit must stay on Spark's exec")
+    // kill switch restores Spark's plan
+    withSQLConf("spark.graft.topk.rewriteWindow" -> "false") {
+      assert(!spelled.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      val off = spelled.collect().map(_.toSeq).toSet
+      withSQLConf("spark.graft.topk.rewriteWindow" -> "true") {
+        assert(spelled.collect().map(_.toSeq).toSet == off,
+          "rewritten output must be bit-identical under a total order")
+      }
+    }
+  }
+
   test("domainCap rides TopKPerKey: hot domains heap-capped before the exchange") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
