@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Lexical corpus models: an n-gram language-model quality score (the
@@ -150,5 +150,108 @@ object Lexical {
       .agg(sum("s_micro").as("score_micro"), count(lit(1)).as("n_terms"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** CCNet-style per-language quality terciles (Wenzek et al., LREC
+    * 2020, §4.4): score every document with the corpus bigram LM
+    * ([[bigramLmScore]]), rank it WITHIN its language, and cut each
+    * language's ranking into equal thirds — `head` (most fluent),
+    * `middle`, `tail`. CCNet trains on head+middle and drops or
+    * re-filters the tail; bucketing per language is the load-bearing
+    * part (absolute LM scores are not comparable across languages, so
+    * a global cut would silently drop whole low-resource languages).
+    *
+    * Scale shape: the within-language rank reuses
+    * [[Pipeline.equiDepthBins]]'s two-phase prefix-sum, generalized to
+    * a group key. `row_number() OVER (PARTITION BY lang ORDER BY
+    * score)` would funnel each language through ONE task — and a
+    * 100 TB crawl is mostly one language, so that hot partition IS the
+    * corpus. Instead rows pre-bucket into coarse score blocks
+    * (`score div blockWidth`), rank per (lang, block) in parallel, and
+    * add the per-(lang, block) count prefix — a window over the tiny
+    * (lang × blocks) count table, broadcast back. Ties (score, then
+    * doc_id) make the cut total-order exact, so the bucket column
+    * hashes bit-for-bit.
+    */
+  def ccnetBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      blockWidth: Long = 50000L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLmScore(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")), Seq("doc_id"))
+    val b = scored.withColumn("__block", expr(s"lm_score_micro div $blockWidth"))
+    // prefix over per-(lang, block) counts: rows = languages × blocks,
+    // bounded; one window task per language over ~20 block rows
+    val perLang = Window.partitionBy(col("lang")).orderBy(col("__block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = b.groupBy("lang", "__block").agg(count(lit(1)).as("__bcnt"))
+      .withColumn("__bprefix", coalesce(sum(col("__bcnt")).over(perLang), lit(0L)))
+    val totals = b.groupBy("lang").agg(count(lit(1)).as("__n"))
+    val within = Window.partitionBy(col("lang"), col("__block"))
+      .orderBy(col("lm_score_micro").asc, col("doc_id").asc)
+    b.join(broadcast(prefixes.select("lang", "__block", "__bprefix")), Seq("lang", "__block"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("__rank", col("__bprefix") + row_number().over(within))
+      .withColumn("ccnet_bucket",
+        expr("""CASE ((__rank - 1) * 3) div __n
+                WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"""))
+      .select(col("doc_id"), col("lang"), col("lm_score_micro"), col("ccnet_bucket"))
+  }
+
+  /** Integer floor-log2 of a positive BIGINT column expression —
+    * `length(bin(x)) − 1` — the engine-exact logarithm both Spark and
+    * DuckDB compute identically (binary-string length has no floating
+    * point to round), used wherever a score needs log-scale shape
+    * without libm. */
+  private def flog2(c: String): Column = expr(s"length(bin($c + 1)) - 1").cast("long")
+
+  /** DSIR importance weights (Xie et al., NeurIPS 2023): per-document
+    * log importance ratio `log p_target(d) − log p_raw(d)` under
+    * unigram bag-of-words LMs — the data-selection score that
+    * resamples a raw crawl toward the distribution of a trusted
+    * target corpus (the paper hashes n-gram features; whole unigrams
+    * here keep the oracle readable, and a `hash(w) % B` on the token
+    * column is the one-line change to the hashed variant).
+    *
+    * Per-token weight: `flog2(c_t(w)+1) − flog2(c_s(w)+1) +
+    * flog2(N_s+1) − flog2(N_t+1)` with flog2(x) = length(bin(x)) − 1
+    * — add-one-smoothed log-count ratios in EXACT integer floor-log2
+    * space (documented coarsening: libm `ln` is not engine-exact, and
+    * DSIR's selection only needs the ratio's scale, not its mantissa).
+    * Document weight = Σ over its tokens; select by
+    * `orderBy(dsir_logw desc, id)` + limit, or threshold.
+    *
+    * Scale shape: two hash-aggregate count tables; the ratio table is
+    * VOCABULARY-keyed and joins the exploded corpus as a shuffle join
+    * (the [[bigramLmScore]] doctrine — a corpus-scale vocab must not
+    * broadcast; AQE still elects broadcast when it measures small);
+    * the two totals are 1-row broadcasts. One corpus-keyed aggregate
+    * produces the weights.
+    */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    def toks(df: DataFrame) =
+      df.select(explode(split(col(textCol), " ")).as("w"))
+    val srcCnt = toks(raw).groupBy("w").agg(count(lit(1)).as("c_s"))
+    val tgtCnt = toks(target).groupBy("w").agg(count(lit(1)).as("c_t"))
+    val nS = srcCnt.agg(sum("c_s").as("n_s"))
+    val nT = tgtCnt.agg(sum("c_t").as("n_t"))
+    val lr = srcCnt.join(tgtCnt, Seq("w"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(nS)).crossJoin(broadcast(nT))
+      .select(col("w"),
+        (flog2("c_t") - flog2("c_s") + flog2("n_s") - flog2("n_t")).as("lr"))
+    raw.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .join(lr, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lr").as("dsir_logw"))
   }
 }

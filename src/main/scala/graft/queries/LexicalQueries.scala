@@ -51,6 +51,23 @@ object LexicalQueries extends QueryGroup {
       Lexical.pmiTopPairs(Tables.documents(s, dir), "text", PmiMinCount, PmiK)
     }),
 
+    // CCNet per-language quality terciles: head/middle/tail cut of
+    // each language's bigram-LM ranking — the filter that keeps
+    // low-resource languages from being dropped by a global cut.
+    "ccnet_buckets" -> ((s, dir) => {
+      Lexical.ccnetBuckets(Tables.documents(s, dir), "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance weights: resample the raw corpus toward the
+    // trusted target slice (source = 'src0') by unigram log-count
+    // ratios in exact integer floor-log2 space.
+    "dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Lexical.dsirWeights(docs, docs.filter(col("source") === "src0"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Hybrid retrieval: BM25 top-20 (lexical) fused with exact-cosine
     // top-20 neighbors of vector 0 (semantic, doc_id ≡ vec_id) by
     // reciprocal-rank fusion — integer micro contributions, exact sum.
