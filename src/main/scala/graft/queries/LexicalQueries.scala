@@ -121,10 +121,12 @@ bmtop AS (
   ORDER BY score_micro DESC, doc_id ASC LIMIT $k)"""
   }
 
-  val oracleSql: Map[String, String] = Map(
-
-    "lm_bigram_score" ->
-      """WITH t AS (
+  /** The bigram-LM pipeline as a reusable WITH-body ending in `lm`
+    * (doc_id, n_bigrams, lm_score_micro), shared by the standalone
+    * oracle and the CCNet tercile oracle.
+    */
+  private def lmCtes: String =
+    """t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
   WHERE len(string_split(text, ' ')) >= 2),
 bg AS (
@@ -137,10 +139,62 @@ big AS (
   SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
 per AS (
   SELECT bg.doc_id, (big.c2 * 1000000) // uni.c1 AS p_micro
-  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1))
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       CAST(CAST(sum(p_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS lm_score_micro
-FROM per GROUP BY doc_id ORDER BY doc_id""",
+  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1)),
+lm AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(CAST(sum(p_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS lm_score_micro
+  FROM per GROUP BY doc_id)"""
+
+  val oracleSql: Map[String, String] = Map(
+
+    // Spark's skew-proof two-phase rank (per-(lang,block) + broadcast
+    // prefix) is a total order on (lm_score_micro, doc_id) within
+    // lang — at oracle scale the plain window IS that order, so DuckDB
+    // replays the tercile cut with one row_number().
+    "ccnet_buckets" ->
+      s"""WITH $lmCtes,
+ranked AS (
+  SELECT lm.doc_id, d.lang, lm.lm_score_micro,
+    CAST(row_number() OVER (
+      PARTITION BY d.lang ORDER BY lm.lm_score_micro ASC, lm.doc_id ASC) AS BIGINT) AS r,
+    CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT) AS n
+  FROM lm JOIN documents d USING (doc_id))
+SELECT doc_id, lang, lm_score_micro,
+  CASE ((r - 1) * 3) // n WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END
+    AS ccnet_bucket
+FROM ranked ORDER BY doc_id""",
+
+    // Exact integer floor-log2 replay: flog2(x) = length(bin(x+1)) - 1
+    // is engine-identical (binary-string length, no libm). Every token
+    // of `raw` appears in the source count table by construction, so
+    // the ratio join is effectively inner on the full corpus.
+    "dsir_weights" ->
+      """WITH sc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c_s
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) s GROUP BY 1),
+tc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c_t
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        WHERE source = 'src0') s GROUP BY 1),
+ns AS (SELECT CAST(sum(c_s) AS BIGINT) AS n_s FROM sc),
+nt AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t FROM tc),
+lr AS (
+  SELECT sc.w,
+    CAST((length(bin(COALESCE(tc.c_t, 0) + 1)) - 1)
+       - (length(bin(sc.c_s + 1)) - 1)
+       + (length(bin(ns.n_s + 1)) - 1)
+       - (length(bin(nt.n_t + 1)) - 1) AS BIGINT) AS lr
+  FROM sc LEFT JOIN tc USING (w) CROSS JOIN ns CROSS JOIN nt),
+ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(lr.lr) AS BIGINT) AS dsir_logw
+FROM ex JOIN lr USING (w)
+GROUP BY ex.doc_id ORDER BY ex.doc_id""",
+
+    "lm_bigram_score" ->
+      s"""WITH $lmCtes
+SELECT doc_id, n_bigrams, lm_score_micro FROM lm ORDER BY doc_id""",
 
     "bm25_topk" ->
       s"""WITH ${bm25Ctes(Bm25K)}

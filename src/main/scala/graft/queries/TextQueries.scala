@@ -88,9 +88,13 @@ $epochs"""
 
   private def classifierTrainSql: String = {
     val k = TrainTerms.length
-    val rows = (s"SELECT '${graft.ext.Classifier.BiasFeature}' AS feature, w0 AS weight_micro FROM wt$TrainEpochs" +:
+    // DuckDB SUM(BIGINT) yields HUGEINT, and HUGEINT propagates through
+    // every wt{e} update — cast the final projection back to BIGINT so
+    // the type-sensitive parquet compare sees INT64 (values already
+    // match; the sibling confusion oracle casts for the same reason).
+    val rows = (s"SELECT '${graft.ext.Classifier.BiasFeature}' AS feature, CAST(w0 AS BIGINT) AS weight_micro FROM wt$TrainEpochs" +:
       TrainTerms.zipWithIndex.map { case (t, j) =>
-        s"SELECT '$t', w${j + 1} FROM wt$TrainEpochs"
+        s"SELECT '$t', CAST(w${j + 1} AS BIGINT) FROM wt$TrainEpochs"
       }).mkString("\n  UNION ALL ")
     s"""WITH $classifierTrainCtes
 SELECT feature, weight_micro FROM (
