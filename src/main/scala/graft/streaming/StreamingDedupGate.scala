@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ext.Dedup
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -9,36 +9,48 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 /** Streaming ingest-time dedup gate — the day-N lifecycle of
   * [[Dedup.incrementalDupsFromSignatures]]: every arriving micro-batch
   * is (1) gated against the ACCUMULATED signature table (exact md5
-  * tier + minhash near tier), its verdicts appended to a verdict log,
-  * then (2) its own `(id, xhash, sig)` rows appended to the signature
+  * tier + minhash near tier), its verdicts written to a verdict log,
+  * then (2) its own `(id, xhash, sig)` rows written to the signature
   * table so the NEXT batch gates against it. History text is touched
   * exactly once — on the day it arrived, to build its signatures; every
   * later gate reads only the pruned signature columns (the
   * never-re-hash-history contract StreamingSpec pins by plan
   * inspection).
   *
+  * REPLAY IDEMPOTENCY: both sinks are partitioned by the foreachBatch
+  * `batchId` and written with DYNAMIC partition overwrite, so a batch
+  * replayed after a crash (including a crash BETWEEN the two writes)
+  * overwrites its own partitions instead of appending duplicates. The
+  * gate reads history EXCLUDING the replaying batch's own partition
+  * (partition-pruned), so a half-written prior attempt can never mark
+  * a batch's docs as duplicates of themselves.
+  *
   * Shape at 100 TB: the signature table is the only long-lived state
   * and it grows by one ~100-byte row per ingested document (not per
   * byte of text); each gate is two broadcast joins of the small batch
-  * against a column-pruned history scan. The verdict log is
-  * append-only, so replays under the streaming checkpoint re-gate a
-  * batch idempotently only if the caller keys the verdict sink by
-  * batch — the contract here matches the repo's other foreachBatch
-  * sinks (AvailableNow + checkpoint ⇒ each batch lands once).
+  * against a column-pruned history scan. One partition directory per
+  * micro-batch is the same layout every append-only ingest log uses;
+  * compaction of old batches ([[graft.operators.Bucketing]]) folds
+  * them into date-grain partitions without changing the contract.
   */
 object StreamingDedupGate {
 
+  /** Partition column keying both sinks by micro-batch. */
+  val BatchCol = "__batch_id"
+
   /** The foreachBatch body, usable directly in batch code too: gate
     * `batch` against the signature table at `sigDir` (absent/empty ⇒
-    * everything is new — day 1), append verdicts to `verdictDir`, then
-    * append the batch's signatures to `sigDir`. */
+    * everything is new — day 1), write verdicts to `verdictDir`, then
+    * write the batch's signatures to `sigDir` — both keyed by
+    * `batchId` so any replay overwrites rather than duplicates. */
   def gateAndIngest(
       batch: DataFrame,
       idCol: String,
       textCol: String,
       sigDir: String,
       verdictDir: String,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      batchId: Long = 0L
   ): Unit = {
     val spark = batch.sparkSession
     // two consumers (gate + signature build) — hash the batch text once
@@ -47,7 +59,12 @@ object StreamingDedupGate {
       val verdicts =
         if (hasData(spark, sigDir))
           Dedup.incrementalDupsFromSignatures(
-            spark.read.parquet(sigDir), b, idCol, textCol, threshold)
+            // exclude this batch's own partition: on replay the prior
+            // attempt's signatures must not gate the batch against
+            // itself (partition filter — prunes, never scans)
+            spark.read.parquet(sigDir)
+              .filter(col(BatchCol) =!= batchId).drop(BatchCol),
+            b, idCol, textCol, threshold)
         else
           // day 1: no history — same schema, everything new
           b.select(col(idCol).as("doc_id"))
@@ -55,21 +72,39 @@ object StreamingDedupGate {
             .withColumn("near_dup_id", lit(null).cast(LongType))
             .withColumn("near_est", lit(null).cast(DoubleType))
             .withColumn("is_new", lit(true))
-      verdicts.write.mode("append").parquet(verdictDir)
-      Dedup.signatureTable(b, idCol, textCol)
-        .write.mode("append").parquet(sigDir)
+      writeBatchPartition(verdicts, batchId, verdictDir)
+      writeBatchPartition(Dedup.signatureTable(b, idCol, textCol), batchId, sigDir)
     } finally b.unpersist()
   }
 
-  private def hasData(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+  /** Idempotent per-batch write: dynamic overwrite replaces ONLY the
+    * `__batch_id=N` partition being written, leaving other batches'
+    * partitions untouched. */
+  private def writeBatchPartition(df: DataFrame, batchId: Long, dir: String): Unit =
+    df.withColumn(BatchCol, lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BatchCol)
+      .parquet(dir)
+
+  private def hasData(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(s => s.getPath.getName.endsWith(".parquet"))
+    if (!fs.exists(p)) false
+    else {
+      // partitioned layout: data files live under __batch_id=N/ dirs
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
   }
 
   /** Wire the gate onto a stream: one [[gateAndIngest]] per
     * micro-batch, AvailableNow + checkpoint so each batch gates exactly
-    * once across restarts (the day-2 restart IS the lifecycle under
+    * once across restarts, and the engine-supplied batchId keys both
+    * sinks so a crash-replay of an incomplete batch is an overwrite,
+    * not a duplicate (the day-2 restart IS the lifecycle under
     * test). */
   def start(
       stream: DataFrame,
@@ -81,8 +116,8 @@ object StreamingDedupGate {
       threshold: Double = 0.5
   ): StreamingQuery =
     stream.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        gateAndIngest(b, idCol, textCol, sigDir, verdictDir, threshold)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        gateAndIngest(b, idCol, textCol, sigDir, verdictDir, threshold, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

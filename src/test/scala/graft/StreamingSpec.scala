@@ -339,6 +339,57 @@ class StreamingSpec extends SparkSuite {
       "history side must not read text:\n" + plan.take(1200))
   }
 
+  test("streaming dedup gate replay: a crashed batch re-runs as an overwrite, never a duplicate") {
+    import graft.ext.Dedup
+    import graft.streaming.StreamingDedupGate
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gate-replay").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val day1 = docs.filter(col("doc_id") % 5 =!= 0)
+    val day2 = docs.filter(col("doc_id") % 5 === 0)
+    val expected = Dedup.incrementalDups(day1, day2, "doc_id", "text", threshold = 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "exact_dup_id", "near_dup_id", "near_est", "is_new")
+      .collect().toSeq
+
+    def batch1Verdicts = spark.read.parquet(s"$tmp/verdicts")
+      .filter(col(StreamingDedupGate.BatchCol) === 1).orderBy("doc_id")
+      .select("doc_id", "exact_dup_id", "near_dup_id", "near_est", "is_new")
+      .collect().toSeq
+
+    // batch 0 completes normally; batch 1's first attempt writes its
+    // verdicts but CRASHES before the signature write (emulated by
+    // deleting the signature partition it wrote)
+    StreamingDedupGate.gateAndIngest(
+      day1, "doc_id", "text", s"$tmp/sigs", s"$tmp/verdicts", 0.5, batchId = 0L)
+    StreamingDedupGate.gateAndIngest(
+      day2, "doc_id", "text", s"$tmp/sigs", s"$tmp/verdicts", 0.5, batchId = 1L)
+    val sigPart1 = new java.io.File(s"$tmp/sigs/${StreamingDedupGate.BatchCol}=1")
+    assert(sigPart1.exists(), "precondition: batch-1 signature partition exists")
+    sigPart1.listFiles().foreach(_.delete()); assert(sigPart1.delete())
+
+    // checkpoint replay re-runs the incomplete batch with the SAME id:
+    // the stale verdict partition is overwritten, the signature
+    // partition is rebuilt, and nothing duplicates
+    StreamingDedupGate.gateAndIngest(
+      day2, "doc_id", "text", s"$tmp/sigs", s"$tmp/verdicts", 0.5, batchId = 1L)
+    assert(spark.read.parquet(s"$tmp/verdicts").count() == docs.count(),
+      "replay must not duplicate verdict rows")
+    assert(spark.read.parquet(s"$tmp/sigs").count() == docs.count(),
+      "replay must not duplicate signature rows")
+    assert(batch1Verdicts == expected,
+      "replayed verdicts ≡ batch path (prior attempt's partial state invisible)")
+
+    // worst case: a FULL replay with both partitions already present —
+    // the batch must not gate against its own prior signatures (which
+    // would mark every doc an exact dup of itself)
+    StreamingDedupGate.gateAndIngest(
+      day2, "doc_id", "text", s"$tmp/sigs", s"$tmp/verdicts", 0.5, batchId = 1L)
+    assert(spark.read.parquet(s"$tmp/verdicts").count() == docs.count())
+    assert(spark.read.parquet(s"$tmp/sigs").count() == docs.count())
+    assert(batch1Verdicts == expected, "full replay is a no-op overwrite")
+  }
+
   test("stream-static enrichment: a streaming fact joins the static dim per micro-batch") {
     // the ingest-enrichment shape: events stream in, the dimension
     // table is read fresh per micro-batch and broadcast — no state,
