@@ -254,4 +254,45 @@ object Lexical {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("lr").as("dsir_logw"))
   }
+
+  /** [[dsirWeights]] with HASHED features — the variant Xie et al.
+    * actually run at scale (§2.2: n-gram features hashed into 10k
+    * buckets). Tokens map to `hash60(w) mod buckets` (the repo's
+    * portable 60-bit md5 prefix, engine-identical in DuckDB), so the
+    * log-ratio table is FIXED-SIZE `buckets` rows regardless of
+    * vocabulary — which flips the join doctrine: unlike the
+    * whole-unigram ratio table (vocabulary-scale, must shuffle), a
+    * few-thousand-row table is exactly what `broadcast()` is for, so
+    * the per-token scoring join is a map-side broadcast join and the
+    * only corpus-scale shuffle left is the per-doc aggregate.
+    * Collisions fold rare features together — the paper's accepted
+    * trade; the smoothed ratio arithmetic is unchanged.
+    */
+  def dsirWeightsHashed(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 4096
+  ): DataFrame = {
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
+    val bucketOf = expr(
+      s"cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint) % $buckets")
+    def feats(df: DataFrame) =
+      df.select(explode(split(col(textCol), " ")).as("w")).select(bucketOf.as("f"))
+    val srcCnt = feats(raw).groupBy("f").agg(count(lit(1)).as("c_s"))
+    val tgtCnt = feats(target).groupBy("f").agg(count(lit(1)).as("c_t"))
+    val nS = srcCnt.agg(sum("c_s").as("n_s"))
+    val nT = tgtCnt.agg(sum("c_t").as("n_t"))
+    val lr = srcCnt.join(tgtCnt, Seq("f"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(nS)).crossJoin(broadcast(nT))
+      .select(col("f"),
+        (flog2("c_t") - flog2("c_s") + flog2("n_s") - flog2("n_t")).as("lr"))
+    raw.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .select(col("doc_id"), bucketOf.as("f"))
+      .join(broadcast(lr), Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lr").as("dsir_logw"))
+  }
 }

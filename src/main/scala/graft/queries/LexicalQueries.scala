@@ -29,6 +29,9 @@ object LexicalQueries extends QueryGroup {
   private val PmiMinCount = 3
   private val PmiK = 20
 
+  /** Hashed-DSIR feature-space size (fixed regardless of vocabulary). */
+  private val DsirBuckets = 4096
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // CCNet-style LM quality gate: mean bigram conditional probability
@@ -65,6 +68,31 @@ object LexicalQueries extends QueryGroup {
     "dsir_weights" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Lexical.dsirWeights(docs, docs.filter(col("source") === "src0"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // CCNet used as CCNet uses it (Wenzek §4.4): the tercile cut GATES
+    // the corpus — keep head+middle, drop tail — and the kept slice
+    // flows into downstream token accounting (the input to a mixture /
+    // token-budget plan). Exercises the bucket column as a filter, not
+    // just a label.
+    "ccnet_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Lexical.ccnetBuckets(docs, "doc_id", "text", "lang")
+        .filter(col("ccnet_bucket") =!= "tail")
+        .join(docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")), Seq("doc_id"))
+        .select("doc_id", "lang", "lm_score_micro", "ccnet_bucket", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR at the paper's actual scale shape: features hashed into a
+    // fixed-size bucket space, so the ratio table broadcasts and the
+    // per-token scoring join is map-side.
+    "dsir_weights_hashed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Lexical.dsirWeightsHashed(
+        docs, docs.filter(col("source") === "src0"), "doc_id", "text", DsirBuckets)
         .orderBy("doc_id")
     }),
 
@@ -190,6 +218,54 @@ ex AS (
 SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(lr.lr) AS BIGINT) AS dsir_logw
 FROM ex JOIN lr USING (w)
+GROUP BY ex.doc_id ORDER BY ex.doc_id""",
+
+    "ccnet_pipeline" ->
+      s"""WITH $lmCtes,
+ranked AS (
+  SELECT lm.doc_id, d.lang, lm.lm_score_micro,
+    CAST(row_number() OVER (
+      PARTITION BY d.lang ORDER BY lm.lm_score_micro ASC, lm.doc_id ASC) AS BIGINT) AS r,
+    CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT) AS n
+  FROM lm JOIN documents d USING (doc_id)),
+cut AS (
+  SELECT doc_id, lang, lm_score_micro,
+    CASE ((r - 1) * 3) // n WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END
+      AS ccnet_bucket
+  FROM ranked)
+SELECT cut.doc_id, cut.lang, cut.lm_score_micro, cut.ccnet_bucket,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+FROM cut JOIN documents d USING (doc_id)
+WHERE cut.ccnet_bucket <> 'tail'
+ORDER BY cut.doc_id""",
+
+    // Same replay with the token pre-hashed into the fixed bucket
+    // space via the repo's portable 60-bit md5 prefix.
+    "dsir_weights_hashed" ->
+      s"""WITH sw AS (
+  SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $DsirBuckets AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) s),
+tw AS (
+  SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $DsirBuckets AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        WHERE source = 'src0') s),
+sc AS (SELECT f, CAST(count(*) AS BIGINT) AS c_s FROM sw GROUP BY 1),
+tc AS (SELECT f, CAST(count(*) AS BIGINT) AS c_t FROM tw GROUP BY 1),
+ns AS (SELECT CAST(sum(c_s) AS BIGINT) AS n_s FROM sc),
+nt AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t FROM tc),
+lr AS (
+  SELECT sc.f,
+    CAST((length(bin(COALESCE(tc.c_t, 0) + 1)) - 1)
+       - (length(bin(sc.c_s + 1)) - 1)
+       + (length(bin(ns.n_s + 1)) - 1)
+       - (length(bin(nt.n_t + 1)) - 1) AS BIGINT) AS lr
+  FROM sc LEFT JOIN tc USING (f) CROSS JOIN ns CROSS JOIN nt),
+ex AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $DsirBuckets AS f
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) s)
+SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(lr.lr) AS BIGINT) AS dsir_logw
+FROM ex JOIN lr USING (f)
 GROUP BY ex.doc_id ORDER BY ex.doc_id""",
 
     "lm_bigram_score" ->

@@ -85,6 +85,51 @@ class LexicalSpec extends SparkSuite {
     assert(tied == Seq(3L, 7L), s"tie-break by id: $tied")
   }
 
+  test("ccnetBuckets: tercile cut matches the per-language (score, id) total order") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Lexical.ccnetBuckets(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+
+    // recompute the cut from first principles on the collected scores
+    val expected = got.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val n = rows.length
+      rows.sortBy(r => (r._3, r._1)).zipWithIndex.map { case (r, i) =>
+        val b = (i.toLong * 3) / n match {
+          case 2 => "head"; case 1 => "middle"; case _ => "tail"
+        }
+        (r._1, b)
+      }
+    }.toMap
+    got.foreach { case (id, _, _, bucket) =>
+      assert(bucket == expected(id), s"doc $id: got $bucket expected ${expected(id)}")
+    }
+    // every language exercises all three buckets (non-vacuous fixture)
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.map(_._4).distinct.sorted.sameElements(Array("head", "middle", "tail")),
+        s"$lang must populate all terciles")
+    }
+  }
+
+  test("dsirWeightsHashed at collision-free width reproduces whole-unigram DSIR") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = docs.filter(col("source") === "src0")
+    val whole = Lexical.dsirWeights(docs, target, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val hashed = Lexical.dsirWeightsHashed(docs, target, "doc_id", "text", buckets = 1 << 24)
+      .orderBy("doc_id").collect().toSeq
+    assert(hashed == whole,
+      "with no hash collisions the bucketed ratio table is the unigram table")
+  }
+
+  test("dsirWeightsHashed plan: fixed-size ratio table rides a broadcast join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Lexical.dsirWeightsHashed(
+      docs, docs.filter(col("source") === "src0"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-token scoring join must be map-side (the point of hashing):\n" + plan.take(1200))
+  }
+
   test("semDedup invariants: reps kept, one rep per cluster, drop rule exact") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.semDedup(emb, "vec_id", "embedding", numCentroids = 8, iters = 1, tau = 0.2)
