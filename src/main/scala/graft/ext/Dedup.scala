@@ -435,7 +435,13 @@ object Dedup {
     * and the marked set feeds two downstream branches — persist each
     * so the corpus is scanned (and every window hashed) ONCE, not
     * once per branch (at 100 TB the equivalent is materializing the
-    * window table). Bench/Verify clear the cache between queries. */
+    * window table). CACHE LIFETIME: each call pins its own copy, so
+    * running [[spanDedupExact]] AND [[spanDedupRanges]] on the same
+    * corpus in one session pins the corpus-scale window table twice —
+    * call [[unpersistSpanCaches]] between them (Bench/Verify clear the
+    * whole cache between queries, which also releases these); a
+    * pipeline wanting both outputs for one corpus should materialize
+    * the window table to parquet instead. */
   private def markedWindows(
       df: DataFrame,
       idCol: String,
@@ -457,9 +463,23 @@ object Dedup {
     val canon = wins.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
       .select(col("h"), col("first.doc_id").as("cdoc"), col("first.pos").as("cpos"))
-    wins.join(canon, Seq("h"))
+    val marked = wins.join(canon, Seq("h"))
       .withColumn("kept", col("doc_id") === col("cdoc") && col("pos") === col("cpos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    spanCaches.synchronized { spanCaches += wins; spanCaches += marked }
+    marked
+  }
+
+  /** Persisted window tables pinned by [[markedWindows]] calls that
+    * have not been released yet. */
+  private val spanCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Release every window table pinned by prior [[spanDedupExact]] /
+    * [[spanDedupRanges]] calls — the targeted alternative to
+    * `spark.catalog.clearCache()` when other caches must survive. */
+  def unpersistSpanCaches(): Unit = spanCaches.synchronized {
+    spanCaches.foreach(_.unpersist(blocking = false))
+    spanCaches.clear()
   }
 
   /** MAXIMAL repeated spans — the Lee et al. 2022 output shape: merge

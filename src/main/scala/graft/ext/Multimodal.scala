@@ -69,7 +69,11 @@ object Multimodal {
         }
         Some((fmt, w, h, hist))
       } finally reader.dispose()
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: ImageIO readers throw unchecked
+      // exceptions (ArrayIndexOutOfBounds, IllegalArgument, ...) on
+      // malformed-but-recognized payloads; a corrupt image must fall
+      // back to None, not kill the task
+    } catch { case scala.util.control.NonFatal(_) => None }
     finally in.close()
   }
 

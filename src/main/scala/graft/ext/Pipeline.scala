@@ -628,6 +628,12 @@ object Pipeline {
     * (filter `keep` for the surviving corpus; keeping the flag makes
     * the drop auditable).
     *
+    * PRECONDITION: `idCol` is unique across `df` (the usual doc-id
+    * contract, and what the upstream pair-generation already assumes).
+    * The winner joins back by id, so duplicate ids within a cluster
+    * would all be flagged keep — run [[graft.ext.Dedup.exact]] first if
+    * ids can repeat.
+    *
     * Scale shape: `labels` holds only nodes that appear in some dup
     * pair — typically a few percent of the corpus — so the left join
     * is corpus ⨝ small (AQE broadcasts it when it fits; no hint forced,
