@@ -38,6 +38,12 @@ object StreamingDedupGate {
   /** Partition column keying both sinks by micro-batch. */
   val BatchCol = "__batch_id"
 
+  /** Partition value holding compacted history ([[compactSignatures]]).
+    * foreachBatch ids are non-negative, so −1 never collides with a
+    * live batch and is never excluded by a replay's own-partition
+    * filter. */
+  val CompactedBatch = -1L
+
   /** The foreachBatch body, usable directly in batch code too: gate
     * `batch` against the signature table at `sigDir` (absent/empty ⇒
     * everything is new — day 1), write verdicts to `verdictDir`, then
@@ -86,6 +92,55 @@ object StreamingDedupGate {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(BatchCol)
       .parquet(dir)
+
+  /** Maintenance pass: fold the per-batch signature partitions for
+    * batches `0..upToBatch` (plus any prior compaction) into the single
+    * `__batch_id=-1` partition — the small-files compaction an
+    * always-on ingest needs so the history side stays a few large
+    * column-pruned files instead of one directory per micro-batch.
+    *
+    * Safety: the folded rows are staged to a dot-prefixed temp dir
+    * (invisible to partition discovery), renamed into place, and only
+    * then are the source partitions deleted. A crash between rename
+    * and deletes leaves some signatures present TWICE — which the gate
+    * tolerates by construction: both its tiers aggregate `min(hid)`
+    * over matches, so duplicate history rows cannot change a verdict
+    * (spec-asserted). Re-running compaction converges.
+    *
+    * Caller contract: compact only batches the streaming checkpoint
+    * has committed (AvailableNow replays at most the last incomplete
+    * batch, which by definition is not yet committed) — same rule any
+    * log-compaction maintenance runs under.
+    */
+  def compactSignatures(spark: SparkSession, sigDir: String, upToBatch: Long): Unit = {
+    val base = new org.apache.hadoop.fs.Path(sigDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    val foldable = fs.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith(s"$BatchCol="))
+      .map(n => n.substring(BatchCol.length + 1).toLong)
+      .filter(b => b == CompactedBatch || (b >= 0 && b <= upToBatch))
+    if (foldable.isEmpty) return
+    val tmp = new org.apache.hadoop.fs.Path(base, ".compact_tmp")
+    fs.delete(tmp, true) // stale temp from a crashed prior run
+    // one deduplicated rewrite of the folded partitions (distinct makes
+    // a crash-before-delete leftover self-healing on the next run); the
+    // partition column comes from the directory name, so the staged
+    // files carry only the data columns
+    spark.read.parquet(foldable.map(b => s"$sigDir/$BatchCol=$b"): _*)
+      .distinct()
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 8))
+      .write.mode("overwrite").parquet(tmp.toString)
+    // drop the _SUCCESS marker so the renamed dir is pure data files
+    fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+    val dest = new org.apache.hadoop.fs.Path(base, s"$BatchCol=$CompactedBatch")
+    fs.delete(dest, true)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"compaction rename failed: $tmp -> $dest")
+    foldable.filter(_ != CompactedBatch).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"$BatchCol=$b"), true)
+    }
+  }
 
   private def hasData(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)

@@ -390,6 +390,60 @@ class StreamingSpec extends SparkSuite {
     assert(batch1Verdicts == expected, "full replay is a no-op overwrite")
   }
 
+  test("signature compaction: batch partitions fold to one, verdicts unchanged, dup-tolerant") {
+    import graft.ext.Dedup
+    import graft.streaming.StreamingDedupGate
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gate-compact").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val day1 = docs.filter(col("doc_id") % 3 === 1)
+    val day2 = docs.filter(col("doc_id") % 3 === 2)
+    val day3 = docs.filter(col("doc_id") % 3 === 0)
+    val expected = Dedup.incrementalDups(day1.union(day2), day3, "doc_id", "text", threshold = 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "exact_dup_id", "near_dup_id", "near_est", "is_new")
+      .collect().toSeq
+
+    StreamingDedupGate.gateAndIngest(
+      day1, "doc_id", "text", s"$tmp/sigs", s"$tmp/verdicts", 0.5, batchId = 0L)
+    StreamingDedupGate.gateAndIngest(
+      day2, "doc_id", "text", s"$tmp/sigs", s"$tmp/verdicts", 0.5, batchId = 1L)
+    StreamingDedupGate.compactSignatures(spark, s"$tmp/sigs", upToBatch = 1L)
+
+    // per-batch partitions folded into the single compacted partition,
+    // no signature lost
+    val parts = new java.io.File(s"$tmp/sigs").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts == Seq(s"${StreamingDedupGate.BatchCol}=${StreamingDedupGate.CompactedBatch}"),
+      s"only the compacted partition remains: $parts")
+    assert(spark.read.parquet(s"$tmp/sigs").count() == day1.count() + day2.count())
+
+    // day 3 gates against compacted history identically to the batch path
+    def batch2Verdicts = spark.read.parquet(s"$tmp/verdicts")
+      .filter(col(StreamingDedupGate.BatchCol) === 2).orderBy("doc_id")
+      .select("doc_id", "exact_dup_id", "near_dup_id", "near_est", "is_new")
+      .collect().toSeq
+    StreamingDedupGate.gateAndIngest(
+      day3, "doc_id", "text", s"$tmp/sigs", s"$tmp/verdicts", 0.5, batchId = 2L)
+    assert(batch2Verdicts == expected, "gate over compacted history ≡ batch path")
+
+    // crash-before-delete tolerance: a leftover (now duplicated) batch
+    // partition cannot change verdicts — both gate tiers take min(hid)
+    val dest = java.nio.file.Paths.get(s"$tmp/sigs/${StreamingDedupGate.BatchCol}=${StreamingDedupGate.CompactedBatch}")
+    val ghost = java.nio.file.Paths.get(s"$tmp/sigs/${StreamingDedupGate.BatchCol}=0")
+    java.nio.file.Files.createDirectories(ghost)
+    java.nio.file.Files.list(dest).forEach { p =>
+      java.nio.file.Files.copy(p, ghost.resolve(p.getFileName.toString))
+    }
+    StreamingDedupGate.gateAndIngest(
+      day3, "doc_id", "text", s"$tmp/sigs", s"$tmp/verdicts", 0.5, batchId = 2L)
+    assert(batch2Verdicts == expected, "duplicate history rows are verdict-neutral")
+
+    // and re-running compaction converges back to the single partition
+    StreamingDedupGate.compactSignatures(spark, s"$tmp/sigs", upToBatch = 1L)
+    assert(spark.read.parquet(s"$tmp/sigs").count() == day1.count() + day2.count() + day3.count())
+  }
+
   test("stream-static enrichment: a streaming fact joins the static dim per micro-batch") {
     // the ingest-enrichment shape: events stream in, the dimension
     // table is read fresh per micro-batch and broadcast — no state,
