@@ -57,7 +57,10 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       // isolate queries: operators may persist() intermediate tables
       // (LSH signatures etc.) — don't let one query's cache residue
-      // skew the next query's memory budget
+      // skew the next query's memory budget. unpersistSpanCaches also
+      // empties the span-cache registry (clearCache frees storage but
+      // would leave the buffer accumulating plan objects all run)
+      graft.ext.Dedup.unpersistSpanCaches()
       spark.catalog.clearCache()
       t
     }

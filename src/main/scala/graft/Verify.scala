@@ -26,7 +26,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // free operator-persisted intermediates
+      // free operator-persisted intermediates; unpersistSpanCaches also
+      // empties the span-cache registry so a long session doesn't retain
+      // every window-table plan object (clearCache alone frees storage
+      // but leaves the buffer growing)
+      graft.ext.Dedup.unpersistSpanCaches()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -438,8 +438,9 @@ object Dedup {
     * window table). CACHE LIFETIME: each call pins its own copy, so
     * running [[spanDedupExact]] AND [[spanDedupRanges]] on the same
     * corpus in one session pins the corpus-scale window table twice —
-    * call [[unpersistSpanCaches]] between them (Bench/Verify clear the
-    * whole cache between queries, which also releases these); a
+    * call [[unpersistSpanCaches]] between them (Bench/Verify call it
+    * between queries — the single release path, which both frees the
+    * storage and empties the registry); a
     * pipeline wanting both outputs for one corpus should materialize
     * the window table to parquet instead. */
   private def markedWindows(

@@ -56,7 +56,10 @@ object StreamingDedupGate {
       sigDir: String,
       verdictDir: String,
       threshold: Double = 0.5,
-      batchId: Long = 0L
+      // no default: two direct batch-mode calls that both omitted an id
+      // would silently overwrite each other's partitions — day-1 history
+      // destroyed instead of appended. Every caller must key its batch.
+      batchId: Long
   ): Unit = {
     val spark = batch.sparkSession
     // two consumers (gate + signature build) — hash the batch text once
@@ -107,18 +110,29 @@ object StreamingDedupGate {
     * over matches, so duplicate history rows cannot change a verdict
     * (spec-asserted). Re-running compaction converges.
     *
-    * Caller contract: compact only batches the streaming checkpoint
-    * has committed (AvailableNow replays at most the last incomplete
-    * batch, which by definition is not yet committed) — same rule any
-    * log-compaction maintenance runs under.
+    * Committed-only rule, ENFORCED: folding a batch the checkpoint has
+    * not committed would move its signatures into `__batch_id=-1`,
+    * where a replay's own-partition filter (`=!= batchId`) no longer
+    * excludes them — the replayed batch would gate against its own
+    * prior signatures and mark every doc an exact dup of itself. The
+    * only batch AvailableNow can replay is the LATEST one present, so
+    * the cheap sufficient guard is `upToBatch < max live batch id in
+    * sigDir`; violations throw rather than corrupt.
     */
   def compactSignatures(spark: SparkSession, sigDir: String, upToBatch: Long): Unit = {
     val base = new org.apache.hadoop.fs.Path(sigDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return
-    val foldable = fs.listStatus(base).map(_.getPath.getName)
+    val present = fs.listStatus(base).map(_.getPath.getName)
       .filter(_.startsWith(s"$BatchCol="))
       .map(n => n.substring(BatchCol.length + 1).toLong)
+    val live = present.filter(_ >= 0)
+    if (live.nonEmpty && upToBatch >= live.max)
+      throw new IllegalArgumentException(
+        s"compactSignatures(upToBatch=$upToBatch) would fold the latest live batch " +
+          s"(${live.max}), which a checkpoint replay may re-run; compact only up to " +
+          s"${live.max - 1} (or gate the next batch first)")
+    val foldable = present
       .filter(b => b == CompactedBatch || (b >= 0 && b <= upToBatch))
     if (foldable.isEmpty) return
     val tmp = new org.apache.hadoop.fs.Path(base, ".compact_tmp")
@@ -145,14 +159,19 @@ object StreamingDedupGate {
   private def hasData(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) false
-    else {
-      // partitioned layout: data files live under __batch_id=N/ dirs
-      val it = fs.listFiles(p, true)
-      var found = false
-      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
-      found
-    }
+    // mirror Spark's hidden-file rule during the walk: parquet files
+    // under '.'/'_' paths (e.g. a crashed compaction's .compact_tmp)
+    // are invisible to spark.read.parquet, so they must not make
+    // hasData report history that the partitioned read won't see —
+    // and pruning those subtrees also keeps the walk short
+    def hidden(name: String) = name.startsWith(".") || name.startsWith("_")
+    def walk(path: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(path).exists { st =>
+        if (hidden(st.getPath.getName)) false
+        else if (st.isDirectory) walk(st.getPath)
+        else st.getPath.getName.endsWith(".parquet")
+      }
+    fs.exists(p) && walk(p)
   }
 
   /** Wire the gate onto a stream: one [[gateAndIngest]] per

@@ -408,24 +408,39 @@ class StreamingSpec extends SparkSuite {
       day1, "doc_id", "text", s"$tmp/sigs", s"$tmp/verdicts", 0.5, batchId = 0L)
     StreamingDedupGate.gateAndIngest(
       day2, "doc_id", "text", s"$tmp/sigs", s"$tmp/verdicts", 0.5, batchId = 1L)
-    StreamingDedupGate.compactSignatures(spark, s"$tmp/sigs", upToBatch = 1L)
 
-    // per-batch partitions folded into the single compacted partition,
-    // no signature lost
-    val parts = new java.io.File(s"$tmp/sigs").listFiles()
-      .filter(_.isDirectory).map(_.getName).sorted.toSeq
-    assert(parts == Seq(s"${StreamingDedupGate.BatchCol}=${StreamingDedupGate.CompactedBatch}"),
-      s"only the compacted partition remains: $parts")
-    assert(spark.read.parquet(s"$tmp/sigs").count() == day1.count() + day2.count())
+    // GUARD: folding the latest live batch (1) is refused — a
+    // checkpoint replay could re-run it, and compacted signatures
+    // escape the replay's own-partition filter (the batch would gate
+    // against itself)
+    intercept[IllegalArgumentException] {
+      StreamingDedupGate.compactSignatures(spark, s"$tmp/sigs", upToBatch = 1L)
+    }
 
-    // day 3 gates against compacted history identically to the batch path
     def batch2Verdicts = spark.read.parquet(s"$tmp/verdicts")
       .filter(col(StreamingDedupGate.BatchCol) === 2).orderBy("doc_id")
       .select("doc_id", "exact_dup_id", "near_dup_id", "near_est", "is_new")
       .collect().toSeq
     StreamingDedupGate.gateAndIngest(
       day3, "doc_id", "text", s"$tmp/sigs", s"$tmp/verdicts", 0.5, batchId = 2L)
-    assert(batch2Verdicts == expected, "gate over compacted history ≡ batch path")
+    assert(batch2Verdicts == expected, "gate over per-batch history (pre-compaction)")
+
+    // with batch 2 live, folding 0..1 is safe and legal
+    StreamingDedupGate.compactSignatures(spark, s"$tmp/sigs", upToBatch = 1L)
+    val parts = new java.io.File(s"$tmp/sigs").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts == Seq(
+      s"${StreamingDedupGate.BatchCol}=${StreamingDedupGate.CompactedBatch}",
+      s"${StreamingDedupGate.BatchCol}=2"),
+      s"compacted partition + the un-folded latest batch remain: $parts")
+    assert(spark.read.parquet(s"$tmp/sigs").count() == docs.count())
+
+    // a replay of batch 2 AFTER compaction gates against the compacted
+    // history identically (its own partition is still excluded — it was
+    // not folded, by the guard's construction)
+    StreamingDedupGate.gateAndIngest(
+      day3, "doc_id", "text", s"$tmp/sigs", s"$tmp/verdicts", 0.5, batchId = 2L)
+    assert(batch2Verdicts == expected, "replay over compacted history ≡ batch path")
 
     // crash-before-delete tolerance: a leftover (now duplicated) batch
     // partition cannot change verdicts — both gate tiers take min(hid)
