@@ -142,7 +142,9 @@ object Analytics {
       .orderBy(col("t_sec"))
       .rangeBetween(-windowSec, 0)
     events
-      .withColumn("t_sec", col(timeCol).cast("long"))
+      // TIMESTAMP_NTZ rejects a direct →BIGINT cast; hop through
+      // TIMESTAMP (no-op when already TZ, value-preserving under UTC)
+      .withColumn("t_sec", col(timeCol).cast("timestamp").cast("long"))
       .withColumn("w_cnt", count(lit(1)).over(w))
       .withColumn("w_sum", sum(col(valueCol)).over(w))
       .withColumn("w_max", max(col(valueCol)).over(w))

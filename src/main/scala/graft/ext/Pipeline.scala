@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Pipeline-infrastructure operators for a large-scale training-data
@@ -491,13 +491,18 @@ object Pipeline {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(seriesCol)).orderBy(col(timeCol))
+    // event time may arrive as TIMESTAMP or TIMESTAMP_NTZ (the driver's
+    // parquet encodes naive micros); NTZ→TZ cast is value-preserving
+    // under the pinned UTC session tz and a no-op on TIMESTAMP, while
+    // unix_micros rejects NTZ input outright
+    def em(c: Column) = unix_micros(c.cast("timestamp"))
     df.select(col(seriesCol), col(timeCol))
       .withColumn("__prev", lag(col(timeCol), 1).over(w))
       .filter(col("__prev").isNotNull &&
-        unix_micros(col(timeCol)) - unix_micros(col("__prev")) > maxGapMicros)
+        em(col(timeCol)) - em(col("__prev")) > maxGapMicros)
       .select(col(seriesCol), col("__prev").as("gap_start"),
         col(timeCol).as("gap_end"),
-        (unix_micros(col(timeCol)) - unix_micros(col("__prev"))).as("gap_micros"))
+        (em(col(timeCol)) - em(col("__prev"))).as("gap_micros"))
   }
 
   /** Referential-integrity audit of a child→parent foreign key: row

@@ -608,9 +608,18 @@ object Similarity {
     * CLUSTER — shuffle keyed on the cluster id, cost Σ n_c² (the
     * paper's own within-cluster cost), never a global all-pairs; the
     * k-means train and row-local assignment are shared with
-    * [[semDedup]]. Cluster size is corpus/k in expectation — size k to
-    * the corpus as the paper does; a pathological mega-cluster should
-    * be capped upstream (BucketCap) before the refine.
+    * [[semDedup]]. Cluster size is corpus/k in expectation, but a
+    * near-duplicate-heavy crawl slice can make one cluster
+    * pathologically hot — so the refine join is salted through
+    * [[BucketCap.subSplit]] (the `minhashLshPairs` pattern): clusters
+    * ≤ `maxCluster` join bit-identically (salt 0, oracle-safe
+    * default), oversized ones split into ⌈size/cap⌉ sub-buckets,
+    * dropping per-cluster cost from n² to ~n·cap. Within a split
+    * cluster the no-two-kept-τ-similar guarantee holds per sub-bucket
+    * (cross-sub-bucket pairs are not compared) — the conservative
+    * direction is lost, so at deployment size `maxCluster` to the
+    * largest cluster the τ-guarantee must span, and rely on the
+    * k-means balance the paper itself assumes.
     */
   def semDedupFull(
       corpus: DataFrame,
@@ -618,7 +627,8 @@ object Similarity {
       vecCol: String,
       numCentroids: Int = 20,
       iters: Int = 2,
-      tau: Double = 0.2
+      tau: Double = 0.2,
+      maxCluster: Int = 100000
   ): DataFrame = {
     val cents = kmeansCentroids(corpus, idCol, vecCol, numCentroids, iters).toArray
     val assigned = corpus
@@ -626,9 +636,11 @@ object Similarity {
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
       .withColumn("list",
         graft.functions.AnnExprs.nearestCentroid(col("v"), cents.map(_._1), cents.map(_._2)))
-    val a = assigned.select(col("list"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = assigned.select(col("list"), col("vec_id").as("id_b"), col("v").as("vb"))
-    val pruned = a.join(b, Seq("list"))
+    val salted = BucketCap.subSplit(assigned, Seq("list"),
+      col("vec_id").cast("string"), maxCluster)
+    val a = salted.select(col("list"), col("_salt"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = salted.select(col("list"), col("_salt"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val pruned = a.join(b, Seq("list", "_salt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(VectorOps.cosine(col("va"), col("vb")), 4))
       .filter(col("cos") >= tau)

@@ -164,7 +164,9 @@ object ReferenceQueries extends QueryGroup {
           floor(col("value") * 100 + 0.5).cast("long").as("cents"))
         .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
-        .select(col("w.start").cast("long").as("ws_sec"),
+        // NTZ window starts reject a direct →BIGINT cast; hop through
+        // TIMESTAMP (value-preserving under the UTC session tz)
+        .select(col("w.start").cast("timestamp").cast("long").as("ws_sec"),
           col("event_type"), col("n"), col("sum_cents"))
         .orderBy("ws_sec", "event_type")
     }),

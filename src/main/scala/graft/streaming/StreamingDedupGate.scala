@@ -130,8 +130,12 @@ object StreamingDedupGate {
     if (live.nonEmpty && upToBatch >= live.max)
       throw new IllegalArgumentException(
         s"compactSignatures(upToBatch=$upToBatch) would fold the latest live batch " +
-          s"(${live.max}), which a checkpoint replay may re-run; compact only up to " +
-          s"${live.max - 1} (or gate the next batch first)")
+          s"(${live.max}), which a checkpoint replay may re-run; " +
+          // live.max-1 would read "-1" when only batch 0 exists —
+          // colliding with the CompactedBatch sentinel, so say it plainly
+          (if (live.max == 0)
+             "nothing is safely compactable yet — gate the next batch first"
+           else s"compact only up to ${live.max - 1} (or gate the next batch first)"))
     val foldable = present
       .filter(b => b == CompactedBatch || (b >= 0 && b <= upToBatch))
     if (foldable.isEmpty) return
@@ -163,8 +167,13 @@ object StreamingDedupGate {
     // under '.'/'_' paths (e.g. a crashed compaction's .compact_tmp)
     // are invisible to spark.read.parquet, so they must not make
     // hasData report history that the partitioned read won't see —
-    // and pruning those subtrees also keeps the walk short
-    def hidden(name: String) = name.startsWith(".") || name.startsWith("_")
+    // and pruning those subtrees also keeps the walk short. Spark's
+    // rule (InMemoryFileIndex.shouldFilterOutPathName) EXEMPTS
+    // '_'-prefixed names containing '=' — exactly this sink's own
+    // `__batch_id=N` partition directories, which must stay visible
+    // or every batch would take the "day 1: no history" branch
+    def hidden(name: String) =
+      name.startsWith(".") || (name.startsWith("_") && !name.contains("="))
     def walk(path: org.apache.hadoop.fs.Path): Boolean =
       fs.listStatus(path).exists { st =>
         if (hidden(st.getPath.getName)) false

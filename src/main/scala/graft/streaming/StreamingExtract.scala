@@ -22,6 +22,15 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingExtract {
 
+  /** Normalize an event-time column for watermarking: `withWatermark`
+    * requires TIMESTAMP, and the driver's parquet encodes `ts` as
+    * TIMESTAMP_NTZ (naive micros). NTZ→TZ is value-preserving under
+    * the pinned UTC session tz and a no-op when already TIMESTAMP, so
+    * every watermark path funnels through this one cast.
+    */
+  private def eventTime(df: DataFrame, timeCol: String): DataFrame =
+    df.withColumn(timeCol, col(timeCol).cast("timestamp"))
+
   /** Incremental source over a parquet directory (files appearing in
     * `path` are discovered per micro-batch). Schema must be supplied —
     * streaming reads don't infer.
@@ -42,7 +51,7 @@ object StreamingExtract {
       every: String = "1 second",
       watermark: String = "1 hour"
   ): DataFrame =
-    df.withWatermark(timeCol, watermark)
+    eventTime(df, timeCol).withWatermark(timeCol, watermark)
       .groupBy(window(col(timeCol), every).as("w"), col(seriesCol))
       .agg(
         max_by(col(valueCol), col(timeCol)).as(valueCol),
@@ -68,7 +77,7 @@ object StreamingExtract {
       slide: String = "15 minutes",
       watermark: String = "1 hour"
   ): DataFrame =
-    df.withWatermark(timeCol, watermark)
+    eventTime(df, timeCol).withWatermark(timeCol, watermark)
       .groupBy(window(col(timeCol), windowLen, slide).as("w"), col(groupCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_v"))
       .select(col("w.start").cast("long").as("ws_sec"),
@@ -89,7 +98,7 @@ object StreamingExtract {
       keyCols: Seq[String],
       watermark: String = "1 hour"
   ): DataFrame =
-    df.withWatermark(timeCol, watermark)
+    eventTime(df, timeCol).withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** Stream-stream interval join: each left event matched to right
@@ -111,9 +120,9 @@ object StreamingExtract {
       within: String = "1 hour",
       watermark: String = "10 minutes"
   ): DataFrame = {
-    val l = left.toDF(left.columns.map("l_" + _): _*)
+    val l = eventTime(left.toDF(left.columns.map("l_" + _): _*), s"l_$timeCol")
       .withWatermark(s"l_$timeCol", watermark)
-    val r = right.toDF(right.columns.map("r_" + _): _*)
+    val r = eventTime(right.toDF(right.columns.map("r_" + _): _*), s"r_$timeCol")
       .withWatermark(s"r_$timeCol", watermark)
     l.join(r,
       col(s"l_$keyCol") === col(s"r_$keyCol") &&

@@ -5,6 +5,17 @@ import org.apache.spark.sql.functions._
 
 class BucketingSpec extends SparkSuite {
 
+  /** Encoding-agnostic epoch millis: the driver's parquet has shipped
+    * `ts` as long-nanos, TIMESTAMP and TIMESTAMP_NTZ across rounds, and
+    * Row.getTimestamp ClassCastExceptions on the NTZ → LocalDateTime
+    * mapping. Accept either JVM representation.
+    */
+  private def epochMs(v: Any): Long = v match {
+    case t: java.sql.Timestamp      => t.getTime
+    case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    case other => fail(s"unexpected timestamp representation: ${other.getClass}")
+  }
+
   private def withConf[T](key: String, value: String)(body: => T): T = {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, value)
@@ -119,7 +130,7 @@ class BucketingSpec extends SparkSuite {
     assert(files.length == 8, s"${files.length} files")
     val ranges = files.map { f =>
       val r = spark.read.parquet(f).agg(min("ts"), max("ts")).head()
-      (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+      (epochMs(r.get(0)), epochMs(r.get(1)))
     }.sortBy(_._1)
     ranges.sliding(2).foreach { case Array((_, aMax), (bMin, _)) =>
       assert(aMax <= bMin, s"file ranges overlap: $aMax > $bMin")
@@ -170,7 +181,7 @@ class BucketingSpec extends SparkSuite {
     if (sortedFiles.length > 1) {
       val ranges = sortedFiles.map { f =>
         val r = spark.read.parquet(f).agg(min("ts"), max("ts")).head()
-        (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+        (epochMs(r.get(0)), epochMs(r.get(1)))
       }.sortBy(_._1)
       ranges.sliding(2).foreach { case Array((_, aMax), (bMin, _)) =>
         assert(aMax <= bMin, s"compacted file ranges overlap: $aMax > $bMin")

@@ -53,7 +53,14 @@ class ScaleBehaviorSpec extends SparkSuite {
   }
 
   test("nanos range pushdown: raw bounds reach the scan, results stay exact") {
-    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    // the rule targets the long-nanos ts layout specifically; the
+    // driver's testdata has shipped three ts encodings across rounds,
+    // so write our own nanos fixture rather than assume the current one
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nanos").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      .write.parquet(s"$tmp/events.parquet")
+    val ev = Tables.events(spark, tmp)
     val lo = lit("2024-01-05 00:00:00").cast("timestamp")
     val hi = lit("2024-01-07 00:00:00").cast("timestamp")
     val filtered = ev.filter(col("ts") >= lo && col("ts") < hi)
@@ -134,6 +141,20 @@ class ScaleBehaviorSpec extends SparkSuite {
     }
     assert(offenders == Seq("dedup_embedding"),
       s"unbounded all-pairs joins outside the documented baseline: $offenders")
+  }
+
+  test("semdedup_full's within-cluster refine join is salted (BucketCap present in plan)") {
+    // the cluster id is a legal equi key, so the all-pairs fence above
+    // can't see a hot-cluster blowup — pin the cap explicitly: the
+    // refine self-join must carry the `_salt` column among its keys
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val plan = SparkEntry.queries("semdedup_full")(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan
+    val saltedJoins = plan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "_salt")) => j
+    }
+    assert(saltedJoins.nonEmpty,
+      "semdedup_full's refine join lost its BucketCap salt — a hot cluster goes quadratic")
   }
 
   test("round-5 additions keep their claimed plan shapes") {

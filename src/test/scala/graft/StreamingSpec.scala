@@ -32,7 +32,10 @@ class StreamingSpec extends SparkSuite {
     val want = batch
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(max_by(col("value"), col("ts")).as("value"), count(lit(1)).as("n_points"))
-      .select(col("w.start"), col("event_type"), col("value"), col("n_points"))
+      // the stream path normalizes event time to TIMESTAMP before the
+      // watermark; cast the batch window start the same way so both
+      // sides collect java.sql.Timestamp whatever the input encoding
+      .select(col("w.start").cast("timestamp"), col("event_type"), col("value"), col("n_points"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
 
     // append mode emits only watermark-closed windows; the final
@@ -505,7 +508,8 @@ class StreamingSpec extends SparkSuite {
     val want = rows(batch
       .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_v"))
-      .select(col("w.start").cast("long").as("ws_sec"), col("event_type"), col("n"), col("sum_v")))
+      .select(col("w.start").cast("timestamp").cast("long").as("ws_sec"),
+        col("event_type"), col("n"), col("sum_v")))
     assert(rows(spark.table("hop_stream")) == want, "stream ≡ batch hop windows")
   }
 
