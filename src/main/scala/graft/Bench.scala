@@ -39,6 +39,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NTZ event-time casts and window bucketing are value-preserving
+      // only under the UTC session tz the oracle pins — never inherit
+      // the box tz
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

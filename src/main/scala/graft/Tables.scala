@@ -14,10 +14,17 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events.ts` is Parquet INT64 TIMESTAMP(NANOS) (FIXTURES.md §B), which
-    * Spark's vectorized reader rejects. Read it as raw nanos via the
-    * legacy conf and convert with integer division — `ts div 1000` stays
-    * in Long (a double division would lose precision above 2^53 ns).
+  /** `events.ts` has shipped in different encodings across driver
+    * rounds: Parquet INT64 TIMESTAMP(NANOS) (FIXTURES.md §B, rounds
+    * 1-9) and TIMESTAMP_NTZ micros (isAdjustedToUTC=0, since round
+    * 10). The nanos layout is rejected by Spark's vectorized reader —
+    * read it as raw longs via the legacy conf and convert with integer
+    * division (`ts div 1000` stays in Long; a double division would
+    * lose precision above 2^53 ns). NTZ/TZ pass through untouched —
+    * downstream consumers that need an epoch (`unix_micros`, BIGINT
+    * casts, `withWatermark`) hop through `.cast("timestamp")`, a no-op
+    * on TZ and value-preserving on NTZ under the pinned UTC session
+    * tz. TsEncodingSpec pins all three encodings end-to-end.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

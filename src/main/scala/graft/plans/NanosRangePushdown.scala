@@ -29,6 +29,14 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * `spark.experimental.extraOptimizations` (runtime; done by
   * `Tables.events`). Physical pushdown happens at planning time from
   * the optimized Filter, so a late optimizer batch is early enough.
+  *
+  * Encoding-specific BY DESIGN: this rule only exists for the
+  * long-nanos layout. The TIMESTAMP_NTZ layout (the driver's encoding
+  * since r10) needs no help — an NTZ range predicate reaches
+  * PushedFilters natively (type coercion folds the literal instead of
+  * casting the scanned column; pinned by ScaleBehaviorSpec "ntz
+  * time-range filter reaches PushedFilters"), as do TIMESTAMP(ms/us)
+  * columns.
   */
 object NanosRangePushdown extends Rule[LogicalPlan] {
 

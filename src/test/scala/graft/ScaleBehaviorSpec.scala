@@ -75,6 +75,21 @@ class ScaleBehaviorSpec extends SparkSuite {
     assert(filtered.count() == want)
   }
 
+  test("ntz time-range filter reaches PushedFilters (the current driver encoding)") {
+    // VERDICT r10 item 7: the NanosRangePushdown rule is long-nanos-
+    // specific by design; for the NTZ encoding the range must push
+    // NATIVELY — i.e. type coercion must not wrap the scanned column
+    // in a cast that hides it from the parquet source
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val filtered = ev.transform(graft.operators.ExtractOps.timeRange(
+      "ts", "2024-01-05T00:00:00Z", "2024-01-07T00:00:00Z"))
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,") ||
+      scan.contains("GreaterThanOrEqual(ts,"),
+      s"ts range bound did not reach the scan:\n${scan.take(1500)}")
+    assert(filtered.count() > 0)
+  }
+
   test("hash sampling is a pure scan-side filter: no exchange, no sort") {
     val plan = ext.Pipeline.hashSample(
       Tables.orders(spark, "/root/testdata/sf0.001"), "o_orderkey", 100)
