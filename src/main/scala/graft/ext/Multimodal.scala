@@ -182,4 +182,91 @@ object Multimodal {
     import spark.implicits._
     extractFeatures(attachMedia(df, idCol, payloadCol).as[MediaRecord])
   }
+
+  /** 64-bit average-hash perceptual fingerprint (aHash): REAL ImageIO
+    * decode → an 8×8 nearest-neighbor luminance sample grid
+    * (`sx = x·w/8`, `sy = y·h/8`, integer division — a deterministic
+    * stand-in for the usual box-filter resize) → threshold each sample
+    * against the integer mean of all 64 → pack into a Long, bit
+    * `y·8+x` set iff `lum > mean`. All-integer math end-to-end
+    * (`lum = (299r+587g+114b)/1000`, exact on gray pixels), so the
+    * fingerprint of a losslessly-encoded image is analytically
+    * predictable from its pixel formula — what lets the DuckDB oracle
+    * hash-check a real decode. None for payloads no JDK reader accepts.
+    */
+  def imageFingerprint64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val lums = new Array[Int](64)
+      var sum = 0L
+      var p = 0
+      while (p < 64) {
+        val rgb = im.getRGB((p % 8) * w / 8, (p / 8) * h / 8)
+        val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        lums(p) = lum; sum += lum; p += 1
+      }
+      val mean = sum / 64
+      var fp = 0L
+      p = 0
+      while (p < 64) { if (lums(p) > mean) fp |= 1L << p; p += 1 }
+      fp
+    }
+  }
+
+  /** Batched fingerprint extraction — same partition-local batch shape
+    * as [[extractFeatures]]; payloads without a JDK image reader are
+    * dropped (a near-dup pass has nothing to say about undecodable
+    * media).
+    */
+  def imageFingerprints(ds: Dataset[MediaRecord], batchSize: Int = 64): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap(r =>
+        imageFingerprint64(r.media).map(fp => (r.id, fp))))
+    }.toDF("id", "fp")
+  }
+
+  /** Image near-duplicate pairs by perceptual fingerprint: candidate
+    * generation is hamming-distance banding on the 64-bit aHash — four
+    * 16-bit chunks, so by pigeonhole ANY pair within hamming ≤ 3
+    * shares at least one whole chunk (the banding is EXACT for the
+    * default radius: zero false negatives, unlike MinHash banding's
+    * probabilistic recall); candidates are verified with
+    * `bit_count(fpa XOR fpb)`. Same scale shape as
+    * [[Dedup.simhashPairs]]: row-local fingerprints (the only pass
+    * over the binary payloads — they never enter a shuffle), a
+    * (chunk, value)-keyed equi-join salted via [[BucketCap.subSplit]]
+    * (flat/monochrome images all hash to the same fingerprint and
+    * form exactly the hot bucket the cap bounds), and a per-pair
+    * codegen popcount. Raising `maxHamming` above 3 requires more
+    * bands (chunks) for the exactness guarantee — 4 chunks cover ≤ 3.
+    */
+  def imageNearDupPairs(
+      ds: Dataset[MediaRecord],
+      maxHamming: Int = 3,
+      maxBucket: Int = 100000
+  ): DataFrame = {
+    val fps = imageFingerprints(ds)
+    val chunks = fps.select(col("id"), col("fp"),
+      explode(expr(
+        "transform(sequence(0, 3), c -> struct(c AS chunk, shiftrightunsigned(fp, c * 16) % 65536 AS cval))")).as("e"))
+      .select(col("id"), col("fp"), col("e.chunk").as("chunk"), col("e.cval").as("cval"))
+    val salted = BucketCap.subSplit(chunks, Seq("chunk", "cval"),
+      concat_ws("#", col("id").cast("string"), col("chunk").cast("string")), maxBucket)
+    val a = salted.select(col("id").as("doc_a"), col("fp").as("fpa"),
+      col("chunk"), col("cval"), col("_salt"))
+    val b = salted.select(col("id").as("doc_b"), col("fp").as("fpb"),
+      col("chunk"), col("cval"), col("_salt"))
+    a.join(b, Seq("chunk", "cval", "_salt"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fpa", "fpb").distinct()
+      .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
 }

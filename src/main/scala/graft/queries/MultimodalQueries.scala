@@ -45,6 +45,17 @@ object MultimodalQueries extends QueryGroup {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height")) ++ histCols: _*)
         .orderBy("doc_id")
+    }),
+
+    // image near-dup via 64-bit aHash fingerprints + hamming banding:
+    // the REAL decode feeds the fingerprint, and the oracle replays it
+    // analytically from the synthetic pixel formula (see oracle CTEs)
+    "multimodal_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map(id => Multimodal.MediaRecord(id, Multimodal.syntheticPng(id),
+          Multimodal.MediaMeta("png", 0, 0, 0L)))
+      Multimodal.imageNearDupPairs(recs).orderBy("doc_a", "doc_b")
     })
   )
 
@@ -71,6 +82,40 @@ FROM documents ORDER BY doc_id""",
   CAST(1 + doc_id % 8 AS BIGINT) AS width,
   CAST(1 + doc_id % 5 AS BIGINT) AS height,
   $imageHistSelect
-FROM documents ORDER BY doc_id"""
+FROM documents ORDER BY doc_id""",
+
+    // replays imageFingerprint64 analytically: sample the synthetic
+    // image's pixel formula on the 8x8 nearest-neighbor grid, mean-
+    // threshold into bits, band into 16-bit chunks for candidates, and
+    // count differing bits for the exact hamming verify
+    "multimodal_image_neardup" ->
+      """WITH samp AS (
+  SELECT doc_id, unnest(generate_series(0, 63)) AS pos FROM documents),
+lums AS (
+  SELECT doc_id, pos,
+    ((31 * doc_id + 7 * (((pos % 8) * (1 + doc_id % 8)) // 8)
+                  + 13 * (((pos // 8) * (1 + doc_id % 5)) // 8)) % 256) AS lum
+  FROM samp),
+m AS (SELECT doc_id, sum(lum) // 64 AS mean FROM lums GROUP BY 1),
+bits AS (
+  SELECT l.doc_id, l.pos, CASE WHEN l.lum > m.mean THEN 1 ELSE 0 END AS b
+  FROM lums l JOIN m USING (doc_id)),
+chunks AS (
+  SELECT doc_id, pos // 16 AS chunk,
+    sum(b * (CAST(1 AS BIGINT) << (pos % 16))) AS cval
+  FROM bits GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.cval = b.cval
+  WHERE a.doc_id < b.doc_id),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(sum(CASE WHEN x.b != y.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN bits x ON x.doc_id = c.doc_a
+  JOIN bits y ON y.doc_id = c.doc_b AND y.pos = x.pos
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+ORDER BY doc_a, doc_b"""
   )
 }

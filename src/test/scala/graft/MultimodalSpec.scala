@@ -76,6 +76,53 @@ class MultimodalSpec extends SparkSuite {
     assert(rec.getStruct(2).getAs[Long]("nBytes") == 5L)
   }
 
+  /** Analytic aHash replaying imageFingerprint64 from the synthetic
+    * pixel formula — the same computation the DuckDB oracle does.
+    */
+  private def analyticFp(id: Long): Long = {
+    val w = 1 + (id % 8).toInt
+    val h = 1 + (id % 5).toInt
+    val lums = Array.tabulate(64) { p =>
+      val sx = (p % 8) * w / 8
+      val sy = (p / 8) * h / 8
+      ((31 * id + 7 * sx + 13 * sy) % 256).toInt
+    }
+    val mean = lums.map(_.toLong).sum / 64
+    lums.zipWithIndex.foldLeft(0L) { case (fp, (l, p)) =>
+      if (l > mean) fp | (1L << p) else fp
+    }
+  }
+
+  test("imageFingerprint64: real decode matches the analytic aHash bit-for-bit") {
+    for (id <- 0L until 200L) {
+      val Some(fp) = Multimodal.imageFingerprint64(Multimodal.syntheticPng(id))
+      assert(fp == analyticFp(id), s"id $id: ${fp.toBinaryString} vs ${analyticFp(id).toBinaryString}")
+    }
+    assert(Multimodal.imageFingerprint64("not an image".getBytes).isEmpty)
+  }
+
+  test("imageNearDupPairs equals brute-force hamming <= 3 (banding is exact, not probabilistic)") {
+    import spark.implicits._
+    // ids spanning several dim classes plus the 1280-periodic exact-dup
+    // families the synthetic formula produces
+    val ids = ((0L until 150L) ++ Seq(1280L, 1285L, 1297L, 2560L, 2565L)).toSeq
+    val recs = ids.toDS().map(id => Multimodal.MediaRecord(
+      id, Multimodal.syntheticPng(id), Multimodal.MediaMeta("png", 0, 0, 0L)))
+    val got = Multimodal.imageNearDupPairs(recs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val fps = ids.map(id => id -> analyticFp(id)).toMap
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      hd = java.lang.Long.bitCount(fps(a) ^ fps(b)) if hd <= 3
+    } yield (a, b, hd.toLong)).toSet
+    assert(want.nonEmpty, "fixture produced no near-dup pairs — weak test")
+    assert(got == want,
+      s"missed: ${(want -- got).take(5)}; spurious: ${(got -- want).take(5)}")
+    // the exact-dup family is present: same id mod lcm(40, 256) = 1280
+    assert(got.contains((0L, 1280L, 0L)) && got.contains((1280L, 2560L, 0L)))
+  }
+
   test("extractFeatures runs batched per-partition and preserves ids") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize((1L to 200L).map(i => Row(i, s"doc number $i payload"))),
