@@ -251,7 +251,14 @@ object Multimodal {
       maxHamming: Int = 3,
       maxBucket: Int = 100000
   ): DataFrame = {
+    // the fingerprint scan feeds BOTH join sides plus the hot-bucket
+    // count — without a persist each consumer would re-decode every
+    // image (the dominant cost of this operator). Same reasoning as
+    // minhashLshPairs' signature persist; at 100 TB materialize the
+    // (id, fp) table to parquet instead. Bench/Verify release it via
+    // spark.catalog.clearCache between queries.
     val fps = imageFingerprints(ds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = fps.select(col("id"), col("fp"),
       explode(expr(
         "transform(sequence(0, 3), c -> struct(c AS chunk, shiftrightunsigned(fp, c * 16) % 65536 AS cval))")).as("e"))
