@@ -246,6 +246,63 @@ object Multimodal {
     * codegen popcount. Raising `maxHamming` above 3 requires more
     * bands (chunks) for the exactness guarantee — 4 chunks cover ≤ 3.
     */
+  /** Incremental image-dedup gate: flag NEW (batch) images that
+    * perceptually duplicate an already-ingested HISTORY corpus — the
+    * multimodal counterpart of [[Dedup.incrementalDupsFromSignatures]],
+    * with the 64-bit aHash playing the signature role. `historyFps` is
+    * the persisted `(id, fp)` table ([[imageFingerprints]], written to
+    * parquet once per ingest): history pixels are decoded exactly once,
+    * on arrival — every later gate reads only the 16-byte signature
+    * rows. Exact tier = identical fingerprint (hamming 0, perceptual
+    * identity, robust to lossless re-encoding); near tier = hamming in
+    * `[1, maxHamming]` among chunk-banding candidates (exact recall for
+    * maxHamming ≤ 3, see [[imageNearDupPairs]]), best = smallest
+    * hamming, ties to the smaller history id. One row per batch image:
+    * `(doc_id, exact_dup_id, near_dup_id, near_hamming, is_new)`.
+    *
+    * Scale shape: the batch is the small side everywhere — its
+    * fingerprints broadcast into a column-pruned history scan per tier;
+    * no history shuffle, no history self-join, history media never
+    * re-read. Composable with the streaming gate pattern
+    * ([[graft.streaming.StreamingDedupGate]]): run this per
+    * micro-batch, then append the batch's `(id, fp)` rows to the
+    * fingerprint table keyed by batchId.
+    */
+  def incrementalImageDups(
+      historyFps: DataFrame,
+      batch: Dataset[MediaRecord],
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val bFps = imageFingerprints(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactM = historyFps.select(col("id").as("hid"), col("fp"))
+      .join(broadcast(bFps.select(col("id").as("doc_id"), col("fp"))), "fp")
+      .groupBy("doc_id").agg(min("hid").as("exact_dup_id"))
+
+    def withChunks(df: DataFrame): DataFrame =
+      df.select(col("*"),
+        explode(expr(
+          "transform(sequence(0, 3), c -> struct(c AS chunk, shiftrightunsigned(fp, c * 16) % 65536 AS cval))")).as("e"))
+        .select(df.columns.map(col) :+ col("e.chunk").as("chunk") :+ col("e.cval").as("cval"): _*)
+
+    val hChunks = withChunks(historyFps.select(col("id").as("hid"), col("fp")))
+      .select(col("hid"), col("fp").as("hfp"), col("chunk"), col("cval"))
+    val bChunks = withChunks(bFps.select(col("id").as("doc_id"), col("fp")))
+    val scored = hChunks.join(broadcast(bChunks), Seq("chunk", "cval"))
+      .select("doc_id", "fp", "hid", "hfp").distinct()
+      .withColumn("hamming", bit_count(col("fp").bitwiseXOR(col("hfp"))).cast("long"))
+      .filter(col("hamming") >= 1 && col("hamming") <= maxHamming)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("hamming").asc, col("hid").asc)
+    val best = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("doc_id"), col("hid").as("near_dup_id"), col("hamming").as("near_hamming"))
+
+    bFps.select(col("id").as("doc_id"))
+      .join(broadcast(exactM), Seq("doc_id"), "left")
+      .join(broadcast(best), Seq("doc_id"), "left")
+      .withColumn("is_new", col("exact_dup_id").isNull && col("near_dup_id").isNull)
+  }
+
   def imageNearDupPairs(
       ds: Dataset[MediaRecord],
       maxHamming: Int = 3,

@@ -51,13 +51,32 @@ object MultimodalQueries extends QueryGroup {
     // the REAL decode feeds the fingerprint, and the oracle replays it
     // analytically from the synthetic pixel formula (see oracle CTEs)
     "multimodal_image_neardup" -> ((s, dir) => {
-      import s.implicits._
-      val recs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-        .map(id => Multimodal.MediaRecord(id, Multimodal.syntheticPng(id),
-          Multimodal.MediaMeta("png", 0, 0, 0L)))
-      Multimodal.imageNearDupPairs(recs).orderBy("doc_a", "doc_b")
+      Multimodal.imageNearDupPairs(syntheticRecs(s, Tables.documents(s, dir)))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // incremental gate: batch (doc_id % 4 == 0) images gated against
+    // the history (rest) fingerprint table — history media decoded
+    // once, every gate reads only (id, fp)
+    "multimodal_image_neardup_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val history = Multimodal.imageFingerprints(
+        syntheticRecs(s, docs.filter(col("doc_id") % 4 =!= 0)))
+      Multimodal.incrementalImageDups(
+        history, syntheticRecs(s, docs.filter(col("doc_id") % 4 === 0)))
+        .orderBy("doc_id")
     })
   )
+
+  /** doc_id → deterministic synthetic PNG media records (the image
+    * fixture every image query shares).
+    */
+  private def syntheticRecs(s: SparkSession, df: DataFrame) = {
+    import s.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .map(id => Multimodal.MediaRecord(id, Multimodal.syntheticPng(id),
+        Multimodal.MediaMeta("png", 0, 0, 0L)))
+  }
 
   private val histSelect = (0 until Multimodal.HistBins).map { b =>
     s"""len(list_filter(generate_series(1, length(text)),
@@ -89,7 +108,75 @@ FROM documents ORDER BY doc_id""",
     // threshold into bits, band into 16-bit chunks for candidates, and
     // count differing bits for the exact hamming verify
     "multimodal_image_neardup" ->
-      """WITH samp AS (
+      s"""WITH $fingerprintCtes,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.cval = b.cval
+  WHERE a.doc_id < b.doc_id),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(sum(CASE WHEN x.b != y.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN bits x ON x.doc_id = c.doc_a
+  JOIN bits y ON y.doc_id = c.doc_b AND y.pos = x.pos
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+ORDER BY doc_a, doc_b""",
+
+    // same analytic fingerprints, split into history (doc_id % 4 != 0)
+    // and batch; exact tier = all four chunks equal (the whole 64-bit
+    // hash), near tier = banded candidates at hamming 1..3, best =
+    // smallest hamming then smallest history id
+    "multimodal_image_neardup_incr" ->
+      s"""WITH $fingerprintCtes,
+fpt AS (
+  SELECT doc_id,
+    max(CASE WHEN chunk = 0 THEN cval END) AS c0,
+    max(CASE WHEN chunk = 1 THEN cval END) AS c1,
+    max(CASE WHEN chunk = 2 THEN cval END) AS c2,
+    max(CASE WHEN chunk = 3 THEN cval END) AS c3
+  FROM chunks GROUP BY 1),
+exact AS (
+  SELECT b.doc_id, min(h.doc_id) AS exact_dup_id
+  FROM fpt b JOIN fpt h
+    ON b.c0 = h.c0 AND b.c1 = h.c1 AND b.c2 = h.c2 AND b.c3 = h.c3
+  WHERE b.doc_id % 4 = 0 AND h.doc_id % 4 != 0
+  GROUP BY 1),
+cand AS (
+  SELECT DISTINCT bc.doc_id, hc.doc_id AS hid
+  FROM chunks bc JOIN chunks hc ON bc.chunk = hc.chunk AND bc.cval = hc.cval
+  WHERE bc.doc_id % 4 = 0 AND hc.doc_id % 4 != 0),
+ham AS (
+  SELECT c.doc_id, c.hid,
+    CAST(sum(CASE WHEN x.b != y.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN bits x ON x.doc_id = c.doc_id
+  JOIN bits y ON y.doc_id = c.hid AND y.pos = x.pos
+  GROUP BY 1, 2),
+near AS (
+  SELECT doc_id, near_dup_id, near_hamming FROM (
+    SELECT doc_id, hid AS near_dup_id, hamming AS near_hamming,
+      row_number() OVER (PARTITION BY doc_id ORDER BY hamming ASC, hid ASC) AS r
+    FROM ham WHERE hamming BETWEEN 1 AND 3) t
+  WHERE r = 1)
+SELECT d.doc_id, e.exact_dup_id, n.near_dup_id, n.near_hamming,
+  (e.exact_dup_id IS NULL AND n.near_dup_id IS NULL) AS is_new
+FROM documents d
+LEFT JOIN exact e ON e.doc_id = d.doc_id
+LEFT JOIN near n ON n.doc_id = d.doc_id
+WHERE d.doc_id % 4 = 0
+ORDER BY d.doc_id"""
+  )
+
+  /** Shared analytic-aHash CTE prefix: the synthetic pixel formula
+    * sampled on the 8×8 grid, mean-thresholded into bits, banded into
+    * four 16-bit chunks — the SQL replay of
+    * [[graft.ext.Multimodal.imageFingerprint64]].
+    */
+  // def, not val: referenced from oracleSql's initializer above, and
+  // object vals initialize in declaration order
+  private def fingerprintCtes: String =
+    """samp AS (
   SELECT doc_id, unnest(generate_series(0, 63)) AS pos FROM documents),
 lums AS (
   SELECT doc_id, pos,
@@ -103,19 +190,5 @@ bits AS (
 chunks AS (
   SELECT doc_id, pos // 16 AS chunk,
     sum(b * (CAST(1 AS BIGINT) << (pos % 16))) AS cval
-  FROM bits GROUP BY 1, 2),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.cval = b.cval
-  WHERE a.doc_id < b.doc_id),
-ham AS (
-  SELECT c.doc_a, c.doc_b,
-    CAST(sum(CASE WHEN x.b != y.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-  FROM cand c
-  JOIN bits x ON x.doc_id = c.doc_a
-  JOIN bits y ON y.doc_id = c.doc_b AND y.pos = x.pos
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
-ORDER BY doc_a, doc_b"""
-  )
+  FROM bits GROUP BY 1, 2)"""
 }

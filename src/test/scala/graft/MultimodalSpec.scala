@@ -123,6 +123,38 @@ class MultimodalSpec extends SparkSuite {
     assert(got.contains((0L, 1280L, 0L)) && got.contains((1280L, 2560L, 0L)))
   }
 
+  test("incrementalImageDups gates a batch against history fingerprints like brute force") {
+    import spark.implicits._
+    def recsOf(ids: Seq[Long]) = ids.toDS().map(id => Multimodal.MediaRecord(
+      id, Multimodal.syntheticPng(id), Multimodal.MediaMeta("png", 0, 0, 0L)))
+    val all = (0L until 200L) ++ Seq(1280L, 1284L, 2560L)
+    val (batchIds, histIds) = all.partition(_ % 4 == 0)
+    val history = Multimodal.imageFingerprints(recsOf(histIds))
+    val got = Multimodal.incrementalImageDups(history, recsOf(batchIds)).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getBoolean(4))))
+      .toMap
+
+    val hFp = histIds.map(id => id -> analyticFp(id))
+    for (b <- batchIds) {
+      val fp = analyticFp(b)
+      val exact = hFp.filter(_._2 == fp).map(_._1).sorted.headOption
+      val nears = hFp.map { case (hid, hf) => (hid, java.lang.Long.bitCount(fp ^ hf)) }
+        .filter { case (_, hd) => hd >= 1 && hd <= 3 }
+      val best = nears.sortBy { case (hid, hd) => (hd, hid) }.headOption
+      val (e, n, h, nu) = got(b)
+      assert(e == exact, s"batch $b exact: $e vs $exact")
+      assert(n == best.map(_._1) && h == best.map(_._2.toLong),
+        s"batch $b near: ($n, $h) vs $best")
+      assert(nu == (exact.isEmpty && best.isEmpty), s"batch $b is_new")
+    }
+    // the fixture exercises all three verdicts
+    assert(got.values.exists(_._1.nonEmpty), "no exact dup in fixture — weak test")
+    assert(got.values.exists(v => v._1.isEmpty && v._2.nonEmpty) ||
+      got.values.exists(_._2.nonEmpty), "no near dup in fixture")
+    assert(got.values.exists(_._4), "no new doc in fixture")
+  }
+
   test("extractFeatures runs batched per-partition and preserves ids") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize((1L to 200L).map(i => Row(i, s"doc number $i payload"))),
