@@ -60,8 +60,12 @@ object MultimodalQueries extends QueryGroup {
     // once, every gate reads only (id, fp)
     "multimodal_image_neardup_incr" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // production reads the (id, fp) table back from parquet; here it
+      // is built in-query, so persist it — both gate tiers consume it,
+      // and without this the history images would decode twice
       val history = Multimodal.imageFingerprints(
         syntheticRecs(s, docs.filter(col("doc_id") % 4 =!= 0)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Multimodal.incrementalImageDups(
         history, syntheticRecs(s, docs.filter(col("doc_id") % 4 === 0)))
         .orderBy("doc_id")
