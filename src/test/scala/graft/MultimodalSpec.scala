@@ -155,6 +155,24 @@ class MultimodalSpec extends SparkSuite {
     assert(got.values.exists(_._4), "no new doc in fixture")
   }
 
+  test("image gate two-day lifecycle: fp table round-trips parquet, day-2 dups flagged") {
+    import spark.implicits._
+    def recsOf(ids: Seq[Long]) = ids.toDS().map(id => Multimodal.MediaRecord(
+      id, Multimodal.syntheticPng(id), Multimodal.MediaMeta("png", 0, 0, 0L)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-imggate").toString
+    // day 1: ingest — decode once, persist ONLY the (id, fp) table
+    val day1 = Seq(3L, 7L, 11L, 40L)
+    Multimodal.imageFingerprints(recsOf(day1)).write.parquet(s"$tmp/fps")
+    // day 2: 1283 = 3 + 1280 is a perceptual exact dup of day-1 id 3;
+    // 0 is a flat 1x1 image (fp 0) like day-1 id 40; 6 is fresh
+    val verdicts = Multimodal.incrementalImageDups(
+      spark.read.parquet(s"$tmp/fps"), recsOf(Seq(1283L, 0L, 6L)))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), r.getBoolean(4))).toMap
+    assert(verdicts(1283L) == (Some(3L), false), s"1283: ${verdicts(1283L)}")
+    assert(verdicts(0L)._1.contains(40L) && !verdicts(0L)._2, s"0: ${verdicts(0L)}")
+    assert(verdicts(6L)._1.isEmpty && verdicts(6L)._2, s"6: ${verdicts(6L)}")
+  }
+
   test("extractFeatures runs batched per-partition and preserves ids") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize((1L to 200L).map(i => Row(i, s"doc number $i payload"))),

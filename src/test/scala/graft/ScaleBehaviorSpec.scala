@@ -172,6 +172,18 @@ class ScaleBehaviorSpec extends SparkSuite {
       "semdedup_full's refine join lost its BucketCap salt — a hot cluster goes quadratic")
   }
 
+  test("multimodal_image_neardup's chunk join is salted (flat images form one hot bucket)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val plan = SparkEntry.queries("multimodal_image_neardup")(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan
+    val saltedJoins = plan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "_salt")) => j
+    }
+    assert(saltedJoins.nonEmpty,
+      "image near-dup chunk join lost its BucketCap salt — monochrome images all " +
+        "share fingerprint 0 and would go quadratic in one bucket")
+  }
+
   test("round-5 additions keep their claimed plan shapes") {
     val dir = "/root/testdata/sf0.001"
 
