@@ -282,7 +282,7 @@ object Multimodal {
     def withChunks(df: DataFrame): DataFrame =
       df.select(col("*"),
         explode(expr(
-          "transform(sequence(0, 3), c -> struct(c AS chunk, shiftrightunsigned(fp, c * 16) % 65536 AS cval))")).as("e"))
+          "transform(sequence(0, 3), c -> struct(c AS chunk, shiftrightunsigned(fp, c * 16) & 65535 AS cval))")).as("e"))
         .select(df.columns.map(col) :+ col("e.chunk").as("chunk") :+ col("e.cval").as("cval"): _*)
 
     val hChunks = withChunks(historyFps.select(col("id").as("hid"), col("fp")))
@@ -318,7 +318,7 @@ object Multimodal {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = fps.select(col("id"), col("fp"),
       explode(expr(
-        "transform(sequence(0, 3), c -> struct(c AS chunk, shiftrightunsigned(fp, c * 16) % 65536 AS cval))")).as("e"))
+        "transform(sequence(0, 3), c -> struct(c AS chunk, shiftrightunsigned(fp, c * 16) & 65535 AS cval))")).as("e"))
       .select(col("id"), col("fp"), col("e.chunk").as("chunk"), col("e.cval").as("cval"))
     val salted = BucketCap.subSplit(chunks, Seq("chunk", "cval"),
       concat_ws("#", col("id").cast("string"), col("chunk").cast("string")), maxBucket)
