@@ -231,21 +231,6 @@ object Multimodal {
     }.toDF("id", "fp")
   }
 
-  /** Image near-duplicate pairs by perceptual fingerprint: candidate
-    * generation is hamming-distance banding on the 64-bit aHash — four
-    * 16-bit chunks, so by pigeonhole ANY pair within hamming ≤ 3
-    * shares at least one whole chunk (the banding is EXACT for the
-    * default radius: zero false negatives, unlike MinHash banding's
-    * probabilistic recall); candidates are verified with
-    * `bit_count(fpa XOR fpb)`. Same scale shape as
-    * [[Dedup.simhashPairs]]: row-local fingerprints (the only pass
-    * over the binary payloads — they never enter a shuffle), a
-    * (chunk, value)-keyed equi-join salted via [[BucketCap.subSplit]]
-    * (flat/monochrome images all hash to the same fingerprint and
-    * form exactly the hot bucket the cap bounds), and a per-pair
-    * codegen popcount. Raising `maxHamming` above 3 requires more
-    * bands (chunks) for the exactness guarantee — 4 chunks cover ≤ 3.
-    */
   /** Incremental image-dedup gate: flag NEW (batch) images that
     * perceptually duplicate an already-ingested HISTORY corpus — the
     * multimodal counterpart of [[Dedup.incrementalDupsFromSignatures]],
@@ -257,8 +242,13 @@ object Multimodal {
     * identity, robust to lossless re-encoding); near tier = hamming in
     * `[1, maxHamming]` among chunk-banding candidates (exact recall for
     * maxHamming ≤ 3, see [[imageNearDupPairs]]), best = smallest
-    * hamming, ties to the smaller history id. One row per batch image:
-    * `(doc_id, exact_dup_id, near_dup_id, near_hamming, is_new)`.
+    * hamming, ties to the smaller history id. One row per EVERY batch
+    * image — `(doc_id, exact_dup_id, near_dup_id, near_hamming,
+    * is_new)` — including payloads no JDK reader decodes: those can
+    * match nothing, so both tiers are null and `is_new` is true (the
+    * same keep-by-default verdict the text gate gives docs too short
+    * to shingle; quarantine undecodable media upstream if keeping it
+    * is wrong for the pipeline).
     *
     * Scale shape: the batch is the small side everywhere — its
     * fingerprints broadcast into a column-pruned history scan per tier;
@@ -266,13 +256,20 @@ object Multimodal {
     * re-read. Composable with the streaming gate pattern
     * ([[graft.streaming.StreamingDedupGate]]): run this per
     * micro-batch, then append the batch's `(id, fp)` rows to the
-    * fingerprint table keyed by batchId.
+    * fingerprint table keyed by batchId — and release the per-call
+    * batch-fingerprint cache between batches (an action over the
+    * verdicts, then `spark.catalog.clearCache()` or an explicit
+    * unpersist of the returned plan's cache, exactly as Bench/Verify
+    * do between queries) so a long-running gate doesn't accumulate
+    * dead batch caches.
     */
   def incrementalImageDups(
       historyFps: DataFrame,
       batch: Dataset[MediaRecord],
       maxHamming: Int = 3
   ): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      s"4-chunk banding guarantees recall only for hamming <= 3, got $maxHamming")
     val bFps = imageFingerprints(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exactM = historyFps.select(col("id").as("hid"), col("fp"))
@@ -297,17 +294,49 @@ object Multimodal {
     val best = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
       .select(col("doc_id"), col("hid").as("near_dup_id"), col("hamming").as("near_hamming"))
 
-    bFps.select(col("id").as("doc_id"))
+    // assemble from the BATCH ids, not the fingerprint frame — an
+    // undecodable payload has no fingerprint row but still owes the
+    // caller a verdict (both tiers null => is_new), mirroring
+    // Dedup.incrementalDupsFromSignatures' assembly from `batch`
+    batch.toDF().select(col("id").as("doc_id"))
       .join(broadcast(exactM), Seq("doc_id"), "left")
       .join(broadcast(best), Seq("doc_id"), "left")
       .withColumn("is_new", col("exact_dup_id").isNull && col("near_dup_id").isNull)
   }
 
+  /** Image near-duplicate pairs by perceptual fingerprint: candidate
+    * generation is hamming-distance banding on the 64-bit aHash — four
+    * 16-bit chunks, so by pigeonhole ANY pair within hamming ≤ 3
+    * shares at least one whole chunk: zero false negatives while every
+    * bucket stays under `maxBucket`, unlike MinHash banding's
+    * probabilistic recall. Candidates are verified with
+    * `bit_count(fpa XOR fpb)`. Same scale shape as
+    * [[Dedup.simhashPairs]]: row-local fingerprints (the only pass
+    * over the binary payloads — they never enter a shuffle), a
+    * (chunk, value)-keyed equi-join salted via [[BucketCap.subSplit]]
+    * (flat/monochrome images all hash to the same fingerprint and
+    * form exactly the hot bucket the cap bounds), and a per-pair
+    * codegen popcount.
+    *
+    * Recall caveats, both enforced or documented: `maxHamming` above 3
+    * is rejected (more bands would be required for the pigeonhole
+    * guarantee), and once a (chunk, value) bucket exceeds `maxBucket`
+    * the salt splits it and cross-sub-bucket pairs inside that bucket
+    * are NOT compared — the exactness claim holds up to the cap. A
+    * mega-bucket is near-certainly one identical fingerprint repeated
+    * (16 bits have 65536 values; a crawl's monochrome boilerplate), so
+    * the lost pairs are overwhelmingly hamming-0 ones recoverable by
+    * grouping on `fp` directly ([[Dedup.exact]] on the fingerprint
+    * column) — run that cheap exact pass alongside if completeness
+    * within flat-image cliques matters.
+    */
   def imageNearDupPairs(
       ds: Dataset[MediaRecord],
       maxHamming: Int = 3,
       maxBucket: Int = 100000
   ): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      s"4-chunk banding guarantees recall only for hamming <= 3, got $maxHamming")
     // the fingerprint scan feeds BOTH join sides plus the hot-bucket
     // count — without a persist each consumer would re-decode every
     // image (the dominant cost of this operator). Same reasoning as

@@ -631,11 +631,18 @@ object Similarity {
       maxCluster: Int = 100000
   ): DataFrame = {
     val cents = kmeansCentroids(corpus, idCol, vecCol, numCentroids, iters).toArray
+    // five consumers downstream (subSplit's hot count + both self-join
+    // sides + the final verdict join) — persist so the corpus scan and
+    // the k-distance nearestCentroid projection run once, matching
+    // every other subSplit caller (minhashLshPairs, simhashPairs,
+    // imageNearDupPairs); released via the Bench/Verify clearCache
+    // contract between queries
     val assigned = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
       .withColumn("list",
         graft.functions.AnnExprs.nearestCentroid(col("v"), cents.map(_._1), cents.map(_._2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val salted = BucketCap.subSplit(assigned, Seq("list"),
       col("vec_id").cast("string"), maxCluster)
     val a = salted.select(col("list"), col("_salt"), col("vec_id").as("id_a"), col("v").as("va"))

@@ -34,11 +34,8 @@ object MultimodalQueries extends QueryGroup {
     }),
 
     "multimodal_image_decode" -> ((s, dir) => {
-      import s.implicits._
-      val recs = Tables.documents(s, dir).select(col("doc_id").cast("long")).as[Long]
-        .map(id => Multimodal.MediaRecord(id, Multimodal.syntheticPng(id),
-          Multimodal.MediaMeta("png", 0, 0, 0L)))
-      val feats = Multimodal.extractFeatures(recs)
+      val feats = Multimodal.extractFeatures(
+        syntheticRecs(s, Tables.documents(s, dir)))
       val histCols = (0 until Multimodal.HistBins).map(b => col("histogram")(b).as(s"hist_$b"))
       feats.toDF()
         .select(Seq(col("id").as("doc_id"), col("format"),

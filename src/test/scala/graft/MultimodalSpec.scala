@@ -148,10 +148,11 @@ class MultimodalSpec extends SparkSuite {
         s"batch $b near: ($n, $h) vs $best")
       assert(nu == (exact.isEmpty && best.isEmpty), s"batch $b is_new")
     }
-    // the fixture exercises all three verdicts
+    // the fixture exercises every verdict shape, including the
+    // near-only path (near_dup set, exact null)
     assert(got.values.exists(_._1.nonEmpty), "no exact dup in fixture — weak test")
-    assert(got.values.exists(v => v._1.isEmpty && v._2.nonEmpty) ||
-      got.values.exists(_._2.nonEmpty), "no near dup in fixture")
+    assert(got.values.exists(v => v._1.isEmpty && v._2.nonEmpty),
+      "no near-only dup in fixture — weak test")
     assert(got.values.exists(_._4), "no new doc in fixture")
   }
 
@@ -164,13 +165,17 @@ class MultimodalSpec extends SparkSuite {
     val day1 = Seq(3L, 7L, 11L, 40L)
     Multimodal.imageFingerprints(recsOf(day1)).write.parquet(s"$tmp/fps")
     // day 2: 1283 = 3 + 1280 is a perceptual exact dup of day-1 id 3;
-    // 0 is a flat 1x1 image (fp 0) like day-1 id 40; 6 is fresh
+    // 0 is a flat 1x1 image (fp 0) like day-1 id 40; 6 is fresh; 999
+    // is an undecodable payload — it still owes a verdict row (is_new)
+    val day2 = recsOf(Seq(1283L, 0L, 6L)).union(Seq(Multimodal.MediaRecord(
+      999L, "not an image".getBytes("UTF-8"), Multimodal.MediaMeta("bin", 0, 0, 0L))).toDS())
     val verdicts = Multimodal.incrementalImageDups(
-      spark.read.parquet(s"$tmp/fps"), recsOf(Seq(1283L, 0L, 6L)))
+      spark.read.parquet(s"$tmp/fps"), day2)
       .collect().map(r => r.getLong(0) -> (Option(r.get(1)), r.getBoolean(4))).toMap
     assert(verdicts(1283L) == (Some(3L), false), s"1283: ${verdicts(1283L)}")
     assert(verdicts(0L)._1.contains(40L) && !verdicts(0L)._2, s"0: ${verdicts(0L)}")
     assert(verdicts(6L)._1.isEmpty && verdicts(6L)._2, s"6: ${verdicts(6L)}")
+    assert(verdicts(999L) == (None, true), s"999 (undecodable): ${verdicts(999L)}")
   }
 
   test("extractFeatures runs batched per-partition and preserves ids") {
