@@ -149,4 +149,53 @@ object Analytics {
       .withColumn("w_sum", sum(col(valueCol)).over(w))
       .withColumn("w_max", max(col(valueCol)).over(w))
   }
+
+  /** Distribution-drift report between two corpus snapshots — the
+    * data-quality monitor a daily ingest runs before training mixes
+    * shift silently: for every named dimension (categorical column or
+    * derived bucket), the per-value counts of both snapshots side by
+    * side with the per-dimension totals. One row per (dim, value)
+    * observed in EITHER snapshot (absent side = 0). Counts and totals
+    * are plain longs — drift measures (L1/TV distance, PSI, χ²) are a
+    * reader-side fold over exact integers, so the report itself hashes
+    * bit-for-bit cross-engine and never bakes in a libm-dependent log.
+    *
+    * Scale shape: ONE scan per snapshot regardless of dimension count
+    * — the dims fan out row-locally as an exploded (dim, value) map —
+    * into one map-side-combined count keyed by (dim, value); dimension
+    * cardinality (languages, sources, length buckets), not corpus
+    * size, bounds the shuffle and the result. The totals table is
+    * #dims rows and broadcasts into the final join. Nulls count under
+    * the sentinel value "<null>" rather than vanishing (a drift
+    * monitor that drops nulls misses the most common ingest bug).
+    */
+  def driftReport(
+      snapA: DataFrame,
+      snapB: DataFrame,
+      dims: Seq[(String, org.apache.spark.sql.Column)]
+  ): DataFrame = {
+    require(dims.nonEmpty, "driftReport needs at least one dimension")
+    val pairs = dims.flatMap { case (name, c) =>
+      Seq(lit(name), coalesce(c.cast("string"), lit("<null>")))
+    }
+    def counts(df: DataFrame, out: String): DataFrame = df
+      .select(explode(map(pairs: _*)).as(Seq("dim", "value")))
+      .groupBy("dim", "value").agg(count(lit(1)).as(out))
+    val a = counts(snapA, "n_a")
+    val b = counts(snapB, "n_b")
+    val joined = a.join(b, Seq("dim", "value"), "full_outer")
+      .select(col("dim"), col("value"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    // totals as a window over the counted rows, NOT a groupBy+join of
+    // `joined` — that would re-derive the whole join subtree and scan
+    // each snapshot twice (plan-asserted at one scan each). The window
+    // runs over the dimension-cardinality-sized count table, so its
+    // dim-keyed shuffle is negligible.
+    val wDim = org.apache.spark.sql.expressions.Window.partitionBy("dim")
+    joined
+      .withColumn("tot_a", sum("n_a").over(wDim))
+      .withColumn("tot_b", sum("n_b").over(wDim))
+      .select("dim", "value", "n_a", "n_b", "tot_a", "tot_b")
+  }
 }

@@ -39,6 +39,19 @@ object AnalyticsQueries extends QueryGroup {
       Analytics.rollingStats(e, "user_id", "ts", "cents", windowSec = 3600L)
         .select("event_id", "user_id", "t_sec", "w_cnt", "w_sum", "w_max")
         .orderBy("event_id")
+    }),
+
+    // Snapshot-drift report: even vs odd doc_ids stand in for day-1 vs
+    // day-2 corpus dumps; dimensions = language, source, and a 256-char
+    // length bucket. Integer counts only — TV/PSI are reader-side.
+    "drift_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Analytics.driftReport(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        Seq("lang" -> col("lang"), "source" -> col("source"),
+          "len_bucket" -> expr("n_chars div 256")))
+        .orderBy("dim", "value")
     })
   )
 
@@ -90,6 +103,37 @@ SELECT event_id, user_id, t_sec,
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY t_sec
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-ORDER BY event_id"""
+ORDER BY event_id""",
+
+    "drift_report" ->
+      """WITH av AS (
+  SELECT 'lang' AS dim, coalesce(CAST(lang AS VARCHAR), '<null>') AS value
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'source', coalesce(CAST(source AS VARCHAR), '<null>')
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'len_bucket', coalesce(CAST(n_chars // 256 AS VARCHAR), '<null>')
+  FROM documents WHERE doc_id % 2 = 0),
+bv AS (
+  SELECT 'lang' AS dim, coalesce(CAST(lang AS VARCHAR), '<null>') AS value
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT 'source', coalesce(CAST(source AS VARCHAR), '<null>')
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT 'len_bucket', coalesce(CAST(n_chars // 256 AS VARCHAR), '<null>')
+  FROM documents WHERE doc_id % 2 = 1),
+ac AS (SELECT dim, value, CAST(count(*) AS BIGINT) AS n_a FROM av GROUP BY 1, 2),
+bc AS (SELECT dim, value, CAST(count(*) AS BIGINT) AS n_b FROM bv GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(ac.dim, bc.dim) AS dim, coalesce(ac.value, bc.value) AS value,
+    coalesce(ac.n_a, 0) AS n_a, coalesce(bc.n_b, 0) AS n_b
+  FROM ac FULL OUTER JOIN bc ON ac.dim = bc.dim AND ac.value = bc.value),
+t AS (
+  SELECT dim, CAST(sum(n_a) AS BIGINT) AS tot_a, CAST(sum(n_b) AS BIGINT) AS tot_b
+  FROM j GROUP BY 1)
+SELECT j.dim, j.value, j.n_a, j.n_b, t.tot_a, t.tot_b
+FROM j JOIN t USING (dim) ORDER BY dim, value"""
   )
 }

@@ -102,4 +102,25 @@ class AnalyticsSpec extends SparkSuite {
       (5L, 2L, 12L, 7L),   // equal-time peers share the frame...
       (6L, 2L, 12L, 7L)))  // ...so the result is order-independent
   }
+
+  test("driftReport: hand-computed counts, nulls kept, one-sided values zero-filled") {
+    import spark.implicits._
+    val a = Seq(("en", 100L), ("en", 300L), ("de", 600L), (null, 100L))
+      .toDF("lang", "n_chars")
+    val b = Seq(("en", 100L), ("fr", 100L)).toDF("lang", "n_chars")
+    val out = Analytics.driftReport(a, b,
+      Seq("lang" -> col("lang"), "len_bucket" -> expr("n_chars div 256")))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out(("lang", "en")) == ((2L, 1L, 4L, 2L)))
+    assert(out(("lang", "de")) == ((1L, 0L, 4L, 2L)))      // absent in B → 0
+    assert(out(("lang", "fr")) == ((0L, 1L, 4L, 2L)))      // absent in A → 0
+    assert(out(("lang", "<null>")) == ((1L, 0L, 4L, 2L)))  // null is a value
+    assert(out(("len_bucket", "0")) == ((2L, 2L, 4L, 2L)))
+    assert(out(("len_bucket", "1")) == ((1L, 0L, 4L, 2L)))
+    assert(out(("len_bucket", "2")) == ((1L, 0L, 4L, 2L)))
+    assert(out.size == 7)
+    // totals are per-dimension row counts of each snapshot
+    assert(out.forall { case (_, (_, _, ta, tb)) => ta == 4L && tb == 2L })
+  }
 }

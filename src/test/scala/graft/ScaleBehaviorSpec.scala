@@ -221,6 +221,14 @@ class ScaleBehaviorSpec extends SparkSuite {
     assert(fnPlan.split("Scan parquet").length - 1 == 1,
       "funnel reads events exactly once:\n" + fnPlan.take(1000))
     assert(!fnPlan.contains("Join"), fnPlan.take(1000))
+
+    // drift report: one scan per snapshot regardless of dimension
+    // count (3 dims here) — the dims fan out row-locally, never as
+    // per-dimension re-scans
+    val dr = graft.queries.AnalyticsQueries.queries("drift_report")(spark, dir)
+    val drPlan = dr.queryExecution.executedPlan.toString
+    assert(drPlan.split("Scan parquet").length - 1 == 2,
+      "drift report reads each snapshot exactly once:\n" + drPlan.take(1000))
   }
 
   test("eval-tier queries keep their claimed plan shapes") {
