@@ -164,10 +164,14 @@ object Analytics {
     * — the dims fan out row-locally as an exploded (dim, value) map —
     * into one map-side-combined count keyed by (dim, value); dimension
     * cardinality (languages, sources, length buckets), not corpus
-    * size, bounds the shuffle and the result. The totals table is
-    * #dims rows and broadcasts into the final join. Nulls count under
-    * the sentinel value "<null>" rather than vanishing (a drift
-    * monitor that drops nulls misses the most common ingest bug).
+    * size, bounds the shuffle and the result. Totals are a
+    * dim-partitioned window over the count table (not a groupBy+join,
+    * which would re-derive the join subtree and re-scan the
+    * snapshots — plan-asserted). Nulls count under the sentinel value
+    * "<null>" rather than vanishing (a drift monitor that drops nulls
+    * misses the most common ingest bug); a column whose data literally
+    * contains the string "<null>" merges with true nulls — pre-map
+    * such values if the distinction matters.
     */
   def driftReport(
       snapA: DataFrame,
@@ -175,6 +179,10 @@ object Analytics {
       dims: Seq[(String, org.apache.spark.sql.Column)]
   ): DataFrame = {
     require(dims.nonEmpty, "driftReport needs at least one dimension")
+    require(dims.map(_._1).distinct.size == dims.size,
+      // fail at call time, not per-row at execution (map() rejects
+      // duplicate keys under the default EXCEPTION dedup policy)
+      s"duplicate dimension names: ${dims.map(_._1).mkString(", ")}")
     val pairs = dims.flatMap { case (name, c) =>
       Seq(lit(name), coalesce(c.cast("string"), lit("<null>")))
     }
