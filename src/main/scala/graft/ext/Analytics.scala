@@ -171,7 +171,11 @@ object Analytics {
     * "<null>" rather than vanishing (a drift monitor that drops nulls
     * misses the most common ingest bug); a column whose data literally
     * contains the string "<null>" merges with true nulls — pre-map
-    * such values if the distinction matters.
+    * such values if the distinction matters. Each window partition
+    * holds one dimension's whole value set — fine for categorical /
+    * bucketed dims (the intended use); for an extreme-cardinality dim
+    * (per-token drift over a web-scale vocabulary) compute that dim's
+    * totals as a scalar aggregate joined back instead.
     */
   def driftReport(
       snapA: DataFrame,
