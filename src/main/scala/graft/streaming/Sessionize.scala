@@ -41,6 +41,23 @@ object Sessionize {
         col("n_events"), col("total_value"))
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String, event_id: Long)
+
+  /** Columnar → typed adapter for [[sessionizeWithState]]: selects the
+    * four SessionEvent columns and normalizes `ts` to TIMESTAMP first —
+    * the encoder's `java.sql.Timestamp` field rejects a TIMESTAMP_NTZ
+    * source outright (CANNOT_UP_CAST), and the driver's parquet ships
+    * NTZ. Same cast contract as StreamingExtract's watermark
+    * normalization: no-op on TZ, value-preserving on NTZ under the
+    * pinned UTC session tz.
+    */
+  def sessionEvents(df: DataFrame): Dataset[SessionEvent] = {
+    import df.sparkSession.implicits._
+    df.select(
+      col("user_id").cast("long"),
+      col("ts").cast("timestamp"),
+      col("event_type").cast("string"),
+      col("event_id").cast("long")).as[SessionEvent]
+  }
   final case class SessionState(
       startMs: Long, lastMs: Long, n: Int,
       firstEventId: Long, lastEventId: Long,

@@ -77,4 +77,25 @@ class SessionizeSpec extends SparkSuite {
     assert(s3.getAs[Long]("user_id") == 2L)
     assert(s3.getAs[Map[String, Int]]("type_counts") == Map("error" -> 1))
   }
+
+  test("sessionEvents adapter encodes the NTZ driver parquet into the typed dataset") {
+    // Tables.events currently yields TIMESTAMP_NTZ ts; a bare
+    // .as[SessionEvent] on it fails the java.sql.Timestamp encoder —
+    // the adapter's cast is what closes the seam
+    val typed = Sessionize.sessionEvents(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    val rows = typed.take(5)
+    assert(rows.length == 5)
+    assert(rows.forall(_.ts.isInstanceOf[java.sql.Timestamp]))
+    // value parity with the raw column (epoch micros under UTC)
+    val raw = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp")).as("us"))
+      .limit(5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { e =>
+      raw.get(e.event_id).foreach(us => assert(us == e.ts.getTime * 1000 +
+        (e.ts.getNanos / 1000) % 1000, s"event ${e.event_id}"))
+    }
+  }
 }
