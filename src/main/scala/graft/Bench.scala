@@ -24,12 +24,35 @@ object Bench {
 
   /** 8-hex digest of the canonicalized optimized plan — stable across runs,
     * sensitive to plan-shape changes. Cheap: analysis+optimization only, no
-    * execution. */
+    * execution.
+    *
+    * The optimizer runs on the ANALYZED plan directly, bypassing
+    * `QueryExecution.withCachedData`: operators that `persist()` an
+    * intermediate (LSH signatures, image fingerprints) would otherwise
+    * get an `InMemoryRelation` spliced into `optimizedPlan`, making the
+    * digest depend on which caches happen to be registered in this
+    * session at hash time — r11's verdict found focus-mode and
+    * bench-mode disagreeing on exactly the persisting queries. Hashing
+    * the cache-free optimization keeps the digest a pure function of
+    * the query code, so cross-session plan-drift comparison is sound.
+    *
+    * Two JVM-run-specific artifacts are normalized out of the plan
+    * text before digesting (typed-Dataset queries embed both):
+    * synthetic lambda class identities (`Foo$$Lambda$2700/0x7f..@66..`
+    * — the counter and address are assigned per JVM) and object
+    * identity hashes (`UnsafeArrayData@582dcbb3`). Canonicalization
+    * handles expression ids but not these. */
   def planHash(spark: SparkSession, sfDir: String, name: String): String =
     try {
       val df = SparkEntry.queries(name)(spark, sfDir)
-      val canon = df.queryExecution.optimizedPlan.canonicalized.toString
-      val md = java.security.MessageDigest.getInstance("MD5").digest(canon.getBytes("UTF-8"))
+      val cacheFree = spark.sessionState.optimizer.execute(
+        df.queryExecution.analyzed.clone())
+      val canon = cacheFree.canonicalized.toString
+        .replaceAll("\\$\\$Lambda[^,\\s)\\]]*",
+          java.util.regex.Matcher.quoteReplacement("$$Lambda"))
+        .replaceAll("@[0-9a-f]+\\b", "@")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8"))
       md.take(4).map("%02x".format(_)).mkString
     } catch { case _: Throwable => "err" }
 
@@ -65,6 +88,7 @@ object Bench {
       // empties the span-cache registry (clearCache frees storage but
       // would leave the buffer accumulating plan objects all run)
       graft.ext.Dedup.unpersistSpanCaches()
+      graft.ext.Multimodal.unpersistCaches()
       spark.catalog.clearCache()
       t
     }
@@ -92,9 +116,33 @@ object Bench {
         // steady-state plans, what a resident service measures) is
         // reported alongside; the gap is fixed per-query JVM cost, and a
         // contended box inflates the cold pass far more than the warm one.
+        //
+        // SPARK_GRAFT_BENCH_MINOF=N (N>=2) runs N full interleaved
+        // passes instead of the cold+warm pair and reports the
+        // per-query MIN across passes — the focus-mode contention
+        // protocol promoted to the whole suite (r10 and r11 each spent
+        // an isolation round-trip settling phantoms a min-of-N headline
+        // would never have produced). Pass-major order spreads each
+        // query's samples across the whole wall-clock window, so a
+        // transient spike inflates one sample of many queries rather
+        // than all samples of one. `queries`/`value` are min-of-all
+        // (the contention-resistant floor); `warm_total` is min over
+        // passes >= 2 (pure steady-state); `pass_totals` keeps the raw
+        // per-pass sums so the pass-1 cold total stays comparable to
+        // prior rounds' headline.
         val names = SparkEntry.queries.keys.toSeq
-        val cold = names.map(n => n -> time(n)).toMap
-        val warm = names.map(n => n -> time(n)).toMap
+        val minOf = sys.env.get("SPARK_GRAFT_BENCH_MINOF")
+          .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 2)
+        val passes: Seq[Map[String, Double]] = minOf match {
+          case Some(np) => (1 to np).map(_ => names.map(n => n -> time(n)).toMap)
+          case None     => Seq(names.map(n => n -> time(n)).toMap,
+                               names.map(n => n -> time(n)).toMap)
+        }
+        val cold = minOf match {
+          case Some(_) => names.map(n => n -> passes.map(_(n)).min).toMap
+          case None    => passes.head
+        }
+        val warm = names.map(n => n -> passes.tail.map(_(n)).min).toMap
         // plan-hash dump: full map to a file (small, committed per round);
         // the stdout line only carries a digest-of-digests so a reader can
         // confirm "plans unchanged since last round" from the JSON alone
@@ -127,7 +175,10 @@ object Bench {
         val warmTotal = if (warm.nonEmpty) warm.values.sum else 0.0
         val sfName = new java.io.File(sfDir).getName
         val (qjs, dropped) = js(cold, 1100)
-        val line = s"""{"metric":"total","unit":"sec","value":${f(total)},"sf":"$sfName","plans":"$combined","dropped_fastest":$dropped,"queries":$qjs,"warm_total":${f(warmTotal)}}"""
+        val minofJs = minOf.map(np =>
+          s""""minof":$np,"pass_totals":[${passes.map(p => f(p.values.sum)).mkString(",")}],""")
+          .getOrElse("")
+        val line = s"""{"metric":"total","unit":"sec","value":${f(total)},"sf":"$sfName",$minofJs"plans":"$combined","dropped_fastest":$dropped,"queries":$qjs,"warm_total":${f(warmTotal)}}"""
         println(line)
         // file hedge alongside planhash.json: a recorder that misses the
         // stdout line (truncation, prefixing) can pick the same JSON up

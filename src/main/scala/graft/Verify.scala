@@ -31,6 +31,7 @@ object Verify {
       // every window-table plan object (clearCache alone frees storage
       // but leaves the buffer growing)
       graft.ext.Dedup.unpersistSpanCaches()
+      graft.ext.Multimodal.unpersistCaches()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

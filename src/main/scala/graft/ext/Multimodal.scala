@@ -26,6 +26,26 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Fingerprint caches registered by [[imageNearDupPairs]] /
+    * [[incrementalImageDups]] / [[imageDedupFull]] — the operators
+    * persist the (id, fp) scan because several consumers would
+    * otherwise each re-decode every image. [[unpersistCaches]] is the
+    * deterministic release path (Bench/Verify call it between queries,
+    * gates call it per batch); `spark.catalog.clearCache()` alone frees
+    * the storage but leaves this buffer accumulating plan objects, the
+    * same split [[Dedup.unpersistSpanCaches]] manages for span windows.
+    */
+  private val fpCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private def registerCache(df: DataFrame): DataFrame =
+    fpCaches.synchronized { fpCaches += df; df }
+
+  /** Release every fingerprint cache registered since the last call —
+    * storage and registry both. */
+  def unpersistCaches(): Unit = fpCaches.synchronized {
+    fpCaches.foreach(_.unpersist(blocking = false))
+    fpCaches.clear()
+  }
+
   /** Typed metadata carried beside the payload. */
   final case class MediaMeta(format: String, width: Int, height: Int, nBytes: Long)
   final case class MediaRecord(id: Long, media: Array[Byte], meta: MediaMeta)
@@ -268,10 +288,34 @@ object Multimodal {
       batch: Dataset[MediaRecord],
       maxHamming: Int = 3
   ): DataFrame = {
+    // the batch-fingerprint cache is registered for release via
+    // [[unpersistCaches]] (r11 advice: a long-running caller composing
+    // this per micro-batch must not accumulate dead caches); a caller
+    // wanting a tighter lifecycle builds its own fps frame and uses
+    // [[incrementalImageDupsFromFps]], as the image gate does
+    val bFps = registerCache(imageFingerprints(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    incrementalImageDupsFromFps(historyFps, batch.toDF().select(col("id")), bFps, maxHamming)
+  }
+
+  /** [[incrementalImageDups]] with the batch side already
+    * fingerprinted: `batchIds` is one `id` row per batch image
+    * (decodable or not — each owes a verdict), `batchFps` its `(id,
+    * fp)` rows ([[imageFingerprints]]); the CALLER owns `batchFps`'s
+    * persistence and release. This is the gate-loop entry point: a
+    * per-micro-batch caller persists the batch fingerprints, gates,
+    * appends them to the fingerprint table, and unpersists — no cache
+    * outlives the batch.
+    */
+  def incrementalImageDupsFromFps(
+      historyFps: DataFrame,
+      batchIds: DataFrame,
+      batchFps: DataFrame,
+      maxHamming: Int = 3
+  ): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 3,
       s"4-chunk banding guarantees recall only for hamming <= 3, got $maxHamming")
-    val bFps = imageFingerprints(batch)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bFps = batchFps
     val exactM = historyFps.select(col("id").as("hid"), col("fp"))
       .join(broadcast(bFps.select(col("id").as("doc_id"), col("fp"))), "fp")
       .groupBy("doc_id").agg(min("hid").as("exact_dup_id"))
@@ -298,7 +342,7 @@ object Multimodal {
     // undecodable payload has no fingerprint row but still owes the
     // caller a verdict (both tiers null => is_new), mirroring
     // Dedup.incrementalDupsFromSignatures' assembly from `batch`
-    batch.toDF().select(col("id").as("doc_id"))
+    batchIds.select(col("id").as("doc_id"))
       .join(broadcast(exactM), Seq("doc_id"), "left")
       .join(broadcast(best), Seq("doc_id"), "left")
       .withColumn("is_new", col("exact_dup_id").isNull && col("near_dup_id").isNull)
@@ -335,16 +379,29 @@ object Multimodal {
       maxHamming: Int = 3,
       maxBucket: Int = 100000
   ): DataFrame = {
-    require(maxHamming >= 1 && maxHamming <= 3,
-      s"4-chunk banding guarantees recall only for hamming <= 3, got $maxHamming")
     // the fingerprint scan feeds BOTH join sides plus the hot-bucket
     // count — without a persist each consumer would re-decode every
     // image (the dominant cost of this operator). Same reasoning as
     // minhashLshPairs' signature persist; at 100 TB materialize the
-    // (id, fp) table to parquet instead. Bench/Verify release it via
-    // spark.catalog.clearCache between queries.
-    val fps = imageFingerprints(ds)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (id, fp) table to parquet instead. Registered for release via
+    // [[unpersistCaches]] (Bench/Verify call it between queries).
+    val fps = registerCache(imageFingerprints(ds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    imageNearDupPairsFromFps(fps, maxHamming, maxBucket)
+  }
+
+  /** [[imageNearDupPairs]] over a pre-built `(id, fp)` frame
+    * ([[imageFingerprints]], typically persisted by the caller or read
+    * back from the fingerprint table) — the decode-free core shared by
+    * the pair scan and [[imageDedupFull]].
+    */
+  def imageNearDupPairsFromFps(
+      fps: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 100000
+  ): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      s"4-chunk banding guarantees recall only for hamming <= 3, got $maxHamming")
     val chunks = fps.select(col("id"), col("fp"),
       explode(expr(
         "transform(sequence(0, 3), c -> struct(c AS chunk, shiftrightunsigned(fp, c * 16) & 65535 AS cval))")).as("e"))
@@ -361,5 +418,46 @@ object Multimodal {
       .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Complete image near-dup pass: the banded hamming scan UNIONED
+    * with an exact-fingerprint tier — the composition the
+    * [[imageNearDupPairs]] scaladoc prescribes to close its one recall
+    * residual. The banded tier stops comparing across sub-buckets once
+    * a (chunk, value) bucket exceeds `maxBucket`, and a mega-bucket is
+    * near-certainly one identical fingerprint repeated (monochrome
+    * boilerplate) — so the lost pairs are hamming-0 cliques. The exact
+    * tier recovers ALL of them, cap-independent, as a star expansion:
+    * `fp`-groupBy picks each clique's min id as canonical and links
+    * every other member to it — one row per member (linear in clique
+    * size), never the quadratic within-clique pair set. Output is one
+    * `(doc_a, doc_b, hamming)` row per relation: hamming 0 rows are
+    * the exact-tier stars (doc_a = clique canonical), hamming 1..
+    * `maxHamming` rows are the banded near pairs. Residual after
+    * composition: hamming >= 1 pairs whose every shared chunk-bucket
+    * overflowed the cap — possible only when two DIFFERENT
+    * fingerprints share a >`maxBucket` bucket, which the exact tier's
+    * existence makes strictly rarer than the r11-documented hamming-0
+    * case it closes.
+    *
+    * Scale shape: images decode ONCE into the shared persisted (id,
+    * fp) scan feeding both tiers; the exact tier is one hash aggregate
+    * plus a fp-keyed join of 16-byte rows; the banded tier is
+    * unchanged from [[imageNearDupPairsFromFps]].
+    */
+  def imageDedupFull(
+      ds: Dataset[MediaRecord],
+      maxHamming: Int = 3,
+      maxBucket: Int = 100000
+  ): DataFrame = {
+    val fps = registerCache(imageFingerprints(ds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val canon = fps.groupBy("fp").agg(min("id").as("doc_a"))
+    val exactStars = fps.join(canon, "fp")
+      .filter(col("id") > col("doc_a"))
+      .select(col("doc_a"), col("id").as("doc_b"), lit(0L).as("hamming"))
+    val near = imageNearDupPairsFromFps(fps, maxHamming, maxBucket)
+      .filter(col("hamming") >= 1)
+    exactStars.union(near)
   }
 }

@@ -52,6 +52,17 @@ object MultimodalQueries extends QueryGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // complete near-dup pass: exact-fp star tier (hamming 0, cap-
+    // independent — closes the r11 recall residual) unioned with the
+    // banded hamming 1..3 tier; one decode feeding both via the shared
+    // persisted fingerprint scan. maxBucket left at default here (sf
+    // buckets are tiny); the exact tier's completeness is what the
+    // MultimodalSpec cap-forcing test pins.
+    "multimodal_image_dedup_full" -> ((s, dir) => {
+      Multimodal.imageDedupFull(syntheticRecs(s, Tables.documents(s, dir)))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // incremental gate: batch (doc_id % 4 == 0) images gated against
     // the history (rest) fingerprint table — history media decoded
     // once, every gate reads only (id, fp)
@@ -122,6 +133,41 @@ ham AS (
   JOIN bits y ON y.doc_id = c.doc_b AND y.pos = x.pos
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+ORDER BY doc_a, doc_b""",
+
+    // exact tier = fp-equality cliques star-expanded to their min-id
+    // canonical (hamming 0); near tier = the banded candidates at
+    // hamming 1..3 — the same union imageDedupFull computes
+    "multimodal_image_dedup_full" ->
+      s"""WITH $fingerprintCtes,
+fpt AS (
+  SELECT doc_id,
+    max(CASE WHEN chunk = 0 THEN cval END) AS c0,
+    max(CASE WHEN chunk = 1 THEN cval END) AS c1,
+    max(CASE WHEN chunk = 2 THEN cval END) AS c2,
+    max(CASE WHEN chunk = 3 THEN cval END) AS c3
+  FROM chunks GROUP BY 1),
+canon AS (
+  SELECT c0, c1, c2, c3, min(doc_id) AS doc_a
+  FROM fpt GROUP BY 1, 2, 3, 4),
+exact AS (
+  SELECT canon.doc_a, fpt.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+  FROM fpt JOIN canon USING (c0, c1, c2, c3)
+  WHERE fpt.doc_id > canon.doc_a),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.cval = b.cval
+  WHERE a.doc_id < b.doc_id),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(sum(CASE WHEN x.b != y.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN bits x ON x.doc_id = c.doc_a
+  JOIN bits y ON y.doc_id = c.doc_b AND y.pos = x.pos
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, hamming FROM exact
+UNION ALL
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming BETWEEN 1 AND 3
 ORDER BY doc_a, doc_b""",
 
     // same analytic fingerprints, split into history (doc_id % 4 != 0)

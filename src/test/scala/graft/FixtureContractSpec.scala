@@ -53,4 +53,15 @@ class FixtureContractSpec extends SparkSuite {
     assert(mn >= 0, s"doc_id went negative ($mn) — syntheticPng's mod-arithmetic dims " +
       "and the aHash oracle CTEs assume non-negative ids")
   }
+
+  test("documents n_chars: non-negative (drift_report's len_bucket divides it)") {
+    // Spark `div` truncates toward zero while DuckDB `//` floors — the
+    // two agree only on non-negative operands, and drift_report's
+    // `n_chars div 256` bucket (code + oracle SQL) relies on that
+    val mn = Tables.documents(spark, dir)
+      .agg(min("n_chars")).head().get(0).toString.toLong
+    assert(mn >= 0, s"n_chars went negative ($mn) — drift_report's len_bucket uses " +
+      "truncating `div` in Spark vs flooring `//` in the DuckDB oracle; " +
+      "they diverge below zero")
+  }
 }

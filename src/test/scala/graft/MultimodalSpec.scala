@@ -123,6 +123,34 @@ class MultimodalSpec extends SparkSuite {
     assert(got.contains((0L, 1280L, 0L)) && got.contains((1280L, 2560L, 0L)))
   }
 
+  test("imageDedupFull recovers hamming-0 cliques past the bucket cap (the r11 residual)") {
+    import spark.implicits._
+    // every id % 40 == 0 synthetic image is 1x1 (dims 1+id%8 x 1+id%5),
+    // so its 8x8 sample grid sees one pixel: lum > mean never holds and
+    // the fingerprint is 0 for ALL of them — exactly the monochrome-
+    // boilerplate mega-clique the imageNearDupPairs scaladoc warns
+    // about. maxBucket=2 forces BucketCap.subSplit to shatter the fp-0
+    // chunk buckets, so the banded tier alone must lose cross-sub
+    // hamming-0 pairs; the exact tier must still link every member to
+    // the clique's min id, cap-independent.
+    val clique = (0L to 10L).map(_ * 40L)
+    val recs = clique.toDS().map(id => Multimodal.MediaRecord(
+      id, Multimodal.syntheticPng(id), Multimodal.MediaMeta("png", 0, 0, 0L)))
+    val full = Multimodal.imageDedupFull(recs, maxBucket = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wantStars = clique.drop(1).map(id => (0L, id, 0L)).toSet
+    assert(full.filter(_._3 == 0L) == wantStars,
+      s"exact tier must be exactly the min-id star: ${full.filter(_._3 == 0L)}")
+    // and the capped banded tier alone genuinely misses some of the
+    // clique's pairs (11 members = 55 in full) — the residual this
+    // operator exists to close
+    val allPairs = (for (a <- clique; b <- clique if a < b) yield (a, b)).size
+    val bandedOnly = Multimodal.imageNearDupPairs(recs, maxBucket = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bandedOnly.size < allPairs,
+      s"cap never bit (banded found all $allPairs clique pairs) — weak test")
+  }
+
   test("incrementalImageDups gates a batch against history fingerprints like brute force") {
     import spark.implicits._
     def recsOf(ids: Seq[Long]) = ids.toDS().map(id => Multimodal.MediaRecord(
@@ -160,7 +188,7 @@ class MultimodalSpec extends SparkSuite {
     import spark.implicits._
     def recsOf(ids: Seq[Long]) = ids.toDS().map(id => Multimodal.MediaRecord(
       id, Multimodal.syntheticPng(id), Multimodal.MediaMeta("png", 0, 0, 0L)))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-imggate").toString
+    val tmp = tempDir("graft-imggate")
     // day 1: ingest — decode once, persist ONLY the (id, fp) table
     val day1 = Seq(3L, 7L, 11L, 40L)
     Multimodal.imageFingerprints(recsOf(day1)).write.parquet(s"$tmp/fps")

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 class ScaleBehaviorSpec extends SparkSuite {
 
   test("date-partitioned layout prunes partitions for time-range queries") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val tmp = tempDir("graft-scale")
     Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("date", to_date(col("ts")))
       .write.partitionBy("date").parquet(s"$tmp/events_by_day")
@@ -29,7 +29,7 @@ class ScaleBehaviorSpec extends SparkSuite {
   }
 
   test("dynamic partition pruning: a dim filter prunes the fact's partitions at runtime") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val tmp = tempDir("graft-dpp")
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     events.withColumn("date", to_date(col("ts")))
       .write.partitionBy("date").parquet(s"$tmp/fact")
@@ -56,7 +56,7 @@ class ScaleBehaviorSpec extends SparkSuite {
     // the rule targets the long-nanos ts layout specifically; the
     // driver's testdata has shipped three ts encodings across rounds,
     // so write our own nanos fixture rather than assume the current one
-    val tmp = java.nio.file.Files.createTempDirectory("graft-nanos").toString
+    val tmp = tempDir("graft-nanos")
     Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
       .write.parquet(s"$tmp/events.parquet")

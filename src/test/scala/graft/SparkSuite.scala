@@ -12,10 +12,18 @@ trait SparkSuite extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+    .config("spark.sql.warehouse.dir", tempDir("graft-warehouse"))
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Temp directory recursively deleted at JVM exit — staged parquet
+    * fixtures must not accumulate across test runs (r11 advice). The
+    * walk does not follow symlinks, so a fixture dir of symlinks into
+    * /root/testdata deletes only the links. */
+  def tempDir(prefix: String): String =
+    SparkSuite.registerForCleanup(java.nio.file.Files.createTempDirectory(prefix))
+
+  // (companion holds the shared cleanup registry)
 
   /** Set session confs for the duration of `f`, restoring prior values
     * (or unsetting) afterwards — the shared session must not leak conf
@@ -27,5 +35,28 @@ trait SparkSuite extends AnyFunSuite {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
+  }
+}
+
+object SparkSuite {
+  private val cleanupDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cleanupDirs.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(root) // does not follow symlinks
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p =>
+              try java.nio.file.Files.deleteIfExists(p)
+              catch { case _: java.io.IOException => () })
+          finally walk.close()
+        } catch { case _: java.io.IOException => () }
+      }))
+
+  private[graft] def registerForCleanup(p: java.nio.file.Path): String = {
+    hookInstalled
+    cleanupDirs.add(p)
+    p.toString
   }
 }

@@ -21,7 +21,7 @@ class TsEncodingSpec extends SparkSuite {
     * the requested ts encoding.
     */
   private def stage(encode: DataFrame => DataFrame): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-enc").toString
+    val dir = tempDir("graft-enc")
     val srcDir = new java.io.File(src)
     srcDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
       if (f.getName != "events.parquet")
