@@ -1,0 +1,124 @@
+package graft
+
+import graft.ext.Multimodal
+import graft.streaming.{BatchTable, ImageDedupGate}
+import org.apache.spark.sql.Dataset
+
+/** The image fingerprint table's full lifecycle — append → gate →
+  * compact → gate — through the shared [[BatchTable]] component (r11
+  * verdict item 5): compaction must be invisible to verdicts, replay
+  * must overwrite rather than duplicate, and the committed-only guard
+  * must refuse to fold the latest live batch.
+  */
+class StreamingImageGateSpec extends SparkSuite {
+
+  private def recsOf(ids: Seq[Long]): Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    ids.toDS().map(id => Multimodal.MediaRecord(
+      id, Multimodal.syntheticPng(id), Multimodal.MediaMeta("png", 0, 0, 0L)))
+  }
+
+  // batch 0 seeds history; batch 1 adds more (1283 dups 3 across
+  // batches); batch 2 is the probe: 2560 and 1320 are flat images
+  // (fp 0, dups of 0/40), 4 is fresh (hamming >= 6 from every history
+  // fingerprint) — expected verdicts are brute-forced from the real
+  // fingerprints below, not hand-pinned
+  private val b0 = Seq(3L, 7L, 11L, 40L)
+  private val b1 = Seq(1283L, 0L, 6L)
+  private val b2 = Seq(2560L, 4L, 1320L)
+
+  private def fpOf(id: Long): Long =
+    Multimodal.imageFingerprint64(Multimodal.syntheticPng(id)).get
+
+  private def verdictsOf(dir: String, batchId: Long): Map[Long, (Option[Long], Option[Long], Boolean)] =
+    spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col(BatchTable.BatchCol) === batchId)
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.toString.toLong),
+        Option(r.get(2)).map(_.toString.toLong), r.getBoolean(4))))
+      .toMap
+
+  test("append -> gate -> compact -> gate: verdicts identical with and without compaction") {
+    val plain = tempDir("graft-imggate-plain")
+    val compacted = tempDir("graft-imggate-compact")
+
+    for (dir <- Seq(plain, compacted)) {
+      ImageDedupGate.gateAndIngest(recsOf(b0), s"$dir/fps", s"$dir/verdicts", batchId = 0L)
+      ImageDedupGate.gateAndIngest(recsOf(b1), s"$dir/fps", s"$dir/verdicts", batchId = 1L)
+    }
+    // fold batch 0 into the -1 partition on one side only
+    ImageDedupGate.compactFingerprints(spark, s"$compacted/fps", upToBatch = 0L)
+    for (dir <- Seq(plain, compacted))
+      ImageDedupGate.gateAndIngest(recsOf(b2), s"$dir/fps", s"$dir/verdicts", batchId = 2L)
+
+    val vPlain = verdictsOf(s"$plain/verdicts", 2L)
+    val vCompacted = verdictsOf(s"$compacted/verdicts", 2L)
+    assert(vPlain == vCompacted, s"compaction changed verdicts: $vPlain vs $vCompacted")
+    // and the verdicts match a brute-force gate against the real
+    // fingerprints of the accumulated history
+    val hFp = (b0 ++ b1).map(id => id -> fpOf(id))
+    for (b <- b2) {
+      val fp = fpOf(b)
+      val exact = hFp.filter(_._2 == fp).map(_._1).minOption
+      val near = hFp.map { case (h, f) => (h, java.lang.Long.bitCount(fp ^ f)) }
+        .filter { case (_, hd) => hd >= 1 && hd <= 3 }
+        .sortBy { case (h, hd) => (hd, h) }.headOption
+      val (e, n, nu) = vPlain(b)
+      assert(e == exact, s"probe $b exact: $e vs $exact")
+      assert(n == near.map(_._1), s"probe $b near: $n vs $near")
+      assert(nu == (exact.isEmpty && near.isEmpty), s"probe $b is_new")
+    }
+    // the probe batch exercises both verdict shapes
+    assert(vPlain.values.exists(!_._3), "no dup in probe batch — weak test")
+    assert(vPlain.values.exists(_._3), "no fresh image in probe batch — weak test")
+
+    // compacted layout: batch-0 partition folded away, sentinel present
+    val parts = new java.io.File(s"$compacted/fps").listFiles()
+      .map(_.getName).filter(_.startsWith(BatchTable.BatchCol)).toSet
+    assert(parts == Set(s"${BatchTable.BatchCol}=-1", s"${BatchTable.BatchCol}=1",
+      s"${BatchTable.BatchCol}=2"), parts.toString)
+  }
+
+  test("replay of a batch overwrites its own partitions and cannot self-dup") {
+    val dir = tempDir("graft-imggate-replay")
+    ImageDedupGate.gateAndIngest(recsOf(b0), s"$dir/fps", s"$dir/verdicts", batchId = 0L)
+    ImageDedupGate.gateAndIngest(recsOf(b1), s"$dir/fps", s"$dir/verdicts", batchId = 1L)
+    val first = verdictsOf(s"$dir/verdicts", 1L)
+    // crash-replay of batch 1: its prior fingerprints are already in
+    // the table, but the own-partition exclusion must keep 1283's
+    // verdict pointing at history id 3, not at its own prior row
+    ImageDedupGate.gateAndIngest(recsOf(b1), s"$dir/fps", s"$dir/verdicts", batchId = 1L)
+    assert(verdictsOf(s"$dir/verdicts", 1L) == first)
+    assert(first(1283L) == ((Some(3L), None, false)), first(1283L).toString)
+    // no duplicate verdict rows after replay
+    val n = spark.read.parquet(s"$dir/verdicts")
+      .filter(org.apache.spark.sql.functions.col(BatchTable.BatchCol) === 1L).count()
+    assert(n == b1.size, s"replay duplicated verdict rows: $n")
+  }
+
+  test("committed-only guard: folding the latest live batch throws") {
+    val dir = tempDir("graft-imggate-guard")
+    ImageDedupGate.gateAndIngest(recsOf(b0), s"$dir/fps", s"$dir/verdicts", batchId = 0L)
+    val e = intercept[IllegalArgumentException] {
+      ImageDedupGate.compactFingerprints(spark, s"$dir/fps", upToBatch = 0L)
+    }
+    assert(e.getMessage.contains("latest live batch"), e.getMessage)
+  }
+
+  test("duplicate history rows (compaction crash-window) cannot change a verdict") {
+    val dir = tempDir("graft-imggate-dup")
+    ImageDedupGate.gateAndIngest(recsOf(b0), s"$dir/fps", s"$dir/verdicts", batchId = 0L)
+    // simulate the crash-between-rename-and-delete window: batch 0's
+    // rows present in BOTH the sentinel partition and their original
+    val src = new java.io.File(s"$dir/fps/${BatchTable.BatchCol}=0")
+    val dst = new java.io.File(s"$dir/fps/${BatchTable.BatchCol}=-1")
+    dst.mkdirs()
+    src.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(dst, f.getName).toPath)
+    }
+    ImageDedupGate.gateAndIngest(recsOf(b1), s"$dir/fps", s"$dir/verdicts", batchId = 1L)
+    val v = verdictsOf(s"$dir/verdicts", 1L)
+    assert(v(1283L) == ((Some(3L), None, false)), v(1283L).toString)
+    assert(v(6L)._3, v(6L).toString)
+  }
+}
