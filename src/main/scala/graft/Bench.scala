@@ -89,6 +89,7 @@ object Bench {
       // would leave the buffer accumulating plan objects all run)
       graft.ext.Dedup.unpersistSpanCaches()
       graft.ext.Multimodal.unpersistCaches()
+      graft.ext.Analytics.unpersistCaches()
       spark.catalog.clearCache()
       t
     }

@@ -32,6 +32,7 @@ object Verify {
       // but leaves the buffer growing)
       graft.ext.Dedup.unpersistSpanCaches()
       graft.ext.Multimodal.unpersistCaches()
+      graft.ext.Analytics.unpersistCaches()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -210,4 +210,66 @@ object Analytics {
       .withColumn("tot_b", sum("n_b").over(wDim))
       .select("dim", "value", "n_a", "n_b", "tot_a", "tot_b")
   }
+
+  /** Count-table caches registered by [[driftReportHiCard]]; released
+    * via [[unpersistCaches]] (Bench/Verify call it between queries) —
+    * the same deterministic-release split [[Dedup.unpersistSpanCaches]]
+    * and [[Multimodal.unpersistCaches]] manage. */
+  private val driftCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Release every drift count-table cache registered since the last
+    * call — storage and registry both. */
+  def unpersistCaches(): Unit = driftCaches.synchronized {
+    driftCaches.foreach(_.unpersist(blocking = false))
+    driftCaches.clear()
+  }
+
+  /** [[driftReport]] for EXTREME-cardinality dimensions (per-token
+    * drift over a web-scale vocabulary) — the scalar-totals alternative
+    * that scaladoc promises: same output schema and values, but no
+    * window ever holds one dimension's whole value set in a single
+    * partition.
+    *
+    * How: the zero-filled (dim, value, n_a, n_b) count table is built
+    * exactly as in [[driftReport]] (one scan and one map-side-combined
+    * aggregate per snapshot, full-outer joined) and PERSISTED — it is
+    * vocabulary-sized, orders of magnitude smaller than the corpus,
+    * and spills to disk if a 10^9-value dim outgrows memory. Totals
+    * are then a dim-keyed scalar aggregate OVER THE CACHE (rows
+    * proportional to dim count, i.e. nothing) broadcast back onto it.
+    * No dim-partitioned window anywhere — the difference between
+    * working and one-reducer-per-dim death at web-scale cardinality —
+    * and the corpus is still scanned once per snapshot. (A rollup
+    * could in principle emit counts and totals from one shuffle
+    * without the cache, but Catalyst pushes the grouping-row filters
+    * below the aggregate, splitting the exchange into non-reusable
+    * variants — measured: it re-scans each snapshot per consumer.)
+    * The cache registers for release via [[unpersistCaches]].
+    */
+  def driftReportHiCard(
+      snapA: DataFrame,
+      snapB: DataFrame,
+      dims: Seq[(String, org.apache.spark.sql.Column)]
+  ): DataFrame = {
+    require(dims.nonEmpty, "driftReportHiCard needs at least one dimension")
+    require(dims.map(_._1).distinct.size == dims.size,
+      s"duplicate dimension names: ${dims.map(_._1).mkString(", ")}")
+    val pairs = dims.flatMap { case (name, c) =>
+      Seq(lit(name), coalesce(c.cast("string"), lit("<null>")))
+    }
+    def counts(df: DataFrame, out: String): DataFrame = df
+      .select(explode(map(pairs: _*)).as(Seq("dim", "value")))
+      .groupBy("dim", "value").agg(count(lit(1)).as(out))
+    val joined = counts(snapA, "n_a")
+      .join(counts(snapB, "n_b"), Seq("dim", "value"), "full_outer")
+      .select(col("dim"), col("value"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    driftCaches.synchronized { driftCaches += joined }
+    val totals = joined.groupBy("dim")
+      .agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+    joined.join(broadcast(totals), Seq("dim"))
+      .select("dim", "value", "n_a", "n_b", "tot_a", "tot_b")
+  }
 }

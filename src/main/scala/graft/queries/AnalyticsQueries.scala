@@ -52,6 +52,23 @@ object AnalyticsQueries extends QueryGroup {
         Seq("lang" -> col("lang"), "source" -> col("source"),
           "len_bucket" -> expr("n_chars div 256")))
         .orderBy("dim", "value")
+    }),
+
+    // Extreme-cardinality drift: PER-TOKEN counts between the two
+    // snapshot halves — the dimension shape (web-scale vocabulary)
+    // where drift_report's dim-partitioned totals window would put one
+    // dimension's entire value set in a single partition. The hicard
+    // variant derives totals as a scalar aggregate over the persisted
+    // count table; the plan is asserted window-free (ScaleBehaviorSpec).
+    "drift_report_hicard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def toks(d: org.apache.spark.sql.DataFrame) =
+        d.select(explode(split(col("text"), " ")).as("tok"))
+      Analytics.driftReportHiCard(
+        toks(docs.filter(col("doc_id") % 2 === 0)),
+        toks(docs.filter(col("doc_id") % 2 === 1)),
+        Seq("token" -> col("tok")))
+        .orderBy("dim", "value")
     })
   )
 
@@ -123,6 +140,25 @@ bv AS (
   FROM documents WHERE doc_id % 2 = 1
   UNION ALL
   SELECT 'len_bucket', coalesce(CAST(n_chars // 256 AS VARCHAR), '<null>')
+  FROM documents WHERE doc_id % 2 = 1),
+ac AS (SELECT dim, value, CAST(count(*) AS BIGINT) AS n_a FROM av GROUP BY 1, 2),
+bc AS (SELECT dim, value, CAST(count(*) AS BIGINT) AS n_b FROM bv GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(ac.dim, bc.dim) AS dim, coalesce(ac.value, bc.value) AS value,
+    coalesce(ac.n_a, 0) AS n_a, coalesce(bc.n_b, 0) AS n_b
+  FROM ac FULL OUTER JOIN bc ON ac.dim = bc.dim AND ac.value = bc.value),
+t AS (
+  SELECT dim, CAST(sum(n_a) AS BIGINT) AS tot_a, CAST(sum(n_b) AS BIGINT) AS tot_b
+  FROM j GROUP BY 1)
+SELECT j.dim, j.value, j.n_a, j.n_b, t.tot_a, t.tot_b
+FROM j JOIN t USING (dim) ORDER BY dim, value""",
+
+    "drift_report_hicard" ->
+      """WITH av AS (
+  SELECT 'token' AS dim, unnest(string_split(text, ' ')) AS value
+  FROM documents WHERE doc_id % 2 = 0),
+bv AS (
+  SELECT 'token' AS dim, unnest(string_split(text, ' ')) AS value
   FROM documents WHERE doc_id % 2 = 1),
 ac AS (SELECT dim, value, CAST(count(*) AS BIGINT) AS n_a FROM av GROUP BY 1, 2),
 bc AS (SELECT dim, value, CAST(count(*) AS BIGINT) AS n_b FROM bv GROUP BY 1, 2),

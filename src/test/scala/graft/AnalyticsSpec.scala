@@ -123,4 +123,23 @@ class AnalyticsSpec extends SparkSuite {
     // totals are per-dimension row counts of each snapshot
     assert(out.forall { case (_, (_, _, ta, tb)) => ta == 4L && tb == 2L })
   }
+
+  test("driftReportHiCard: identical rows to driftReport, derived without a totals window") {
+    import spark.implicits._
+    val a = Seq(("en", 100L), ("en", 300L), ("de", 600L), (null, 100L))
+      .toDF("lang", "n_chars")
+    val b = Seq(("en", 100L), ("fr", 100L)).toDF("lang", "n_chars")
+    val dims = Seq("lang" -> col("lang"), "len_bucket" -> expr("n_chars div 256"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Long, Long, Long, Long)].collect().toSet
+    val windowed = rows(Analytics.driftReport(a, b, dims))
+    val scalar = rows(Analytics.driftReportHiCard(a, b, dims))
+    assert(scalar == windowed,
+      s"hicard diverged: only-hicard=${scalar -- windowed}, only-windowed=${windowed -- scalar}")
+    // one-sided dimension: totals for the absent side must zero-fill
+    val aOnly = rows(Analytics.driftReportHiCard(
+      a.filter(col("lang") === "de"), b.filter(lit(false)), Seq("lang" -> col("lang"))))
+    assert(aOnly == Set(("lang", "de", 1L, 0L, 1L, 0L)), aOnly.toString)
+    Analytics.unpersistCaches()
+  }
 }

@@ -229,6 +229,20 @@ class ScaleBehaviorSpec extends SparkSuite {
     val drPlan = dr.queryExecution.executedPlan.toString
     assert(drPlan.split("Scan parquet").length - 1 == 2,
       "drift report reads each snapshot exactly once:\n" + drPlan.take(1000))
+
+    // hicard drift: NO totals window anywhere in the plan — a
+    // dim-partitioned window would hold one dimension's entire value
+    // set (a web-scale vocabulary) in a single partition. Both the
+    // output rows and the broadcast totals read the PERSISTED count
+    // table (InMemoryTableScan), so the corpus-sized explode runs once
+    // per snapshot inside the cache build, never per consumer.
+    val dh = graft.queries.AnalyticsQueries.queries("drift_report_hicard")(spark, dir)
+    val dhPlan = dh.queryExecution.executedPlan.toString
+    assert(!dhPlan.contains("Window"),
+      "hicard drift must not use a window:\n" + dhPlan.take(1200))
+    assert("InMemoryTableScan".r.findAllIn(dhPlan).size >= 2,
+      "both consumers must read the cached count table:\n" + dhPlan.take(1200))
+    graft.ext.Analytics.unpersistCaches()
   }
 
   test("eval-tier queries keep their claimed plan shapes") {
