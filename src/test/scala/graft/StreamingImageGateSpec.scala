@@ -79,6 +79,49 @@ class StreamingImageGateSpec extends SparkSuite {
       s"${BatchTable.BatchCol}=2"), parts.toString)
   }
 
+  test("streaming lifecycle via start(): checkpointed day-2 run gates only the new files") {
+    import spark.implicits._
+    val dir = tempDir("graft-imggate-stream")
+    def mediaDs(path: String) =
+      graft.streaming.StreamingExtract.source(spark, path,
+        recsOf(Seq(0L)).schema).as[Multimodal.MediaRecord]
+
+    // DAY 1: first ingest — no fingerprint table yet, everything is new
+    recsOf(b0).write.mode("overwrite").parquet(s"$dir/in")
+    ImageDedupGate.start(mediaDs(s"$dir/in"), s"$dir/fps", s"$dir/verdicts", s"$dir/ckpt")
+      .awaitTermination(120000)
+    val v1 = spark.read.parquet(s"$dir/verdicts")
+    assert(v1.count() == b0.size && v1.filter(org.apache.spark.sql.functions.col("is_new"))
+      .count() == b0.size, "day 1: every image is new")
+
+    // DAY 2: new files land; the checkpoint resumes and gates ONLY the
+    // new batch against the accumulated fingerprints
+    recsOf(b1).write.mode("append").parquet(s"$dir/in")
+    ImageDedupGate.start(mediaDs(s"$dir/in"), s"$dir/fps", s"$dir/verdicts", s"$dir/ckpt")
+      .awaitTermination(120000)
+    val hFp = b0.map(id => id -> fpOf(id))
+    val got = spark.read.parquet(s"$dir/verdicts")
+      .filter(!org.apache.spark.sql.functions.col("doc_id").isin(b0: _*))
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.toString.toLong),
+        Option(r.get(2)).map(_.toString.toLong), r.getBoolean(4)))).toMap
+    assert(got.keySet == b1.toSet, s"day-2 verdicts cover exactly the new batch: ${got.keySet}")
+    for (b <- b1) {
+      val fp = fpOf(b)
+      val exact = hFp.filter(_._2 == fp).map(_._1).minOption
+      val near = hFp.map { case (h, f) => (h, java.lang.Long.bitCount(fp ^ f)) }
+        .filter { case (_, hd) => hd >= 1 && hd <= 3 }
+        .sortBy { case (h, hd) => (hd, h) }.headOption
+      assert(got(b) == ((exact, near.map(_._1), exact.isEmpty && near.isEmpty)),
+        s"day-2 $b: ${got(b)} vs brute ($exact, $near)")
+    }
+
+    // the fingerprint table accumulates day over day and carries no
+    // pixels — one 16-byte row per decodable image
+    val fps = spark.read.parquet(s"$dir/fps")
+    assert(fps.count() == (b0 ++ b1).size)
+    assert(fps.columns.toSet == Set("id", "fp", BatchTable.BatchCol), fps.columns.mkString(","))
+  }
+
   test("replay of a batch overwrites its own partitions and cannot self-dup") {
     val dir = tempDir("graft-imggate-replay")
     ImageDedupGate.gateAndIngest(recsOf(b0), s"$dir/fps", s"$dir/verdicts", batchId = 0L)
