@@ -46,6 +46,14 @@ object Multimodal {
     fpCaches.clear()
   }
 
+  /** Persist a frame under this registry's lifecycle — for callers
+    * (e.g. query registrations) that build an in-query fingerprint
+    * history where production would read parquet, so their caches get
+    * the same deterministic [[unpersistCaches]] release as the
+    * operators' own. */
+  def managedPersist(df: DataFrame): DataFrame =
+    registerCache(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Typed metadata carried beside the payload. */
   final case class MediaMeta(format: String, width: Int, height: Int, nBytes: Long)
   final case class MediaRecord(id: Long, media: Array[Byte], meta: MediaMeta)

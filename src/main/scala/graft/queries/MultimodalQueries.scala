@@ -70,10 +70,10 @@ object MultimodalQueries extends QueryGroup {
       val docs = Tables.documents(s, dir)
       // production reads the (id, fp) table back from parquet; here it
       // is built in-query, so persist it — both gate tiers consume it,
-      // and without this the history images would decode twice
-      val history = Multimodal.imageFingerprints(
-        syntheticRecs(s, docs.filter(col("doc_id") % 4 =!= 0)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // and without this the history images would decode twice. The
+      // managed persist registers the cache for unpersistCaches release.
+      val history = Multimodal.managedPersist(Multimodal.imageFingerprints(
+        syntheticRecs(s, docs.filter(col("doc_id") % 4 =!= 0))))
       Multimodal.incrementalImageDups(
         history, syntheticRecs(s, docs.filter(col("doc_id") % 4 === 0)))
         .orderBy("doc_id")
