@@ -28,9 +28,13 @@ object Graph {
     * Page et al. 1999 §2.5 — round-5 verdict dropped-mass item).
     *
     * Scale shape: the edge set and static out-degrees are computed once
-    * and cached; each round is ONE O(|E|) shuffle — join current ranks
-    * to the cached edges on the out key, hash-aggregate contributions
-    * by the in key, left-join back to the (node, deg) base. The
+    * and cached — hash-partitioned on the out key BEFORE caching (sized
+    * to |E| like connectedComponents), so the cached relation's
+    * partitioning satisfies each round's join distribution and the
+    * loop-invariant O(|E|) edge side is never re-shuffled; per round
+    * only the O(|N|) rank table moves — join current ranks to the
+    * cached edges on the out key, hash-aggregate contributions by the
+    * in key, left-join back to the (node, deg) base. The
     * dangling total is a 1-row aggregate broadcast into the round (no
     * extra shuffle), and N is a constant. Lineage is truncated EVERY
     * round (`localCheckpoint`, or reliable `checkpoint` when
@@ -74,7 +78,18 @@ object Graph {
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
 
-    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    // Edges are the big, LOOP-INVARIANT side of every round's join:
+    // hash-partition them on the join key ONCE before caching, sized to
+    // the edge set (same rationale as connectedComponents), so the
+    // cached InMemoryRelation reports HashPartitioning("src") and each
+    // round's join shuffles only the rank table — at a billion edges,
+    // re-shuffling O(|E|) per iteration is the dominant avoidable cost.
+    val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism,
+      (e0.count() / 50000L).toInt + 1))
+    val e = e0.repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct()
@@ -114,7 +129,7 @@ object Graph {
       converged = delta <= tolMicro
       i += 1
     }
-    e.unpersist(); base.unpersist()
+    e0.unpersist(); e.unpersist(); base.unpersist()
     (rank.select("node", "pr_micro"), i)
   }
 }
