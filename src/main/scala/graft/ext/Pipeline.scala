@@ -680,10 +680,19 @@ object Pipeline {
     * filter built from the small side's keys. The result is IDENTICAL
     * to the plain join (bloom filters have no false negatives); the
     * point is the plan: at 100 TB the big side is pruned to ~join
-    * selectivity BEFORE its shuffle, for the cost of broadcasting a
-    * ~MB sketch — the manual form of Spark's runtime row-level filter,
-    * usable when the optimizer can't inject one (e.g. the small side
-    * is a subquery the planner won't estimate).
+    * selectivity BEFORE its shuffle, for the cost of shipping a
+    * ~MB sketch literal — the manual form of Spark's runtime row-level
+    * filter, usable when the optimizer can't inject one (e.g. the
+    * small side is a subquery the planner won't estimate).
+    *
+    * Built on the engine's own `BloomFilterAggregate` /
+    * `BloomFilterMightContain` expressions (the pair
+    * `InjectRuntimeFilter` uses, keys pre-hashed with `xxhash64` on
+    * both sides) rather than `stat.bloomFilter` + a Scala UDF: the
+    * probe is whole-stage-codegen'd with no per-row boxing, and the
+    * filter is a deterministic binary literal in the plan — a closure
+    * UDF's identity hashCode made the canonicalized conjunct order
+    * (and so the recorded plan hash) flip per construction.
     */
   def bloomPruneJoin(
       big: DataFrame,
@@ -693,10 +702,22 @@ object Pipeline {
       expectedItems: Long = 1000000L,
       fpp: Double = 0.01
   ): DataFrame = {
-    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    big.filter(mightContain(col(bigKey)))
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.GraftShim
+    // optimal bit count for the requested fpp (the standard
+    // -n·ln(p)/ln(2)² sizing, what stat.bloomFilter derived from fpp)
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val blob = small.select(GraftShim.column(
+        new BloomFilterAggregate(
+          new XxHash64(Seq(GraftShim.expression(col(smallKey)))),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = GraftShim.column(new BloomFilterMightContain(
+      Literal.create(blob, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(GraftShim.expression(col(bigKey))))))
+    big.filter(mightContain)
       .join(small, big(bigKey) === small(smallKey))
   }
 

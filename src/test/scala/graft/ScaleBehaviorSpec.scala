@@ -112,11 +112,14 @@ class ScaleBehaviorSpec extends SparkSuite {
       .filter(col("o_totalprice") > 400000).select("o_orderkey")
     val plan = ext.Pipeline.bloomPruneJoin(li, o, "l_orderkey", "o_orderkey", expectedItems = 10000)
       .queryExecution.executedPlan.toString
-    // the bloom's UDF filter must sit upstream of (textually after, in
-    // tree print order) the join operator — pruning before the shuffle
+    // the bloom's might_contain probe must sit upstream of (textually
+    // after, in tree print order) the join operator — pruning before
+    // the shuffle; native expression, not a Scala UDF, so it rides
+    // whole-stage codegen
     val joinIdx = plan.indexOf("Join")
-    val udfIdx = plan.indexOf("UDF")
-    assert(joinIdx >= 0 && udfIdx > joinIdx, plan.take(1500))
+    val probeIdx = plan.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx, plan.take(1500))
+    assert(!plan.contains("UDF"), plan.take(1500))
   }
 
   test("dedup_embedding is the ONLY registered query with an unbounded all-pairs join") {
