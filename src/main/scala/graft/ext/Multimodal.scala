@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * partition, items processed in fixed-size batches, no driver
   * round-trips, schema declared up front.
   *
-  * IMAGE decode is REAL: `javax.imageio` ships in the JDK, so PNG /
-  * BMP / GIF / JPEG payloads are decoded to exact width / height and a
-  * 16-bin integer-luminance histogram ([[decodeImage]]) with zero
-  * external dependencies. Payloads no JDK reader recognizes (audio,
-  * video, raw text bytes) fall back to the declared deterministic stub
-  * ([[decodeStub]], a raw byte histogram) — swapping in a JNI codec
-  * for those changes one function.
+  * ALL THREE modality decodes are REAL, using only JDK codecs:
+  * images via `javax.imageio` (PNG / BMP / GIF / JPEG → exact pixels,
+  * [[decodeImage]]), audio via `javax.sound.sampled` (RIFF/WAVE
+  * 16-bit PCM → exact samples, [[decodeWav]]), and video via
+  * ImageIO's multi-image GIF reader (animated GIF → exact per-frame
+  * pixels, [[videoFrameHashes]]). Payloads needing a non-JDK codec
+  * (MP3/AAC audio, MP4/H.264 video, exotic stills) fall back to the
+  * declared deterministic stub ([[decodeStub]], a raw byte
+  * histogram) — swapping in a JNI codec for those changes one
+  * function.
   *
   * 100 TB notes: binary payloads dominate row size — keep them OUT of
   * shuffles (extract features first, shuffle the small feature rows),
@@ -131,10 +134,12 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** STUB — stands in for a real image/audio decode (`???` in spirit:
-    * the codec libraries are unavailable here). Deterministic fake:
-    * 16-bin histogram of byte values. Replace with a real decoder
-    * without touching any Spark plumbing.
+  /** STUB — stands in for a real decode of the formats whose codecs
+    * are NOT in the JDK (MP3/AAC audio, MP4/H.264 video; `???` in
+    * spirit). Deterministic fake: 16-bin histogram of byte values.
+    * Replace with a JNI decoder without touching any Spark plumbing —
+    * the JDK-covered formats (PNG/BMP/GIF/JPEG stills, WAV PCM audio,
+    * animated-GIF video) already take the real paths above.
     */
   def decodeStub(bytes: Array[Byte]): Array[Long] = {
     val hist = new Array[Long](HistBins)
@@ -211,39 +216,45 @@ object Multimodal {
     extractFeatures(attachMedia(df, idCol, payloadCol).as[MediaRecord])
   }
 
+  /** The aHash core shared by still images and video frames: an 8×8
+    * nearest-neighbor luminance sample grid (`sx = x·w/8`,
+    * `sy = y·h/8`, integer division — a deterministic stand-in for the
+    * usual box-filter resize) → threshold each sample against the
+    * integer mean of all 64 → pack into a Long, bit `y·8+x` set iff
+    * `lum > mean`. All-integer math (`lum = (299r+587g+114b)/1000`,
+    * exact on gray pixels), so the hash of a losslessly-encoded frame
+    * is analytically predictable from its pixel formula.
+    */
+  private def aHash64(im: java.awt.image.BufferedImage): Long = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val lums = new Array[Int](64)
+    var sum = 0L
+    var p = 0
+    while (p < 64) {
+      val rgb = im.getRGB((p % 8) * w / 8, (p / 8) * h / 8)
+      val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+      lums(p) = lum; sum += lum; p += 1
+    }
+    val mean = sum / 64
+    var fp = 0L
+    p = 0
+    while (p < 64) { if (lums(p) > mean) fp |= 1L << p; p += 1 }
+    fp
+  }
+
   /** 64-bit average-hash perceptual fingerprint (aHash): REAL ImageIO
-    * decode → an 8×8 nearest-neighbor luminance sample grid
-    * (`sx = x·w/8`, `sy = y·h/8`, integer division — a deterministic
-    * stand-in for the usual box-filter resize) → threshold each sample
-    * against the integer mean of all 64 → pack into a Long, bit
-    * `y·8+x` set iff `lum > mean`. All-integer math end-to-end
-    * (`lum = (299r+587g+114b)/1000`, exact on gray pixels), so the
-    * fingerprint of a losslessly-encoded image is analytically
-    * predictable from its pixel formula — what lets the DuckDB oracle
-    * hash-check a real decode. None for payloads no JDK reader accepts.
+    * decode → [[aHash64]] over the decoded pixels. What lets the
+    * DuckDB oracle hash-check a real decode is that the whole chain is
+    * integer math over a lossless codec. None for payloads no JDK
+    * reader accepts.
     */
   def imageFingerprint64(bytes: Array[Byte]): Option[Long] = {
     val img =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       catch { case scala.util.control.NonFatal(_) => None }
-    img.map { im =>
-      val w = im.getWidth
-      val h = im.getHeight
-      val lums = new Array[Int](64)
-      var sum = 0L
-      var p = 0
-      while (p < 64) {
-        val rgb = im.getRGB((p % 8) * w / 8, (p / 8) * h / 8)
-        val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
-          114 * (rgb & 0xff)) / 1000
-        lums(p) = lum; sum += lum; p += 1
-      }
-      val mean = sum / 64
-      var fp = 0L
-      p = 0
-      while (p < 64) { if (lums(p) > mean) fp |= 1L << p; p += 1 }
-      fp
-    }
+    img.map(aHash64)
   }
 
   /** Batched fingerprint extraction — same partition-local batch shape
@@ -316,6 +327,19 @@ object Multimodal {
     * outlives the batch.
     */
   def incrementalImageDupsFromFps(
+      historyFps: DataFrame,
+      batchIds: DataFrame,
+      batchFps: DataFrame,
+      maxHamming: Int = 3
+  ): DataFrame =
+    incrementalHammingDupsFromFps(historyFps, batchIds, batchFps, maxHamming)
+
+  /** Modality-agnostic incremental gate over 64-bit fingerprints —
+    * the core behind [[incrementalImageDupsFromFps]], equally valid
+    * for the audio energy hash (same exact tier, same banded hamming
+    * near tier, same batch-broadcast scale shape).
+    */
+  def incrementalHammingDupsFromFps(
       historyFps: DataFrame,
       batchIds: DataFrame,
       batchFps: DataFrame,
@@ -401,9 +425,25 @@ object Multimodal {
   /** [[imageNearDupPairs]] over a pre-built `(id, fp)` frame
     * ([[imageFingerprints]], typically persisted by the caller or read
     * back from the fingerprint table) — the decode-free core shared by
-    * the pair scan and [[imageDedupFull]].
+    * the pair scan and [[imageDedupFull]]. Delegates to the
+    * modality-agnostic [[hammingNearDupPairsFromFps]].
     */
   def imageNearDupPairsFromFps(
+      fps: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 100000
+  ): DataFrame = hammingNearDupPairsFromFps(fps, maxHamming, maxBucket)
+
+  /** Modality-agnostic near-dup pair scan over ANY 64-bit perceptual
+    * fingerprint frame `(id, fp)` — image aHash ([[imageFingerprints]]),
+    * audio energy hash ([[audioFingerprints]]), or video frame hashes
+    * ([[videoFrameFingerprints]], several rows per id; downstream
+    * aggregation turns frame-pair rows into item pairs). The banding,
+    * its pigeonhole recall guarantee, and the [[BucketCap.subSplit]]
+    * salt are fingerprint-semantics-free, so every modality shares one
+    * audited code path.
+    */
+  def hammingNearDupPairsFromFps(
       fps: DataFrame,
       maxHamming: Int = 3,
       maxBucket: Int = 100000
@@ -467,5 +507,252 @@ object Multimodal {
     val near = imageNearDupPairsFromFps(fps, maxHamming, maxBucket)
       .filter(col("hamming") >= 1)
     exactStars.union(near)
+  }
+
+  // ===================== AUDIO (REAL WAV decode) =====================
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (no
+    * external dependency): parses the RIFF/WAVE container and `fmt `
+    * chunk with a real `AudioFileReader` and returns
+    * `(sampleRateHz, samples)` for 16-bit signed PCM payloads — mono
+    * or interleaved multichannel, either endianness — decoded to exact
+    * integer sample values. None for payloads that are not a parseable
+    * WAV (or not 16-bit PCM): compressed codecs (MP3/AAC/Opus) need a
+    * non-JDK decoder and fall to the declared stub path, same seam as
+    * images vs. exotic formats.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Int])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 ||
+            f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          val out = new Array[Int](n)
+          var i = 0
+          if (f.isBigEndian)
+            while (i < n) { out(i) = ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort.toInt; i += 1 }
+          else
+            while (i < n) { out(i) = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort.toInt; i += 1 }
+          Some((f.getSampleRate.toInt, out))
+        }
+      } finally ais.close()
+      // NonFatal for the same reason as decodeImage: a malformed-but-
+      // recognized payload must yield None, not kill the task
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic tiny 16-bit PCM mono WAV derived from an id —
+    * sample `i` (of 512, 8 kHz) is
+    * `(((37·id + 11·⌊i/8⌋ + 3·(i mod 8)) mod 256) − 128) · 256`.
+    * Because WAV PCM is lossless, the decode of this payload is
+    * analytically predictable from `id` alone — the audio analog of
+    * [[syntheticPng]], and what lets a SQL oracle hash-check a real
+    * `javax.sound` round-trip.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = 512
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((37 * id + 11 * (i / 8) + 3 * (i % 8)) % 256).toInt - 128) * 256
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  val AudioFrames = 64
+
+  /** 64-bit audio energy hash — the audio analog of aHash: REAL WAV
+    * decode → 64 equal frames of `⌊n/64⌋` samples → per-frame mean
+    * absolute amplitude (integer division) → threshold each frame
+    * against the integer mean of all 64 → pack into a Long, bit `f`
+    * set iff `energy(f) > mean`. Robust to uniform gain scaling about
+    * the threshold and to sample-level noise the way aHash is robust
+    * to pixel noise; all-integer math end-to-end, so the fingerprint
+    * of a losslessly-coded WAV is analytically predictable from its
+    * sample formula. None for undecodable payloads or clips shorter
+    * than 64 samples.
+    */
+  def audioFingerprint64(bytes: Array[Byte]): Option[Long] =
+    decodeWav(bytes).collect { case (_, s) if s.length >= AudioFrames =>
+      val flen = s.length / AudioFrames
+      val e = new Array[Long](AudioFrames)
+      var sum = 0L
+      var f = 0
+      while (f < AudioFrames) {
+        var acc = 0L
+        var j = 0
+        while (j < flen) { acc += math.abs(s(f * flen + j).toLong); j += 1 }
+        e(f) = acc / flen; sum += e(f); f += 1
+      }
+      val mean = sum / AudioFrames
+      var fp = 0L
+      f = 0
+      while (f < AudioFrames) { if (e(f) > mean) fp |= 1L << f; f += 1 }
+      fp
+    }
+
+  /** Batched audio fingerprint extraction — same partition-local batch
+    * shape as [[imageFingerprints]]; undecodable payloads are dropped.
+    */
+  def audioFingerprints(ds: Dataset[MediaRecord], batchSize: Int = 64): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap(r =>
+        audioFingerprint64(r.media).map(fp => (r.id, fp))))
+    }.toDF("id", "fp")
+  }
+
+  /** Audio near-duplicate pairs: [[audioFingerprint64]] energy hashes
+    * through the shared [[hammingNearDupPairsFromFps]] banding — the
+    * identical scale shape, salt, and recall guarantee as the image
+    * scan, because the pair core is fingerprint-agnostic. Payloads
+    * decode exactly once into the persisted `(id, fp)` scan.
+    */
+  def audioNearDupPairs(
+      ds: Dataset[MediaRecord],
+      maxHamming: Int = 3,
+      maxBucket: Int = 100000
+  ): DataFrame = {
+    val fps = registerCache(audioFingerprints(ds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    hammingNearDupPairsFromFps(fps, maxHamming, maxBucket)
+  }
+
+  // =============== VIDEO (REAL multi-frame GIF decode) ===============
+
+  /** REAL video-frame decode: animated GIF is the one motion format
+    * the stock JDK genuinely decodes (ImageIO's GIF plugin reads every
+    * frame of a multi-image stream), so "video" payloads here are
+    * GIF87a/89a animations parsed frame-by-frame with a real
+    * `ImageReader` — container parse, frame count, and per-frame
+    * pixels are all real codec work. Returns the per-frame
+    * [[aHash64]] sequence; None when no JDK reader recognizes the
+    * payload. True MP4/H.264 needs a JNI codec and falls to the
+    * declared [[frameSampleStub]] seam, exactly as audio compression
+    * does for WAV.
+    */
+  def videoFrameHashes(bytes: Array[Byte]): Option[IndexedSeq[Long]] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(in)
+        val n = reader.getNumImages(true)
+        Some((0 until n).map(k => aHash64(reader.read(k))))
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally in.close()
+  }
+
+  /** Deterministic tiny grayscale animated GIF derived from an id —
+    * `2 + id mod 3` frames of `(4 + id mod 5) × (5 + id mod 4)` pixels,
+    * frame `k` pixel `(x,y)` gray `(31·id + 17·k + 7·x + 13·y) mod
+    * 256`, written losslessly through an exact 256-gray palette. The
+    * video analog of [[syntheticPng]]: GIF's LZW is lossless, so the
+    * real multi-frame decode is analytically predictable from `id`.
+    * (Dimensions sit inside the empirically-pinned envelope where the
+    * JDK GIF codec round-trips exactly — heights 2–4 hit a JDK writer
+    * bug; MultimodalSpec brute-forces the envelope every run.)
+    */
+  def syntheticGif(id: Long): Array[Byte] = {
+    val grays = Array.tabulate[Byte](256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val w = 4 + (id % 5).toInt
+    val h = 5 + (id % 4).toInt
+    val frames = 2 + (id % 3).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      var k = 0
+      while (k < frames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = (((31 * id + 17 * k + 7 * x + 13 * y) % 256) + 256) % 256
+            img.getRaster.setSample(x, y, 0, g.toInt)
+            x += 1
+          }
+          y += 1
+        }
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        k += 1
+      }
+      wr.endWriteSequence()
+    } finally { wr.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Batched frame-sampled video fingerprints: one `(id, frame_idx,
+    * fp)` row per every `every`-th frame — [[frameSampleStub]] made
+    * REAL: the stride is applied to genuinely decoded GIF frames, and
+    * only the sampled frames' 8-byte hashes leave the decode site
+    * (the binary payload and the skipped frames' pixels never enter a
+    * shuffle — at 100 TB the whole video corpus reduces to ~8 bytes ×
+    * sampled frames before any exchange). Undecodable payloads are
+    * dropped, as in the other fingerprint extractors.
+    */
+  def videoFrameFingerprints(
+      ds: Dataset[MediaRecord],
+      every: Int = 1,
+      batchSize: Int = 64
+  ): DataFrame = {
+    require(every >= 1, s"frame stride must be >= 1, got $every")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { r =>
+        videoFrameHashes(r.media).toSeq.flatMap(_.iterator.zipWithIndex.collect {
+          case (fp, k) if k % every == 0 => (r.id, k.toLong, fp)
+        })
+      })
+    }.toDF("id", "frame_idx", "fp")
+  }
+
+  /** Video near-duplicate pairs: two videos are near if ANY of their
+    * sampled frames' aHashes land within `maxHamming` — the standard
+    * keyframe-signature approach. The sampled frame fingerprints run
+    * through the shared [[hammingNearDupPairsFromFps]] banding (which
+    * tolerates several fp rows per id and already de-dups identical
+    * `(id_a, id_b, fpa, fpb)` combinations), then collapse to one row
+    * per video pair: the minimum frame-pair hamming plus how many
+    * distinct near fp-pairs supported it. Scale shape: decode once
+    * per video into the persisted frame-fp scan (8 bytes × sampled
+    * frames per video), banding bounds the candidate space exactly as
+    * for stills, and the final pair aggregation shuffles only
+    * near-pair rows.
+    */
+  def videoNearDupPairs(
+      ds: Dataset[MediaRecord],
+      every: Int = 2,
+      maxHamming: Int = 3,
+      maxBucket: Int = 100000
+  ): DataFrame = {
+    val fps = registerCache(videoFrameFingerprints(ds, every)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    hammingNearDupPairsFromFps(fps.select(col("id"), col("fp")), maxHamming, maxBucket)
+      .groupBy("doc_a", "doc_b")
+      .agg(min("hamming").as("hamming"),
+        count(lit(1)).as("n_near_fp_pairs"))
   }
 }

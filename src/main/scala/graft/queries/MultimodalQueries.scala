@@ -63,6 +63,51 @@ object MultimodalQueries extends QueryGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // REAL `javax.sound.sampled` WAV round-trip, hash-checked — each
+    // doc_id synthesizes a deterministic 16-bit PCM mono WAV, executors
+    // parse it back with the JDK's real RIFF/WAVE reader, and because
+    // PCM is lossless the decoded rate / length / mean amplitude are
+    // analytically predictable from doc_id alone (the oracle's replay)
+    "multimodal_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      syntheticAudioRecs(s, Tables.documents(s, dir))
+        .mapPartitions(_.flatMap { r =>
+          Multimodal.decodeWav(r.media).map { case (rate, samples) =>
+            val sumAbs = samples.foldLeft(0L)((a, v) => a + math.abs(v.toLong))
+            (r.id, rate.toLong, samples.length.toLong, sumAbs / samples.length)
+          }
+        })
+        .toDF("doc_id", "sample_rate", "n_samples", "mean_abs")
+        .orderBy("doc_id")
+    }),
+
+    // audio near-dup via the 64-bit energy hash + the SAME hamming
+    // banding core as images — the real WAV decode feeds the
+    // fingerprint, the oracle replays it from the sample formula
+    "multimodal_audio_neardup" -> ((s, dir) => {
+      Multimodal.audioNearDupPairs(syntheticAudioRecs(s, Tables.documents(s, dir)))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // REAL multi-frame GIF decode: per-video frame extraction with a
+    // real ImageIO reader, every-2nd-frame sampling (frameSampleStub
+    // made real), per-frame aHash emitted as four 16-bit chunks
+    "multimodal_video_frames" -> ((s, dir) => {
+      val fps = Multimodal.videoFrameFingerprints(
+        syntheticVideoRecs(s, Tables.documents(s, dir)), every = 2)
+      fps.select(Seq(col("id").as("doc_id"), col("frame_idx")) ++
+          (0 to 3).map(c =>
+            shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(65535L)).as(s"c$c")): _*)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // video-level near-dup: two videos near if any sampled frames'
+    // hashes land within hamming 3; min frame-pair hamming + support
+    "multimodal_video_neardup" -> ((s, dir) => {
+      Multimodal.videoNearDupPairs(syntheticVideoRecs(s, Tables.documents(s, dir)))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // incremental gate: batch (doc_id % 4 == 0) images gated against
     // the history (rest) fingerprint table — history media decoded
     // once, every gate reads only (id, fp)
@@ -90,6 +135,26 @@ object MultimodalQueries extends QueryGroup {
         Multimodal.MediaMeta("png", 0, 0, 0L)))
   }
 
+  /** doc_id → deterministic synthetic WAV media records (the audio
+    * fixture; [[Multimodal.syntheticWav]]).
+    */
+  private def syntheticAudioRecs(s: SparkSession, df: DataFrame) = {
+    import s.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .map(id => Multimodal.MediaRecord(id, Multimodal.syntheticWav(id),
+        Multimodal.MediaMeta("wav", 0, 0, 0L)))
+  }
+
+  /** doc_id → deterministic synthetic animated-GIF media records (the
+    * video fixture; [[Multimodal.syntheticGif]]).
+    */
+  private def syntheticVideoRecs(s: SparkSession, df: DataFrame) = {
+    import s.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .map(id => Multimodal.MediaRecord(id, Multimodal.syntheticGif(id),
+        Multimodal.MediaMeta("gif", 0, 0, 0L)))
+  }
+
   private val histSelect = (0 until Multimodal.HistBins).map { b =>
     s"""len(list_filter(generate_series(1, length(text)),
        i -> (ascii(substr(text, i, 1)) * ${Multimodal.HistBins}) // 256 = $b)) AS hist_$b"""
@@ -103,6 +168,82 @@ object MultimodalQueries extends QueryGroup {
   }.mkString(",\n  ")
 
   val oracleSql: Map[String, String] = Map(
+    // replays syntheticWav's sample formula: 512 samples of
+    // (((37·id + 11·⌊i/8⌋ + 3·(i mod 8)) mod 256) − 128) · 256 at
+    // 8 kHz — a wrong container parse, endianness, or sample decode on
+    // the Spark side breaks the hash
+    "multimodal_audio_decode" ->
+      """WITH samp AS (
+  SELECT doc_id, unnest(generate_series(0, 511)) AS i FROM documents),
+v AS (
+  SELECT doc_id,
+    abs((((37 * doc_id + 11 * (i // 8) + 3 * (i % 8)) % 256) - 128) * 256) AS a
+  FROM samp)
+SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(512 AS BIGINT) AS n_samples,
+  CAST(sum(a) // 512 AS BIGINT) AS mean_abs
+FROM v GROUP BY doc_id ORDER BY doc_id""",
+
+    // replays audioFingerprint64 analytically (frame energies from the
+    // sample formula, mean-thresholded into bits), then the same
+    // banded-candidates + bit-compare verify as the image oracle
+    "multimodal_audio_neardup" ->
+      s"""WITH $audioFingerprintCtes,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.cval = b.cval
+  WHERE a.doc_id < b.doc_id),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(sum(CASE WHEN x.b != y.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN bits x ON x.doc_id = c.doc_a
+  JOIN bits y ON y.doc_id = c.doc_b AND y.pos = x.pos
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+ORDER BY doc_a, doc_b""",
+
+    // replays the per-frame aHash of the synthetic GIF's pixel formula
+    // for the SAMPLED (even) frames — wrong frame count, frame order,
+    // palette round-trip, or stride breaks the hash
+    "multimodal_video_frames" ->
+      s"""WITH $videoChunkCtes
+SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+  max(CASE WHEN chunk = 0 THEN cval END) AS c0,
+  max(CASE WHEN chunk = 1 THEN cval END) AS c1,
+  max(CASE WHEN chunk = 2 THEN cval END) AS c2,
+  max(CASE WHEN chunk = 3 THEN cval END) AS c3
+FROM chunks GROUP BY 1, 2 ORDER BY doc_id, frame_idx""",
+
+    // video pairs: distinct sampled-frame fingerprints per video, then
+    // banded candidates (a shared 16-bit chunk — recall-complete for
+    // hamming <= 3 by pigeonhole), per-fp-pair hamming via bit_count
+    // on the chunk XORs, collapsed to min hamming + support per pair
+    "multimodal_video_neardup" ->
+      s"""WITH $videoChunkCtes,
+vfp AS (
+  SELECT DISTINCT doc_id,
+    max(CASE WHEN chunk = 0 THEN cval END) AS c0,
+    max(CASE WHEN chunk = 1 THEN cval END) AS c1,
+    max(CASE WHEN chunk = 2 THEN cval END) AS c2,
+    max(CASE WHEN chunk = 3 THEN cval END) AS c3
+  FROM chunks GROUP BY doc_id, k),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.c0 AS a0, a.c1 AS a1, a.c2 AS a2, a.c3 AS a3,
+    b.c0 AS b0, b.c1 AS b1, b.c2 AS b2, b.c3 AS b3
+  FROM vfp a JOIN vfp b
+    ON (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+  WHERE a.doc_id < b.doc_id),
+ham AS (
+  SELECT doc_a, doc_b,
+    CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+       + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS BIGINT) AS h
+  FROM cand)
+SELECT doc_a, doc_b, min(h) AS hamming,
+  CAST(count(*) AS BIGINT) AS n_near_fp_pairs
+FROM ham WHERE h <= 3 GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+
     "multimodal_features" ->
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
   $histSelect
@@ -220,6 +361,56 @@ ORDER BY d.doc_id"""
     * four 16-bit chunks — the SQL replay of
     * [[graft.ext.Multimodal.imageFingerprint64]].
     */
+  /** Shared analytic audio-energy-hash CTE prefix: frame energies
+    * from the synthetic WAV's sample formula, mean-thresholded into
+    * bits, banded into four 16-bit chunks — the SQL replay of
+    * [[graft.ext.Multimodal.audioFingerprint64]].
+    */
+  private def audioFingerprintCtes: String =
+    """samp AS (
+  SELECT doc_id, unnest(generate_series(0, 511)) AS i FROM documents),
+e AS (
+  SELECT doc_id, i // 8 AS pos,
+    sum(abs((((37 * doc_id + 11 * (i // 8) + 3 * (i % 8)) % 256) - 128) * 256)) // 8 AS energy
+  FROM samp GROUP BY 1, 2),
+m AS (SELECT doc_id, sum(energy) // 64 AS mean FROM e GROUP BY 1),
+bits AS (
+  SELECT e.doc_id, e.pos, CASE WHEN e.energy > m.mean THEN 1 ELSE 0 END AS b
+  FROM e JOIN m USING (doc_id)),
+chunks AS (
+  SELECT doc_id, pos // 16 AS chunk,
+    sum(b * (CAST(1 AS BIGINT) << (pos % 16))) AS cval
+  FROM bits GROUP BY 1, 2)"""
+
+  /** Shared analytic per-frame-aHash CTE prefix for the SAMPLED (even)
+    * frames of the synthetic GIF — the SQL replay of
+    * [[graft.ext.Multimodal.videoFrameHashes]] under the every=2
+    * stride; `chunks` carries the frame index `k`.
+    */
+  private def videoChunkCtes: String =
+    """vm AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 5 + doc_id % 4 AS h,
+    2 + doc_id % 3 AS nf
+  FROM documents),
+fr AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS k FROM vm),
+vsamp AS (
+  SELECT doc_id, w, h, k, unnest(generate_series(0, 63)) AS pos
+  FROM fr WHERE k % 2 = 0),
+vlums AS (
+  SELECT doc_id, k, pos,
+    ((31 * doc_id + 17 * k + 7 * (((pos % 8) * w) // 8)
+                          + 13 * (((pos // 8) * h) // 8)) % 256) AS lum
+  FROM vsamp),
+vmean AS (SELECT doc_id, k, sum(lum) // 64 AS mean FROM vlums GROUP BY 1, 2),
+vbits AS (
+  SELECT l.doc_id, l.k, l.pos, CASE WHEN l.lum > m.mean THEN 1 ELSE 0 END AS b
+  FROM vlums l JOIN vmean m USING (doc_id, k)),
+chunks AS (
+  SELECT doc_id, k, pos // 16 AS chunk,
+    sum(b * (CAST(1 AS BIGINT) << (pos % 16))) AS cval
+  FROM vbits GROUP BY 1, 2, 3)"""
+
   // def, not val: referenced from oracleSql's initializer above, and
   // object vals initialize in declaration order
   private def fingerprintCtes: String =

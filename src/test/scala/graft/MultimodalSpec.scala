@@ -206,6 +206,162 @@ class MultimodalSpec extends SparkSuite {
     assert(verdicts(999L) == (None, true), s"999 (undecodable): ${verdicts(999L)}")
   }
 
+  // ======================= audio (real WAV) =======================
+
+  /** Analytic replay of the synthetic WAV's samples — what the DuckDB
+    * oracle computes. */
+  private def analyticSamples(id: Long): Array[Int] =
+    Array.tabulate(512)(i =>
+      (((37 * id + 11 * (i / 8) + 3 * (i % 8)) % 256).toInt - 128) * 256)
+
+  /** Analytic replay of audioFingerprint64 over the formula. */
+  private def analyticAudioFp(id: Long): Long = {
+    val s = analyticSamples(id)
+    val e = Array.tabulate(64) { f =>
+      (0 until 8).map(j => math.abs(s(f * 8 + j).toLong)).sum / 8
+    }
+    val mean = e.sum / 64
+    e.zipWithIndex.foldLeft(0L) { case (fp, (v, f)) =>
+      if (v > mean) fp | (1L << f) else fp
+    }
+  }
+
+  test("decodeWav: real javax.sound parse returns exact PCM samples, both endiannesses") {
+    for (id <- 0L until 200L) {
+      val Some((rate, samples)) = Multimodal.decodeWav(Multimodal.syntheticWav(id))
+      assert(rate == 8000, s"id $id rate $rate")
+      assert(samples.toSeq == analyticSamples(id).toSeq, s"id $id samples diverge")
+    }
+    // big-endian 16-bit PCM (AIFF-style byte order inside a WAV
+    // container) decodes to the same values
+    val vals = Array[Int](-32768, -1, 0, 1, 257, 32767)
+    val be = new Array[Byte](vals.length * 2)
+    for (i <- vals.indices) {
+      be(2 * i) = ((vals(i) >> 8) & 0xff).toByte; be(2 * i + 1) = (vals(i) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(44100f, 16, 1, true, true)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(be), fmt, vals.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((r2, s2)) = Multimodal.decodeWav(bos.toByteArray)
+    assert(r2 == 44100 && s2.toSeq == vals.toSeq, s"big-endian: $r2 ${s2.toSeq}")
+    // non-audio payloads are None → callers fall back to the stub seam
+    assert(Multimodal.decodeWav("just some text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeWav(Array[Byte]()).isEmpty)
+    assert(Multimodal.decodeWav(Multimodal.syntheticPng(7L)).isEmpty)
+  }
+
+  test("audioFingerprint64: real decode matches the analytic energy hash bit-for-bit") {
+    for (id <- 0L until 200L) {
+      val Some(fp) = Multimodal.audioFingerprint64(Multimodal.syntheticWav(id))
+      assert(fp == analyticAudioFp(id),
+        s"id $id: ${fp.toBinaryString} vs ${analyticAudioFp(id).toBinaryString}")
+    }
+    // clips shorter than 64 samples can't fill 64 frames → None
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](40)), fmt, 20L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(Multimodal.audioFingerprint64(bos.toByteArray).isEmpty)
+    assert(Multimodal.audioFingerprint64("noise".getBytes).isEmpty)
+  }
+
+  test("audioNearDupPairs equals brute-force hamming <= 3 through the shared banding") {
+    import spark.implicits._
+    // the energy hash depends on id only through 37·id mod 256, so ids
+    // 256 apart are exact dups; nearby classes give the 1..3 tier
+    val ids = ((0L until 150L) ++ Seq(256L, 260L, 271L, 512L)).toSeq
+    val recs = ids.toDS().map(id => Multimodal.MediaRecord(
+      id, Multimodal.syntheticWav(id), Multimodal.MediaMeta("wav", 0, 0, 0L)))
+    val got = Multimodal.audioNearDupPairs(recs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fps = ids.map(id => id -> analyticAudioFp(id)).toMap
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      hd = java.lang.Long.bitCount(fps(a) ^ fps(b)) if hd <= 3
+    } yield (a, b, hd.toLong)).toSet
+    assert(want.exists(_._3 == 0L) && want.exists(_._3 > 0L),
+      "fixture lacks an exact or near tier — weak test")
+    assert(got == want,
+      s"missed: ${(want -- got).take(5)}; spurious: ${(got -- want).take(5)}")
+    assert(got.contains((0L, 256L, 0L)) && got.contains((256L, 512L, 0L)))
+  }
+
+  // ================== video (real multi-frame GIF) ==================
+
+  /** Analytic replay of frame k's aHash from the synthetic GIF's pixel
+    * formula. */
+  private def analyticFrameFp(id: Long, k: Int): Long = {
+    val w = 4 + (id % 5).toInt
+    val h = 5 + (id % 4).toInt
+    val lums = Array.tabulate(64) { p =>
+      ((31 * id + 17 * k + 7 * ((p % 8) * w / 8) + 13 * ((p / 8) * h / 8)) % 256).toInt
+    }
+    val mean = lums.map(_.toLong).sum / 64
+    lums.zipWithIndex.foldLeft(0L) { case (fp, (l, p)) =>
+      if (l > mean) fp | (1L << p) else fp
+    }
+  }
+
+  test("videoFrameHashes: real multi-frame GIF decode matches the analytic per-frame aHash") {
+    // brute-forces the whole (w 4-8, h 5-8, frames 2-4) envelope the
+    // synthetic fixture lives in — this is the test that pins the JDK
+    // GIF codec's losslessness there (heights 2-4 hit a JDK writer bug
+    // and are deliberately outside the fixture's dimension formula)
+    for (id <- 0L until 300L) {
+      val Some(hashes) = Multimodal.videoFrameHashes(Multimodal.syntheticGif(id))
+      assert(hashes.length == 2 + (id % 3).toInt, s"id $id frames ${hashes.length}")
+      for (k <- hashes.indices)
+        assert(hashes(k) == analyticFrameFp(id, k),
+          s"id $id frame $k: ${hashes(k).toBinaryString} vs ${analyticFrameFp(id, k).toBinaryString}")
+    }
+    assert(Multimodal.videoFrameHashes("not a video".getBytes("UTF-8")).isEmpty)
+    // a single-frame still decodes as a 1-frame "video" — fine; an
+    // empty payload is None
+    assert(Multimodal.videoFrameHashes(Array[Byte]()).isEmpty)
+  }
+
+  test("videoFrameFingerprints samples every n-th genuinely decoded frame") {
+    import spark.implicits._
+    val ids = (0L until 60L).toSeq
+    val recs = ids.toDS().map(id => Multimodal.MediaRecord(
+      id, Multimodal.syntheticGif(id), Multimodal.MediaMeta("gif", 0, 0, 0L)))
+    val got = Multimodal.videoFrameFingerprints(recs, every = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = (for {
+      id <- ids
+      k <- 0 until (2 + (id % 3).toInt) if k % 2 == 0
+    } yield (id, k.toLong) -> analyticFrameFp(id, k)).toMap
+    assert(got == want, s"sampled frame fps diverge (got ${got.size}, want ${want.size})")
+  }
+
+  test("videoNearDupPairs equals brute-force min-hamming over sampled frame pairs") {
+    import spark.implicits._
+    val ids = (0L until 150L).toSeq
+    val recs = ids.toDS().map(id => Multimodal.MediaRecord(
+      id, Multimodal.syntheticGif(id), Multimodal.MediaMeta("gif", 0, 0, 0L)))
+    val got = Multimodal.videoNearDupPairs(recs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // brute force over DISTINCT sampled-frame fps per video, matching
+    // the operator's (doc_a, doc_b, fpa, fpb) de-dup
+    val vfps = ids.map(id => id ->
+      (0 until (2 + (id % 3).toInt)).filter(_ % 2 == 0).map(analyticFrameFp(id, _)).toSet).toMap
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      hams = for (x <- vfps(a).toSeq; y <- vfps(b).toSeq;
+        hd = java.lang.Long.bitCount(x ^ y) if hd <= 3) yield hd.toLong
+      if hams.nonEmpty
+    } yield (a, b) -> ((hams.min, hams.size.toLong))).toMap
+    assert(want.nonEmpty, "fixture produced no video near-dups — weak test")
+    assert(got == want, s"missed: ${(want.keySet -- got.keySet).take(5)}; " +
+      s"spurious: ${(got.keySet -- want.keySet).take(5)}; " +
+      s"diffs: ${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(5)}")
+  }
+
   test("extractFeatures runs batched per-partition and preserves ids") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize((1L to 200L).map(i => Row(i, s"doc number $i payload"))),
