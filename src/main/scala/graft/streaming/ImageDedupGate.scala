@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.LongType
 
-/** Streaming ingest-time dedup gate for IMAGES — the multimodal
-  * counterpart of [[StreamingDedupGate]], with the 64-bit perceptual
-  * aHash ([[Multimodal.imageFingerprint64]]) playing the signature
-  * role and [[BatchTable]] supplying the identical append / replay /
-  * compact lifecycle (r11 verdict item 5: SCALE.md documented this
+/** Streaming ingest-time dedup gate for MEDIA — the multimodal
+  * counterpart of [[StreamingDedupGate]], with a 64-bit perceptual
+  * fingerprint playing the signature role (default: the image aHash,
+  * [[Multimodal.imageFingerprint64]]; the `fingerprints` hook swaps
+  * in any other modality's extractor — e.g.
+  * [[Multimodal.audioFingerprints]] for the audio energy hash — the
+  * rest of the lifecycle is fingerprint-agnostic) and [[BatchTable]]
+  * supplying the identical append / replay / compact lifecycle (r11 verdict item 5: SCALE.md documented this
   * two-day fingerprint-table lifecycle; now it is code). Every
   * arriving micro-batch is (1) gated against the ACCUMULATED `(id,
   * fp)` table (exact tier = identical fingerprint, near tier = banded
@@ -34,7 +37,13 @@ object ImageDedupGate {
     * `batch` against the fingerprint table at `fpDir` (absent/empty ⇒
     * everything is new — day 1), write verdicts to `verdictDir`, then
     * write the batch's `(id, fp)` rows to `fpDir` — both keyed by
-    * `batchId` so any replay overwrites rather than duplicates. */
+    * `batchId` so any replay overwrites rather than duplicates.
+    *
+    * `fingerprints` picks the modality: the default is the image
+    * aHash; pass [[Multimodal.audioFingerprints]] to run the SAME
+    * lifecycle over the audio energy hash (the gate core,
+    * [[Multimodal.incrementalHammingDupsFromFps]], is
+    * fingerprint-agnostic — only the one decode pass differs). */
   def gateAndIngest(
       batch: Dataset[Multimodal.MediaRecord],
       fpDir: String,
@@ -43,11 +52,13 @@ object ImageDedupGate {
       // no default, same reason as the text gate: two direct batch-mode
       // calls that both omitted an id would silently overwrite each
       // other's partitions — every caller must key its batch
-      batchId: Long
+      batchId: Long,
+      fingerprints: Dataset[Multimodal.MediaRecord] => DataFrame =
+        Multimodal.imageFingerprints(_)
   ): Unit = {
     val spark = batch.sparkSession
     // two consumers (gate + fingerprint append) — decode the batch once
-    val bFps = Multimodal.imageFingerprints(batch)
+    val bFps = fingerprints(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val verdicts =
@@ -85,11 +96,13 @@ object ImageDedupGate {
       fpDir: String,
       verdictDir: String,
       checkpointDir: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      fingerprints: Dataset[Multimodal.MediaRecord] => DataFrame =
+        Multimodal.imageFingerprints(_)
   ): StreamingQuery =
     stream.writeStream
       .foreachBatch { (b: Dataset[Multimodal.MediaRecord], batchId: Long) =>
-        gateAndIngest(b, fpDir, verdictDir, maxHamming, batchId)
+        gateAndIngest(b, fpDir, verdictDir, maxHamming, batchId, fingerprints)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

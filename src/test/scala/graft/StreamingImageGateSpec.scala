@@ -139,6 +139,38 @@ class StreamingImageGateSpec extends SparkSuite {
     assert(n == b1.size, s"replay duplicated verdict rows: $n")
   }
 
+  test("the same gate lifecycle is modality-generic: audio energy hash via the fingerprints hook") {
+    import spark.implicits._
+    def wavRecs(ids: Seq[Long]): Dataset[Multimodal.MediaRecord] =
+      ids.toDS().map(id => Multimodal.MediaRecord(
+        id, Multimodal.syntheticWav(id), Multimodal.MediaMeta("wav", 0, 0, 0L)))
+    val dir = tempDir("graft-audiogate")
+    val hist = Seq(1L, 2L, 5L, 100L)
+    ImageDedupGate.gateAndIngest(wavRecs(hist), s"$dir/fps", s"$dir/verdicts",
+      batchId = 0L, fingerprints = Multimodal.audioFingerprints(_))
+    // batch 1: 257 = 1 + 256 is an exact audio dup of history id 1
+    // (the energy hash depends on id only through 37·id mod 256); 3 is
+    // judged by brute force below; an undecodable payload still owes a
+    // verdict (is_new)
+    val batch = wavRecs(Seq(257L, 3L)).union(Seq(Multimodal.MediaRecord(
+      999L, "not audio".getBytes("UTF-8"), Multimodal.MediaMeta("bin", 0, 0, 0L))).toDS())
+    ImageDedupGate.gateAndIngest(batch, s"$dir/fps", s"$dir/verdicts",
+      batchId = 1L, fingerprints = Multimodal.audioFingerprints(_))
+    val got = verdictsOf(s"$dir/verdicts", 1L)
+    def afp(id: Long): Long =
+      Multimodal.audioFingerprint64(Multimodal.syntheticWav(id)).get
+    for (b <- Seq(257L, 3L)) {
+      val exact = hist.filter(h => afp(h) == afp(b)).sorted.headOption
+      val near = hist.map(h => (h, java.lang.Long.bitCount(afp(h) ^ afp(b))))
+        .filter { case (_, hd) => hd >= 1 && hd <= 3 }
+        .sortBy { case (h, hd) => (hd, h) }.headOption
+      assert(got(b) == ((exact, near.map(_._1), exact.isEmpty && near.isEmpty)),
+        s"audio verdict for $b: ${got(b)}")
+    }
+    assert(got(257L)._1.contains(1L), "exact audio dup tier never fired — weak fixture")
+    assert(got(999L) == ((None, None, true)), s"undecodable: ${got(999L)}")
+  }
+
   test("committed-only guard: folding the latest live batch throws") {
     val dir = tempDir("graft-imggate-guard")
     ImageDedupGate.gateAndIngest(recsOf(b0), s"$dir/fps", s"$dir/verdicts", batchId = 0L)
