@@ -78,16 +78,31 @@ object ScaleGen {
         .select("doc_id", "text", "lang", "source", "n_chars")
     }, "documents")
 
-    // embeddings: cyclic component shift per replica (norm-preserving)
+    // embeddings: cyclic component shift per replica (norm-preserving).
+    // Past one full lap of the dimension (factor > dim, e.g. the 100x
+    // point over 64-dim vectors) the shift alone would repeat replica
+    // k - dim exactly, so odd laps additionally negate the vector —
+    // still norm-preserving, and v / -v sit at cosine -1, the far side
+    // of every similarity threshold, so cross-replica buckets stay as
+    // sparse as the first lap's.
     val embs = read("embeddings")
     val vecOff = maxOf(embs, "vec_id")
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
     write(replicated(embs) { (e, k) =>
       if (k == 0) e
-      else e.select(
-        (col("vec_id") + lit(k * vecOff)).as("vec_id"),
-        expr(s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
-          s"slice(embedding, 1, $k))").as("embedding"),
-        col("label"))
+      else {
+        val s = k % dim
+        val shifted =
+          if (s == 0) col("embedding")
+          else expr(s"concat(slice(embedding, ${s + 1}, size(embedding) - $s), " +
+            s"slice(embedding, 1, $s))")
+        val signed =
+          if ((k / dim) % 2 == 0) col("__shifted")
+          else expr("transform(__shifted, x -> -x)")
+        e.withColumn("__shifted", shifted)
+          .select((col("vec_id") + lit(k * vecOff)).as("vec_id"),
+            signed.as("embedding"), col("label"))
+      }
     }, "embeddings")
 
     // events: fresh user population per replica, +k seconds

@@ -125,12 +125,29 @@ object MultimodalQueries extends QueryGroup {
     })
   )
 
+  /** The id feed every synthetic-media fixture maps over. The
+    * repartition is the load-bearing line: the codec pass below is the
+    * expensive stage, and its parallelism is otherwise whatever the
+    * upstream FILE layout dictates — `documents.parquet` at test SFs
+    * is one small file = ONE split = a single-threaded decode of the
+    * whole corpus. Exchanging the 8-byte id rows across all cores
+    * BEFORE payloads exist costs ~nothing and is exactly the
+    * production shape: repartition the tiny key column, synthesize /
+    * fetch / decode the heavy bytes after the exchange — binary still
+    * never enters a shuffle.
+    */
+  private def idFeed(s: SparkSession, df: DataFrame) = {
+    import s.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   /** doc_id → deterministic synthetic PNG media records (the image
     * fixture every image query shares).
     */
   private def syntheticRecs(s: SparkSession, df: DataFrame) = {
     import s.implicits._
-    df.select(col("doc_id").cast("long")).as[Long]
+    idFeed(s, df)
       .map(id => Multimodal.MediaRecord(id, Multimodal.syntheticPng(id),
         Multimodal.MediaMeta("png", 0, 0, 0L)))
   }
@@ -140,7 +157,7 @@ object MultimodalQueries extends QueryGroup {
     */
   private def syntheticAudioRecs(s: SparkSession, df: DataFrame) = {
     import s.implicits._
-    df.select(col("doc_id").cast("long")).as[Long]
+    idFeed(s, df)
       .map(id => Multimodal.MediaRecord(id, Multimodal.syntheticWav(id),
         Multimodal.MediaMeta("wav", 0, 0, 0L)))
   }
@@ -150,7 +167,7 @@ object MultimodalQueries extends QueryGroup {
     */
   private def syntheticVideoRecs(s: SparkSession, df: DataFrame) = {
     import s.implicits._
-    df.select(col("doc_id").cast("long")).as[Long]
+    idFeed(s, df)
       .map(id => Multimodal.MediaRecord(id, Multimodal.syntheticGif(id),
         Multimodal.MediaMeta("gif", 0, 0, 0L)))
   }
