@@ -604,6 +604,55 @@ object Multimodal {
       fp
     }
 
+  /** Per-clip audio quality metrics — the standard QA pass a speech /
+    * audio training pipeline runs before anything else, computed
+    * row-local over the REAL decode in one batched pass (the audio
+    * analog of the Gopher-style text gates). All-integer outputs so
+    * they hash cross-engine:
+    *   - `mean_square` = Σs²/n (energy; silence screens low, hot mics
+    *     screen high),
+    *   - `zero_crossings` = sign flips between consecutive samples
+    *     (crude spectral centroid: voiced speech low, noise/hiss high),
+    *   - `peak_abs` and `n_clipped` (samples within `clipMargin` of
+    *     full-scale — digital clipping),
+    *   - `n_silence` (samples with |s| ≤ `silenceFloor`).
+    * Thresholding/filtering on these is a reader-side predicate, same
+    * posture as the text quality report. Undecodable payloads are
+    * dropped (quarantine upstream, as with the gates).
+    */
+  def audioQuality(
+      ds: Dataset[MediaRecord],
+      clipMargin: Int = 768,
+      silenceFloor: Int = 256,
+      batchSize: Int = 64
+  ): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { r =>
+        decodeWav(r.media).collect { case (_, s) if s.nonEmpty =>
+          var i = 0
+          var sumSq = 0L
+          var zc = 0L
+          var peak = 0L
+          var clipped = 0L
+          var silent = 0L
+          while (i < s.length) {
+            val v = s(i).toLong
+            sumSq += v * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            if (a >= 32768L - clipMargin) clipped += 1
+            if (a <= silenceFloor) silent += 1
+            if (i > 0 && (s(i) < 0) != (s(i - 1) < 0)) zc += 1
+            i += 1
+          }
+          (r.id, s.length.toLong, sumSq / s.length, zc, peak, clipped, silent)
+        }
+      })
+    }.toDF("id", "n_samples", "mean_square", "zero_crossings", "peak_abs",
+      "n_clipped", "n_silence")
+  }
+
   /** Batched audio fingerprint extraction — same partition-local batch
     * shape as [[imageFingerprints]]; undecodable payloads are dropped.
     */

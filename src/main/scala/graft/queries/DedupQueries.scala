@@ -70,9 +70,26 @@ object DedupQueries extends QueryGroup {
     // Same semantics, scale path: LSH-bucketed candidates (8 tables x 8
     // bits, seeded planes) then the exact cosine refine — no all-pairs
     // join anywhere in the plan. The oracle replays the seeded planes,
-    // so the (approximate) pair set is checked exactly.
+    // so the (approximate) pair set is checked exactly. NOTE the scale
+    // coupling the 100x measurement exposed (SCALE_MEASURED.md): bucket
+    // count is 2^bits per table, so candidate volume grows ~n²/2^bits —
+    // 8 bits is a small-corpus setting; production re-parameterizes
+    // bits ≈ log2(n / target-occupancy), which is what the `_wide`
+    // variant below demonstrates at the same oracle rigor.
     "dedup_embedding_lsh" -> ((s, dir) => {
       Dedup.embeddingCosinePairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // The corpus-scaled parameterization of the same operator: 12-bit
+    // buckets (16x more selective). Trades recall at this corpus's
+    // low-cosine threshold for bounded bucket occupancy — the knob the
+    // operator's scaladoc prescribes as n grows; the seeded-plane
+    // oracle checks the pair set exactly at ANY setting, so retuning
+    // the knob never loses the correctness gate.
+    "dedup_embedding_lsh_wide" -> ((s, dir) => {
+      Dedup.embeddingCosinePairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.45, bits = 12)
         .orderBy("id_a", "id_b")
     }),
 
@@ -400,19 +417,21 @@ ORDER BY id_a, id_b"""
   /** The seeded hyperplanes as DuckDB VALUES rows — Double.toString
     * round-trips exactly, so the oracle's planes (and therefore buckets)
     * are bit-identical to the Spark side's (same generation as
-    * [[SimilarityQueries]]' LSH oracle).
+    * [[SimilarityQueries]]' LSH oracle). Parameterized by (tables,
+    * bits) so every parameterization of the operator gets the same
+    * oracle rigor.
     */
-  private val embLshPlanes: String =
-    graft.ext.Similarity.hyperplanes(tables = 8, bits = 8, dim = 64, seed = 42L)
+  private def embLshPlanes(tables: Int, bits: Int): String =
+    graft.ext.Similarity.hyperplanes(tables, bits, dim = 64, seed = 42L)
       .zipWithIndex.flatMap { case (table, t) =>
         table.zipWithIndex.map { case (p, bit) =>
           p.mkString(s"($t, $bit, [", ", ", "])")
         }
       }.mkString(",\n")
 
-  private val embLshSql =
+  private def embLshSqlFor(tables: Int, bits: Int): String =
     s"""WITH planes(t, bit, plane) AS (VALUES
-$embLshPlanes),
+${embLshPlanes(tables, bits)}),
 buckets AS (
   SELECT e.vec_id, p.t,
     CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
@@ -451,7 +470,8 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_embedding" -> cosineSql,
-    "dedup_embedding_lsh" -> embLshSql,
+    "dedup_embedding_lsh" -> embLshSqlFor(8, 8),
+    "dedup_embedding_lsh_wide" -> embLshSqlFor(8, 12),
     "dedup_spans" -> spanSql,
     "dedup_spans_clean" -> spanCleanSql,
     "dedup_spans_exact" -> spanExactSql,

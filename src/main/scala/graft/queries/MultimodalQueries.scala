@@ -81,6 +81,16 @@ object MultimodalQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // the standard audio QA pass (energy / zero-crossings / clipping /
+    // silence), integer-exact over the real decode — the audio analog
+    // of the text quality gates
+    "multimodal_audio_quality" -> ((s, dir) => {
+      Multimodal.audioQuality(syntheticAudioRecs(s, Tables.documents(s, dir)))
+        .select(col("id").as("doc_id"), col("n_samples"), col("mean_square"),
+          col("zero_crossings"), col("peak_abs"), col("n_clipped"), col("n_silence"))
+        .orderBy("doc_id")
+    }),
+
     // audio near-dup via the 64-bit energy hash + the SAME hamming
     // banding core as images — the real WAV decode feeds the
     // fingerprint, the oracle replays it from the sample formula
@@ -200,6 +210,28 @@ SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
   CAST(512 AS BIGINT) AS n_samples,
   CAST(sum(a) // 512 AS BIGINT) AS mean_abs
 FROM v GROUP BY doc_id ORDER BY doc_id""",
+
+    // replays the QA metrics from the sample formula; the sign-flip
+    // count uses the same (s < 0) sign convention as the Scala fold
+    "multimodal_audio_quality" ->
+      """WITH samp AS (
+  SELECT doc_id, unnest(generate_series(0, 511)) AS i FROM documents),
+v AS (
+  SELECT doc_id, i,
+    (((37 * doc_id + 11 * (i // 8) + 3 * (i % 8)) % 256) - 128) * 256 AS s
+  FROM samp),
+z AS (
+  SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM v)
+SELECT doc_id,
+  CAST(512 AS BIGINT) AS n_samples,
+  CAST(sum(s * s) // 512 AS BIGINT) AS mean_square,
+  CAST(sum(CASE WHEN prev IS NOT NULL AND (s < 0) != (prev < 0)
+           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+  CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+  CAST(sum(CASE WHEN abs(s) >= 32000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+  CAST(sum(CASE WHEN abs(s) <= 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_silence
+FROM z GROUP BY doc_id ORDER BY doc_id""",
 
     // replays audioFingerprint64 analytically (frame energies from the
     // sample formula, mean-thresholded into bits), then the same

@@ -291,6 +291,34 @@ class MultimodalSpec extends SparkSuite {
     assert(got.contains((0L, 256L, 0L)) && got.contains((256L, 512L, 0L)))
   }
 
+  test("audioQuality computes the QA metrics exactly and drops undecodables") {
+    import spark.implicits._
+    val ids = (0L until 100L).toSeq
+    val recs = ids.toDS().map(id => Multimodal.MediaRecord(
+      id, Multimodal.syntheticWav(id), Multimodal.MediaMeta("wav", 0, 0, 0L)))
+      .union(Seq(Multimodal.MediaRecord(
+        999L, "static".getBytes("UTF-8"), Multimodal.MediaMeta("bin", 0, 0, 0L))).toDS())
+    val got = Multimodal.audioQuality(recs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(!got.contains(999L), "undecodable payload must be dropped")
+    for (id <- ids) {
+      val s = analyticSamples(id)
+      val want = (
+        s.length.toLong,
+        s.map(v => v.toLong * v).sum / s.length,
+        s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong,
+        s.map(v => math.abs(v.toLong)).max,
+        s.count(v => math.abs(v.toLong) >= 32000).toLong,
+        s.count(v => math.abs(v.toLong) <= 256).toLong)
+      assert(got(id) == want, s"id $id: ${got(id)} vs $want")
+    }
+    // the fixture exercises clipping and silence (full-scale negative
+    // peak -32768 and near-zero samples both occur)
+    assert(got.values.exists(_._5 > 0), "no clipped sample in fixture — weak test")
+    assert(got.values.exists(_._6 > 0), "no silent sample in fixture — weak test")
+  }
+
   // ================== video (real multi-frame GIF) ==================
 
   /** Analytic replay of frame k's aHash from the synthetic GIF's pixel

@@ -186,6 +186,22 @@ class ScaleBehaviorSpec extends SparkSuite {
         "share fingerprint 0 and would go quadratic in one bucket")
   }
 
+  test("audio and video near-dup ride the same salted banding core (salt present in plan)") {
+    // both route through hammingNearDupPairsFromFps; this pins that a
+    // future modality-specific fork doesn't drop the BucketCap salt
+    // (identical fingerprints — silence-padded audio, still-frame
+    // videos — form exactly the hot bucket the cap bounds)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    for (q <- Seq("multimodal_audio_neardup", "multimodal_video_neardup")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.optimizedPlan
+      val saltedJoins = plan.collect {
+        case j: Join if j.condition.exists(_.references.exists(_.name == "_salt")) => j
+      }
+      assert(saltedJoins.nonEmpty, s"$q lost its BucketCap salt")
+    }
+  }
+
   test("round-5 additions keep their claimed plan shapes") {
     val dir = "/root/testdata/sf0.001"
 
