@@ -118,6 +118,23 @@ object MultimodalQueries extends QueryGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // incremental VIDEO gate: batch (doc_id % 4 == 0) videos gated
+    // against the history frame-fingerprint table through the SAME
+    // modality-agnostic core — exact tier = some sampled frame pair
+    // identical, near tier = min frame-pair hamming 1..3; history
+    // frames decode once, every gate reads only (id, fp) rows
+    "multimodal_video_neardup_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val history = Multimodal.managedPersist(Multimodal.videoFrameFingerprints(
+        syntheticVideoRecs(s, docs.filter(col("doc_id") % 4 =!= 0)), every = 2))
+      val batch = syntheticVideoRecs(s, docs.filter(col("doc_id") % 4 === 0))
+      val bFps = Multimodal.managedPersist(
+        Multimodal.videoFrameFingerprints(batch, every = 2))
+      Multimodal.incrementalHammingDupsFromFps(
+        history, batch.toDF().select(col("id")), bFps)
+        .orderBy("doc_id")
+    }),
+
     // incremental gate: batch (doc_id % 4 == 0) images gated against
     // the history (rest) fingerprint table — history media decoded
     // once, every gate reads only (id, fp)
@@ -359,6 +376,46 @@ SELECT doc_a, doc_b, hamming FROM exact
 UNION ALL
 SELECT doc_a, doc_b, hamming FROM ham WHERE hamming BETWEEN 1 AND 3
 ORDER BY doc_a, doc_b""",
+
+    // video gate: distinct sampled-frame fps per video, batch
+    // (doc_id % 4 = 0) against history; exact = some frame pair's
+    // whole hash equal, near = min frame-pair hamming 1..3 over
+    // banded candidates, best = smallest hamming then history id
+    "multimodal_video_neardup_incr" ->
+      s"""WITH $videoChunkCtes,
+vfp AS (
+  SELECT DISTINCT doc_id,
+    max(CASE WHEN chunk = 0 THEN cval END) AS c0,
+    max(CASE WHEN chunk = 1 THEN cval END) AS c1,
+    max(CASE WHEN chunk = 2 THEN cval END) AS c2,
+    max(CASE WHEN chunk = 3 THEN cval END) AS c3
+  FROM chunks GROUP BY doc_id, k),
+exact AS (
+  SELECT b.doc_id, min(h.doc_id) AS exact_dup_id
+  FROM vfp b JOIN vfp h
+    ON b.c0 = h.c0 AND b.c1 = h.c1 AND b.c2 = h.c2 AND b.c3 = h.c3
+  WHERE b.doc_id % 4 = 0 AND h.doc_id % 4 != 0
+  GROUP BY 1),
+ham AS (
+  SELECT b.doc_id, h.doc_id AS hid,
+    CAST(bit_count(xor(b.c0, h.c0)) + bit_count(xor(b.c1, h.c1))
+       + bit_count(xor(b.c2, h.c2)) + bit_count(xor(b.c3, h.c3)) AS BIGINT) AS hamming
+  FROM vfp b JOIN vfp h
+    ON (b.c0 = h.c0 OR b.c1 = h.c1 OR b.c2 = h.c2 OR b.c3 = h.c3)
+  WHERE b.doc_id % 4 = 0 AND h.doc_id % 4 != 0),
+near AS (
+  SELECT doc_id, near_dup_id, near_hamming FROM (
+    SELECT doc_id, hid AS near_dup_id, hamming AS near_hamming,
+      row_number() OVER (PARTITION BY doc_id ORDER BY hamming ASC, hid ASC) AS r
+    FROM ham WHERE hamming BETWEEN 1 AND 3) t
+  WHERE r = 1)
+SELECT d.doc_id, e.exact_dup_id, n.near_dup_id, n.near_hamming,
+  (e.exact_dup_id IS NULL AND n.near_dup_id IS NULL) AS is_new
+FROM documents d
+LEFT JOIN exact e ON e.doc_id = d.doc_id
+LEFT JOIN near n ON n.doc_id = d.doc_id
+WHERE d.doc_id % 4 = 0
+ORDER BY d.doc_id""",
 
     // same analytic fingerprints, split into history (doc_id % 4 != 0)
     // and batch; exact tier = all four chunks equal (the whole 64-bit

@@ -171,6 +171,38 @@ class StreamingImageGateSpec extends SparkSuite {
     assert(got(999L) == ((None, None, true)), s"undecodable: ${got(999L)}")
   }
 
+  test("video frames ride the gate too: frame-level fingerprints through the same lifecycle") {
+    import spark.implicits._
+    def gifRecs(ids: Seq[Long]): Dataset[Multimodal.MediaRecord] =
+      ids.toDS().map(id => Multimodal.MediaRecord(
+        id, Multimodal.syntheticGif(id), Multimodal.MediaMeta("gif", 0, 0, 0L)))
+    val frameFps: Dataset[Multimodal.MediaRecord] => org.apache.spark.sql.DataFrame =
+      Multimodal.videoFrameFingerprints(_, every = 2)
+    val dir = tempDir("graft-videogate")
+    val hist = Seq(1L, 6L, 9L, 14L)
+    ImageDedupGate.gateAndIngest(gifRecs(hist), s"$dir/fps", s"$dir/verdicts",
+      batchId = 0L, fingerprints = frameFps)
+    // 1281 shares sampled frame 0's hash with history id 1 (31·1280 ≡ 0
+    // mod 256, same dims) — the exact tier must fire across batches
+    val batch = Seq(1281L, 3L, 4L)
+    ImageDedupGate.gateAndIngest(gifRecs(batch), s"$dir/fps", s"$dir/verdicts",
+      batchId = 1L, fingerprints = frameFps)
+    val got = verdictsOf(s"$dir/verdicts", 1L)
+    def fpsOf(id: Long): Set[Long] =
+      Multimodal.videoFrameHashes(Multimodal.syntheticGif(id)).get
+        .zipWithIndex.collect { case (fp, k) if k % 2 == 0 => fp }.toSet
+    for (b <- batch) {
+      val exact = hist.filter(h => fpsOf(h).exists(fpsOf(b))).sorted.headOption
+      val near = (for {
+        h <- hist; x <- fpsOf(b); y <- fpsOf(h)
+        hd = java.lang.Long.bitCount(x ^ y) if hd >= 1 && hd <= 3
+      } yield (h, hd)).sortBy { case (h, hd) => (hd, h) }.headOption
+      assert(got(b) == ((exact, near.map(_._1), exact.isEmpty && near.isEmpty)),
+        s"video verdict for $b: ${got(b)} vs ($exact, ${near.map(_._1)})")
+    }
+    assert(got(1281L)._1.contains(1L), "exact frame-dup tier never fired — weak fixture")
+  }
+
   test("committed-only guard: folding the latest live batch throws") {
     val dir = tempDir("graft-imggate-guard")
     ImageDedupGate.gateAndIngest(recsOf(b0), s"$dir/fps", s"$dir/verdicts", batchId = 0L)
