@@ -202,6 +202,35 @@ class ScaleBehaviorSpec extends SparkSuite {
     }
   }
 
+  test("no registered media query moves a binary column through any exchange") {
+    // the multimodal design rule ("binary payloads never enter a
+    // shuffle" — SCALE.md) as a physical-plan fence: payloads are
+    // synthesized/decoded strictly AFTER any exchange (the id-feed
+    // repartition carries 8-byte ids; fingerprint joins carry (id, fp)
+    // rows), so no Exchange — shuffle or broadcast — may have a
+    // BinaryType column in its input schema
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.BinaryType
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case _ => Nil
+      })
+      p +: kids.flatMap(nodes)
+    }
+    for (q <- SparkEntry.queries.keys.toSeq.sorted if q.startsWith("multimodal_")) {
+      val exec = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+      val offenders = nodes(exec).collect {
+        case e: Exchange if e.child.output.exists(_.dataType == BinaryType) =>
+          s"${e.nodeName}(${e.child.output.map(_.name).mkString(",")})"
+      }
+      assert(offenders.isEmpty, s"$q moves binary payloads through an exchange: $offenders")
+    }
+  }
+
   test("round-5 additions keep their claimed plan shapes") {
     val dir = "/root/testdata/sf0.001"
 
