@@ -551,25 +551,45 @@ object Multimodal {
     * Because WAV PCM is lossless, the decode of this payload is
     * analytically predictable from `id` alone — the audio analog of
     * [[syntheticPng]], and what lets a SQL oracle hash-check a real
-    * `javax.sound` round-trip.
+    * `javax.sound` round-trip. The RIFF/fmt/data container is
+    * assembled by hand (the canonical 44-byte header), deliberately
+    * NOT via `AudioSystem.write`: the real parser in [[decodeWav]] is
+    * then exercised against independently-constructed bytes — a
+    * shared writer/reader bug can't cancel itself out — and the
+    * per-clip synthesis cost drops to a plain array fill (it sits
+    * inside the fixture's decode-bound hot loop).
     */
   def syntheticWav(id: Long): Array[Byte] = {
     val n = 512
-    val pcm = new Array[Byte](n * 2)
+    val rate = 8000
+    val dataBytes = n * 2
+    val out = new Array[Byte](44 + dataBytes)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, off)
+    tag(0, "RIFF"); le32(4, 36 + dataBytes); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16)
+    le16(20, 1) // PCM
+    le16(22, 1) // mono
+    le32(24, rate)
+    le32(28, rate * 2) // byte rate
+    le16(32, 2) // block align
+    le16(34, 16) // bits/sample
+    tag(36, "data"); le32(40, dataBytes)
     var i = 0
     while (i < n) {
       val s = (((37 * id + 11 * (i / 8) + 3 * (i % 8)) % 256).toInt - 128) * 256
-      pcm(2 * i) = (s & 0xff).toByte
-      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      out(44 + 2 * i) = (s & 0xff).toByte
+      out(44 + 2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    out
   }
 
   val AudioFrames = 64
