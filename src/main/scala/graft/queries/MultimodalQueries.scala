@@ -118,6 +118,34 @@ object MultimodalQueries extends QueryGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // the MEDIA gate's full lifecycle driven through the DRIVER'S
+    // oracle, not just specs (the same closure the text gate got in
+    // streaming_dedup_gate_replay): three deterministic micro-batches
+    // (doc_id % 3 = batch id) of images replayed through the exact
+    // foreachBatch body — gate against the accumulated fingerprint
+    // table, write verdicts, append own fingerprints — with a
+    // fingerprint-table compaction between batches 1 and 2, which
+    // must be invisible to verdicts. Fixed staging path (wiped per
+    // call) keeps the read plan — and the plan hash — deterministic.
+    "multimodal_image_gate_replay" -> ((s, dir) => {
+      import graft.streaming.ImageDedupGate
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_imggate_replay").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = Tables.documents(s, dir)
+      for (b <- 0L to 2L) {
+        ImageDedupGate.gateAndIngest(
+          syntheticRecs(s, docs.filter(col("doc_id") % 3 === b)),
+          s"$root/fps", s"$root/verdicts", batchId = b)
+        if (b == 1L) ImageDedupGate.compactFingerprints(s, s"$root/fps", upToBatch = 0L)
+      }
+      s.read.parquet(s"$root/verdicts")
+        .select("doc_id", "exact_dup_id", "near_dup_id", "near_hamming", "is_new")
+        .orderBy("doc_id")
+    }),
+
     // incremental VIDEO gate: batch (doc_id % 4 == 0) videos gated
     // against the history frame-fingerprint table through the SAME
     // modality-agnostic core — exact tier = some sampled frame pair
@@ -376,6 +404,47 @@ SELECT doc_a, doc_b, hamming FROM exact
 UNION ALL
 SELECT doc_a, doc_b, hamming FROM ham WHERE hamming BETWEEN 1 AND 3
 ORDER BY doc_a, doc_b""",
+
+    // gate replay: every doc gated against the union of STRICTLY
+    // EARLIER batches (doc_id % 3 ordering); batch 0 sees empty
+    // history (all new); exact = whole-hash equality, near = banded
+    // hamming 1..3, best = smallest hamming then history id —
+    // compaction between batches must not appear anywhere in this
+    // replay, which is exactly the invisibility being checked
+    "multimodal_image_gate_replay" ->
+      s"""WITH $fingerprintCtes,
+fpt AS (
+  SELECT doc_id,
+    max(CASE WHEN chunk = 0 THEN cval END) AS c0,
+    max(CASE WHEN chunk = 1 THEN cval END) AS c1,
+    max(CASE WHEN chunk = 2 THEN cval END) AS c2,
+    max(CASE WHEN chunk = 3 THEN cval END) AS c3
+  FROM chunks GROUP BY 1),
+exact AS (
+  SELECT b.doc_id, min(h.doc_id) AS exact_dup_id
+  FROM fpt b JOIN fpt h
+    ON b.c0 = h.c0 AND b.c1 = h.c1 AND b.c2 = h.c2 AND b.c3 = h.c3
+  WHERE h.doc_id % 3 < b.doc_id % 3
+  GROUP BY 1),
+ham AS (
+  SELECT b.doc_id, h.doc_id AS hid,
+    CAST(bit_count(xor(b.c0, h.c0)) + bit_count(xor(b.c1, h.c1))
+       + bit_count(xor(b.c2, h.c2)) + bit_count(xor(b.c3, h.c3)) AS BIGINT) AS hamming
+  FROM fpt b JOIN fpt h
+    ON (b.c0 = h.c0 OR b.c1 = h.c1 OR b.c2 = h.c2 OR b.c3 = h.c3)
+  WHERE h.doc_id % 3 < b.doc_id % 3),
+near AS (
+  SELECT doc_id, near_dup_id, near_hamming FROM (
+    SELECT doc_id, hid AS near_dup_id, hamming AS near_hamming,
+      row_number() OVER (PARTITION BY doc_id ORDER BY hamming ASC, hid ASC) AS r
+    FROM ham WHERE hamming BETWEEN 1 AND 3) t
+  WHERE r = 1)
+SELECT d.doc_id, e.exact_dup_id, n.near_dup_id, n.near_hamming,
+  (e.exact_dup_id IS NULL AND n.near_dup_id IS NULL) AS is_new
+FROM documents d
+LEFT JOIN exact e ON e.doc_id = d.doc_id
+LEFT JOIN near n ON n.doc_id = d.doc_id
+ORDER BY d.doc_id""",
 
     // video gate: distinct sampled-frame fps per video, batch
     // (doc_id % 4 = 0) against history; exact = some frame pair's
