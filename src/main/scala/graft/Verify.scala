@@ -18,12 +18,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // name → Spark result schema (DDL), dumped beside oracle_sql.json so
+    // the driver's type-sensitive hash gate and tools/check.py's DESCRIBE
+    // type sweep share one recorded source of truth (r12's
+    // multimodal_video_frames HUGEINT-vs-LONG bug class).
+    val schemas = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        schemas += name -> df.schema.toDDL
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // free operator-persisted intermediates; unpersistSpanCaches also
@@ -50,6 +57,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val schemaJson = schemas
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/spark_schema.json"), schemaJson)
     spark.stop()
   }
 }

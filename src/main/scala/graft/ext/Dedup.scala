@@ -649,6 +649,22 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Corpus-size-adaptive LSH signature width: the smallest b in
+    * [floor, cap] with targetOccupancy * 2^b >= n, i.e.
+    * ceil(log2(n / targetOccupancy)) integer-exactly (no float log —
+    * the DuckDB oracle derives the same b with a shifted-comparison
+    * scan, and a boundary n must round identically on both sides).
+    * Candidate volume per table is ~n² / 2^bits, so a FIXED width is a
+    * measured scale cliff (bits=8: 582 s at 200 k vectors; bits=16:
+    * 5.8 s — SCALE_MEASURED_r12_x100/_lshprobe); tracking the corpus
+    * keeps expected bucket occupancy ~targetOccupancy at any n.
+    */
+  def adaptiveLshBits(n: Long, targetOccupancy: Long = 4L, floor: Int = 8, cap: Int = 24): Int = {
+    var b = floor
+    while (b < cap && (targetOccupancy << b) < n) b += 1
+    b
+  }
+
   /** Embedding near-dup pairs, LSH-bucketed: the scale path. Candidates
     * share a random-hyperplane sign-bucket in at least one of `tables`
     * hash tables (row-local fused bucket keys, one map pass), then the
@@ -656,9 +672,17 @@ object Dedup {
     * self-join shuffles on (table, bucket), never all-pairs. Recall vs
     * [[embeddingCosinePairs]] is the standard SimHash collision bound
     * ((1 - theta/pi)^bits per table); raise `tables` (recall) or `bits`
-    * (selectivity: expected bucket occupancy n / 2^bits) to taste — at
-    * 10^9 vectors, bits >= 24 keeps buckets sub-linear. Deterministic:
-    * seeded planes, so an external oracle can replay the exact pair set.
+    * (selectivity: expected bucket occupancy n / 2^bits) to taste.
+    * Deterministic: seeded planes, so an external oracle can replay the
+    * exact pair set.
+    *
+    * `bits <= 0` (the DEFAULT) derives the width from a corpus count via
+    * [[adaptiveLshBits]] — expected bucket occupancy stays ~constant as
+    * the corpus grows, closing the fixed-width cliff above. The derived
+    * path uses PREFIX-STABLE planes ([[Similarity.hyperplanesPrefix]])
+    * so one oracle plane table covers every derived width; an explicit
+    * `bits > 0` pins the width with the original sequential-stream
+    * planes (oracle replay of pinned parameterizations).
     */
   def embeddingCosinePairsLsh(
       df: DataFrame,
@@ -666,13 +690,21 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       tables: Int = 8,
-      bits: Int = 8,
+      bits: Int = 0,
       seed: Long = 42L,
       dim: Int = 64,
       maxBucket: Int = 100000
   ): DataFrame = {
     import graft.functions.DotProductExpr.dot
-    val planes = Similarity.hyperplanes(tables, bits, dim, seed)
+    val planes =
+      if (bits > 0) Similarity.hyperplanes(tables, bits, dim, seed)
+      else {
+        // count() on a parquet scan is metadata-bound (row-group counts,
+        // no column IO) — cheap even at corpus scale, and deterministic
+        // per SF so the oracle's own count() derives the same width.
+        val derived = adaptiveLshBits(df.count())
+        Similarity.hyperplanesPrefix(tables, derived, dim, seed)
+      }
     val bucketed = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),

@@ -109,6 +109,22 @@ object Similarity {
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
+  /** Prefix-stable hyperplanes: plane (t, bit) is seeded independently of
+    * `bits`, so the plane set for width b is exactly the first b planes
+    * of any wider setting. Required by the corpus-adaptive LSH
+    * ([[Dedup.embeddingCosinePairsLsh]] with derived bits): its DuckDB
+    * oracle embeds ONE max-width plane table and selects the
+    * runtime-derived prefix, so the same SQL is bit-identical to Spark
+    * at every corpus size. (The sequential [[hyperplanes]] stream lacks
+    * this property — table t's planes shift when `bits` changes.)
+    */
+  private[graft] def hyperplanesPrefix(tables: Int, bits: Int, dim: Int, seed: Long = 42L): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, bits) { (t, b) =>
+      val rnd = new scala.util.Random(
+        seed ^ (t.toLong * 0x9E3779B97F4A7C15L) ^ (b.toLong * 0xC2B2AE3D27D4EB4FL))
+      Array.fill(dim)(rnd.nextGaussian())
+    }
+
   /** Bucket each vector in every table via the row-local
     * [[graft.functions.HyperplaneBucketsExpr]] — all T packed sign-bit
     * keys in one fused codegen pass, then posexplode to (t, b) rows for

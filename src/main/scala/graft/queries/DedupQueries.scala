@@ -67,26 +67,26 @@ object DedupQueries extends QueryGroup {
         .orderBy("id_a", "id_b")
     }),
 
-    // Same semantics, scale path: LSH-bucketed candidates (8 tables x 8
-    // bits, seeded planes) then the exact cosine refine — no all-pairs
-    // join anywhere in the plan. The oracle replays the seeded planes,
-    // so the (approximate) pair set is checked exactly. NOTE the scale
-    // coupling the 100x measurement exposed (SCALE_MEASURED.md): bucket
-    // count is 2^bits per table, so candidate volume grows ~n²/2^bits —
-    // 8 bits is a small-corpus setting; production re-parameterizes
-    // bits ≈ log2(n / target-occupancy), which is what the `_wide`
-    // variant below demonstrates at the same oracle rigor.
+    // Same semantics, scale path: LSH-bucketed candidates (8 tables,
+    // CORPUS-DERIVED signature width — Dedup.adaptiveLshBits keeps
+    // expected bucket occupancy ~4 at any n, closing the r12-measured
+    // fixed-width cliff: bits=8 was 582 s at 200 k vectors where the
+    // derived 16 is ~6 s) then the exact cosine refine — no all-pairs
+    // join anywhere in the plan. The oracle derives the SAME width from
+    // its own count(*) and selects that prefix of an embedded max-width
+    // prefix-stable plane table, so the (approximate) pair set is
+    // checked exactly at EVERY corpus size, not just the dev SF.
     "dedup_embedding_lsh" -> ((s, dir) => {
       Dedup.embeddingCosinePairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
         .orderBy("id_a", "id_b")
     }),
 
-    // The corpus-scaled parameterization of the same operator: 12-bit
-    // buckets (16x more selective). Trades recall at this corpus's
-    // low-cosine threshold for bounded bucket occupancy — the knob the
-    // operator's scaladoc prescribes as n grows; the seeded-plane
-    // oracle checks the pair set exactly at ANY setting, so retuning
-    // the knob never loses the correctness gate.
+    // The explicit-width override of the same operator: PINNED 12-bit
+    // buckets (the pre-adaptive sequential-stream planes). Kept so the
+    // pinned parameterization path stays oracle-checked alongside the
+    // adaptive default — retuning the knob never loses the correctness
+    // gate, and a user who wants a fixed width (e.g. replaying a
+    // historical signature table) has a checked form to copy.
     "dedup_embedding_lsh_wide" -> ((s, dir) => {
       Dedup.embeddingCosinePairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.45, bits = 12)
@@ -429,6 +429,57 @@ ORDER BY id_a, id_b"""
         }
       }.mkString(",\n")
 
+  /** The prefix-stable planes (Similarity.hyperplanesPrefix) as DuckDB
+    * VALUES rows, at the adaptive path's maximum width — the oracle
+    * selects the runtime-derived prefix, so ONE plane table covers
+    * every corpus size.
+    */
+  private def embLshPlanesPrefix(tables: Int, maxBits: Int): String =
+    graft.ext.Similarity.hyperplanesPrefix(tables, maxBits, dim = 64, seed = 42L)
+      .zipWithIndex.flatMap { case (table, t) =>
+        table.zipWithIndex.map { case (p, bit) =>
+          p.mkString(s"($t, $bit, [", ", ", "])")
+        }
+      }.mkString(",\n")
+
+  /** Corpus-adaptive oracle: derives bits exactly as
+    * Dedup.adaptiveLshBits (integer shifted-comparison scan — no float
+    * log2, so boundary corpus sizes round identically) from its own
+    * count(*), then runs the same bucket/candidate/refine pipeline on
+    * that prefix of the max-width plane table.
+    */
+  private def embLshAdaptiveSql: String =
+    s"""WITH planes_all(t, bit, plane) AS (VALUES
+${embLshPlanesPrefix(8, 24)}),
+nrows AS (SELECT count(*) AS n FROM embeddings),
+bsel AS (SELECT COALESCE(min(b), 24) AS bits
+         FROM generate_series(8, 24) g(b), nrows
+         WHERE (CAST(4 AS BIGINT) << b) >= n),
+planes AS (SELECT t, bit, plane FROM planes_all, bsel WHERE planes_all.bit < bsel.bits),
+buckets AS (
+  SELECT e.vec_id, p.t,
+    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+        i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) >= 0
+      THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS b
+  FROM embeddings e CROSS JOIN planes p GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM buckets x JOIN buckets y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+pairs AS (
+  SELECT id_a, id_b,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+    sqrt(list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) AS na,
+    sqrt(list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) AS nb
+  FROM cand JOIN embeddings a ON a.vec_id = id_a
+            JOIN embeddings b ON b.vec_id = id_b)
+SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos
+FROM pairs
+WHERE round(dot / (na * nb), 4) >= 0.45
+ORDER BY id_a, id_b"""
+
   private def embLshSqlFor(tables: Int, bits: Int): String =
     s"""WITH planes(t, bit, plane) AS (VALUES
 ${embLshPlanes(tables, bits)}),
@@ -470,7 +521,7 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_embedding" -> cosineSql,
-    "dedup_embedding_lsh" -> embLshSqlFor(8, 8),
+    "dedup_embedding_lsh" -> embLshAdaptiveSql,
     "dedup_embedding_lsh_wide" -> embLshSqlFor(8, 12),
     "dedup_spans" -> spanSql,
     "dedup_spans_clean" -> spanCleanSql,

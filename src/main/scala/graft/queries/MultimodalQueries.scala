@@ -303,10 +303,10 @@ ORDER BY doc_a, doc_b""",
     "multimodal_video_frames" ->
       s"""WITH $videoChunkCtes
 SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
-  max(CASE WHEN chunk = 0 THEN cval END) AS c0,
-  max(CASE WHEN chunk = 1 THEN cval END) AS c1,
-  max(CASE WHEN chunk = 2 THEN cval END) AS c2,
-  max(CASE WHEN chunk = 3 THEN cval END) AS c3
+  CAST(max(CASE WHEN chunk = 0 THEN cval END) AS BIGINT) AS c0,
+  CAST(max(CASE WHEN chunk = 1 THEN cval END) AS BIGINT) AS c1,
+  CAST(max(CASE WHEN chunk = 2 THEN cval END) AS BIGINT) AS c2,
+  CAST(max(CASE WHEN chunk = 3 THEN cval END) AS BIGINT) AS c3
 FROM chunks GROUP BY 1, 2 ORDER BY doc_id, frame_idx""",
 
     // video pairs: distinct sampled-frame fingerprints per video, then

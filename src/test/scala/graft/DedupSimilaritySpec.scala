@@ -263,6 +263,42 @@ class DedupSimilaritySpec extends SparkSuite {
       "LSH dedup plan must not contain an all-pairs join")
   }
 
+  test("adaptiveLshBits: integer-exact ceil(log2(n/occ)), clamped [8, 24]") {
+    // boundary cases must round exactly as the oracle's shifted-compare
+    // scan (4 << b >= n): a float-log implementation can disagree at
+    // exact powers of two
+    assert(Dedup.adaptiveLshBits(1L) == 8)
+    assert(Dedup.adaptiveLshBits(500L) == 8)
+    assert(Dedup.adaptiveLshBits(1024L) == 8)   // 4 << 8 == 1024 exactly
+    assert(Dedup.adaptiveLshBits(1025L) == 9)
+    assert(Dedup.adaptiveLshBits(2000L) == 9)
+    assert(Dedup.adaptiveLshBits(20000L) == 13)
+    assert(Dedup.adaptiveLshBits(200000L) == 16)
+    assert(Dedup.adaptiveLshBits(100000000L) == 24) // cap
+  }
+
+  test("hyperplanesPrefix: width-b planes are an exact prefix of any wider set") {
+    val narrow = Similarity.hyperplanesPrefix(tables = 8, bits = 8, dim = 16)
+    val wide = Similarity.hyperplanesPrefix(tables = 8, bits = 24, dim = 16)
+    for (t <- 0 until 8; b <- 0 until 8)
+      assert(java.util.Arrays.equals(narrow(t)(b), wide(t)(b)), s"plane ($t, $b) differs")
+  }
+
+  test("embeddingCosinePairsLsh adaptive default: derived width, still subset of exact") {
+    val exact = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bits <= 0 → derived from count (floor 8 at this fixture size),
+    // prefix-stable planes — semantics identical to a pinned run at the
+    // derived width
+    val lsh = Dedup.embeddingCosinePairsLsh(
+      vecs, "vec_id", "embedding", threshold = 0.95, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    assert(exact.nonEmpty)
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("ivfTopK recall >= 0.8 vs brute force on the fixture") {
     val queries = vecs.filter(col("vec_id") % 5 === 0)
     val truth = Similarity.bruteTopK(vecs, queries, "vec_id", "embedding", 4)

@@ -24,6 +24,44 @@ def norm(df):
     return df
 
 
+def duck_types(con, sql):
+    """Column-name → DuckDB type for a query, via DESCRIBE."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
+# The driver's hash tolerates width differences WITHIN the signed-int
+# family (21 green r12 queries emit Spark INT where the oracle emits
+# BIGINT) and within the binary-float family, but NOT representation
+# changes: DuckDB HUGEINT (an uncast sum(BIGINT)) pandas-coerces to
+# float64/object and hash-failed multimodal_video_frames in r12 even
+# though every value matched. Classes below encode exactly that
+# observed tolerance; anything unlisted must match verbatim.
+_TYPE_CLASS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int",
+    "FLOAT": "float", "DOUBLE": "float",
+}
+
+
+def type_mismatches(con, name, out_dir, oracle_sql):
+    """The driver's hash compare is representation-sensitive (DuckDB
+    HUGEINT vs Spark LONG hash-fails even when every value matches —
+    the r12 multimodal_video_frames bug). pandas fetchdf() coerces both
+    to int64 and masks it, so the value diff below can't catch this
+    class. Compare DESCRIBE types of the Spark parquet output vs the
+    oracle SQL directly instead, modulo the driver's observed
+    same-class tolerance."""
+    got_t = duck_types(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+    want_t = duck_types(con, f"({oracle_sql})")
+    bad = []
+    for c in sorted(set(got_t) & set(want_t)):
+        g, w = got_t[c], want_t[c]
+        if _TYPE_CLASS.get(g, g) != _TYPE_CLASS.get(w, w):
+            bad.append((c, g, w))
+    return bad
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -51,6 +89,12 @@ def main(sf_dir, out_dir):
             want = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        tbad = type_mismatches(con, name, out_dir, oracles[name])
+        if tbad:
+            cols = ", ".join(f"{c}: spark={a} oracle={b}" for c, a, b in tbad)
+            print(f"[FAIL] {name}: TYPE mismatch ({cols})")
             n_fail += 1
             continue
         g, w = norm(got), norm(want)
