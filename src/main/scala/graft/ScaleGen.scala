@@ -88,6 +88,13 @@ object ScaleGen {
     val embs = read("embeddings")
     val vecOff = maxOf(embs, "vec_id")
     val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    // the shift+negate scheme has period 2*dim: replica 2*dim's shift is
+    // 0 on an even lap, reproducing replica 0's vectors exactly (cosine
+    // 1) — past that bound the corpus silently floods with cross-replica
+    // exact duplicates and every dedup/LSH scale measurement is corrupt
+    require(factor <= 2 * dim,
+      s"embedding replication factor $factor exceeds the shift+negate period 2*dim=${2 * dim}; " +
+        "cross-replica vectors would repeat exactly")
     write(replicated(embs) { (e, k) =>
       if (k == 0) e
       else {

@@ -712,10 +712,21 @@ object Multimodal {
     * payload. True MP4/H.264 needs a JNI codec and falls to the
     * declared [[frameSampleStub]] seam, exactly as audio compression
     * does for WAV.
+    *
+    * Caveat: frames are hashed as the reader returns them — raw
+    * rasters, NOT composited against prior frames — so a real-world
+    * delta-encoded GIF (partial rasters + disposal methods) hashes its
+    * deltas, not the displayed frames. The synthetic fixture writes
+    * full-frame GIFs only, where the two are identical.
     */
   def videoFrameHashes(bytes: Array[Byte]): Option[IndexedSeq[Long]] = {
+    // createImageInputStream returns NULL (not an exception) when no
+    // stream SPI is registered — an unguarded in.close() in the finally
+    // would then throw an uncaught NPE and kill the task instead of
+    // falling back to None like every other decode path
     val in = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    if (in == null) return None
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(in)
       if (!readers.hasNext) return None

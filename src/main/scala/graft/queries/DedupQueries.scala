@@ -160,7 +160,11 @@ object DedupQueries extends QueryGroup {
     // own signatures — with a signature-table compaction between batches
     // 1 and 2, which must be invisible to verdicts. The final verdict
     // log is the result. Fixed staging path (wiped per call) keeps the
-    // read plan — and so the plan hash — deterministic.
+    // read plan — and so the plan hash — deterministic. SINGLE-PROCESS
+    // ASSUMPTION: concurrent sessions would race on the shared path
+    // (the driver's harness never overlaps Verify and Bench; the sbt
+    // target lock serializes local runs), and the tmpdir-dependent
+    // absolute path makes the plan hash per-machine.
     "streaming_dedup_gate_replay" -> ((s, dir) => {
       import graft.streaming.{BatchTable, StreamingDedupGate}
       val root = new java.io.File(

@@ -127,6 +127,12 @@ object MultimodalQueries extends QueryGroup {
     // fingerprint-table compaction between batches 1 and 2, which
     // must be invisible to verdicts. Fixed staging path (wiped per
     // call) keeps the read plan — and the plan hash — deterministic.
+    // SINGLE-PROCESS ASSUMPTION: the shared path means two concurrent
+    // Spark sessions running this query race on delete/write (Verify
+    // and Bench never overlap in the driver's harness, and the repo's
+    // sbt target lock serializes local runs); the tmpdir-dependent
+    // absolute path also means the plan hash is per-machine — the
+    // driver and the repo recordings run on the same box.
     "multimodal_image_gate_replay" -> ((s, dir) => {
       import graft.streaming.ImageDedupGate
       val root = new java.io.File(

@@ -119,7 +119,7 @@ class BucketingSpec extends SparkSuite {
   }
 
   test("writeRangeSorted: disjoint per-file key ranges that prune range scans") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-rangesort").toString
+    val tmp = tempDir("graft-rangesort")
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "ts", "value")
     Bucketing.writeRangeSorted(events, s"$tmp/by_ts", Seq("ts"), files = 8)
@@ -149,7 +149,7 @@ class BucketingSpec extends SparkSuite {
   }
 
   test("compactFiles: fragmented table rewritten to size-targeted files, rows identical") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val tmp = tempDir("graft-compact")
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "ts", "value")
     // simulate a micro-batch sink: 64 tiny files

@@ -67,7 +67,8 @@ class ConfigSpec extends AnyFunSuite {
   }
 
   test("load switches on extension; unknown extensions point at loadRaw") {
-    val dir = java.nio.file.Files.createTempDirectory("cfg")
+    val dir = java.nio.file.Paths.get(SparkSuite.registerForCleanup(
+      java.nio.file.Files.createTempDirectory("cfg")))
     val json = dir.resolve("app.json")
     java.nio.file.Files.writeString(json, """{"query": {"bucket": "b1", "tz_offset": -7}}""")
     val cfg = ConfigLoader.queryConfig(ConfigLoader.load(json.toString)("query"))

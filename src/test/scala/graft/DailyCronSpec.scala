@@ -23,7 +23,7 @@ class DailyCronSpec extends SparkSuite {
   }
 
   test("run: previous-day extract lands in the dated CSV (cron happy path)") {
-    val dir = java.nio.file.Files.createTempDirectory("cron").toString
+    val dir = tempDir("cron")
     val cfgPath = java.nio.file.Paths.get(dir, "application.json")
     java.nio.file.Files.writeString(cfgPath,
       """{"query": {
@@ -52,7 +52,7 @@ class DailyCronSpec extends SparkSuite {
   }
 
   test("below-threshold day is skipped, not written (database_extractor.py:341-343)") {
-    val dir = java.nio.file.Files.createTempDirectory("cron").toString
+    val dir = tempDir("cron")
     val out = DailyCron.runForDay(
       Tables.events(spark, "/root/testdata/sf0.001"),
       java.time.LocalDate.of(2030, 6, 6), cfg, dir,
@@ -63,7 +63,7 @@ class DailyCronSpec extends SparkSuite {
   }
 
   test("runRange writes one dated CSV per qualifying day (batched_data, main.py:115-149)") {
-    val dir = java.nio.file.Files.createTempDirectory("cron-range").toString
+    val dir = tempDir("cron-range")
     val outcomes = DailyCron.runRange(
       Tables.events(spark, "/root/testdata/sf0.001"),
       java.time.LocalDate.of(2024, 1, 2), java.time.LocalDate.of(2024, 1, 5),
@@ -85,7 +85,8 @@ class DailyCronSpec extends SparkSuite {
   test("sink failure is logged and swallowed, not thrown (database_extractor.py:352-353)") {
     // outDir is a regular FILE: the csv dir create fails with ENOTDIR
     // (robust even as root, where permission bits don't block writes)
-    val notADir = java.nio.file.Files.createTempFile("cron-notadir", "")
+    val notADir = java.nio.file.Paths.get(SparkSuite.registerForCleanup(
+      java.nio.file.Files.createTempFile("cron-notadir", "")))
     val out = DailyCron.runForDay(
       Tables.events(spark, "/root/testdata/sf0.001"),
       java.time.LocalDate.of(2024, 1, 2), cfg, notADir.toString,

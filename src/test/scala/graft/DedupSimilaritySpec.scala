@@ -104,7 +104,7 @@ class DedupSimilaritySpec extends SparkSuite {
     // materialize the ingest-once signature table, read it back from
     // parquet, and gate the same batch against it — no text column in
     // the table at all, so history re-hashing is structurally impossible
-    val tmp = java.nio.file.Files.createTempDirectory("graft-sigtab").toString
+    val tmp = tempDir("graft-sigtab")
     Dedup.signatureTable(history, "doc_id", "text").write.parquet(s"$tmp/sigs")
     val sigs = spark.read.parquet(s"$tmp/sigs")
     assert(!sigs.columns.contains("text"))

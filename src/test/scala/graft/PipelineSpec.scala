@@ -127,7 +127,7 @@ class PipelineSpec extends SparkSuite {
   }
 
   test("connectedComponents reliable-checkpoint mode agrees with localCheckpoint") {
-    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val dir = tempDir("cc_ckpt")
     val pairs = ((1L until 12L).map(i => (i, i + 1)) ++ Seq((20L, 21L))).toDF("a", "b")
     val reliable = Pipeline.connectedComponents(pairs, "a", "b", checkpointDir = Some(dir))
       .as[(Long, Long)].collect().toMap

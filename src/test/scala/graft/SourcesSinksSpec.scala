@@ -44,7 +44,7 @@ class SourcesSinksSpec extends SparkSuite {
   }
 
   test("daily CSV sink round-trips (S4 semantics: one file per day)") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val tmp = tempDir("graft-sink")
     val df = Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "event_type", "value").limit(50)
     ExtractOps.writeDailyCsv(df, tmp, "extract", java.time.LocalDate.of(2024, 1, 2))
@@ -62,7 +62,7 @@ class SourcesSinksSpec extends SparkSuite {
   }
 
   test("partitioned-by-day writer produces date directories (scale sink)") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-sink2").toString
+    val tmp = tempDir("graft-sink2")
     val df = Tables.events(spark, "/root/testdata/sf0.001")
       .filter(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
     ExtractOps.writePartitionedByDay(df, "ts", s"$tmp/out")
@@ -106,7 +106,7 @@ class SourcesSinksSpec extends SparkSuite {
   }
 
   test("jsonl sink round-trips gzipped one-object-per-line files") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val tmp = tempDir("graft-jsonl")
     val df = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text", "lang")
     ExtractOps.writeJsonl(df, s"$tmp/docs")
@@ -126,7 +126,7 @@ class SourcesSinksSpec extends SparkSuite {
 
   test("upsertDays replaces only its day; re-runs are idempotent") {
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/data"
+    val dir = tempDir("upsert") + "/data"
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val d2 = ev.filter(to_date(col("ts")) === "2024-01-02")
     val d3 = ev.filter(to_date(col("ts")) === "2024-01-03")

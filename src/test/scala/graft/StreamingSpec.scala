@@ -8,7 +8,7 @@ class StreamingSpec extends SparkSuite {
 
   test("streaming resample-last over events matches the batch pipeline") {
     // stage a small parquet dir as the "arriving" stream
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val tmp = tempDir("graft-stream")
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
       .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
     batch.write.mode("overwrite").parquet(s"$tmp/in")
@@ -122,7 +122,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("dedupStream drops duplicate keys within the watermark horizon") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream3").toString
+    val tmp = tempDir("graft-stream3")
     // duplicate every event id 3x with the same payload
     val base = Tables.events(spark, "/root/testdata/sf0.001")
       .filter(col("event_id") < 300)
@@ -145,7 +145,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("stream-stream interval join matches the batch join") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream4").toString
+    val tmp = tempDir("graft-stream4")
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "ts", "user_id", "event_type", "value")
     val clicks = events.filter(col("event_type") === "click")
@@ -180,7 +180,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("count-min sketch maintains incrementally on a stream") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream5").toString
+    val tmp = tempDir("graft-stream5")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
     docs.write.mode("overwrite").parquet(s"$tmp/in")
@@ -207,7 +207,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("file sink writes daily-partitioned parquet with checkpoint") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
+    val tmp = tempDir("graft-stream2")
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
     batch.write.mode("overwrite").parquet(s"$tmp/in")
 
@@ -227,7 +227,7 @@ class StreamingSpec extends SparkSuite {
 
   test("foreachBatch upsert sink: streaming micro-batches land idempotently by day") {
     import graft.operators.ExtractOps
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream3").toString
+    val tmp = tempDir("graft-stream3")
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "ts", "event_type", "value")
     batch.write.mode("overwrite").parquet(s"$tmp/in")
@@ -261,7 +261,7 @@ class StreamingSpec extends SparkSuite {
     // gate reads the ACCUMULATED table — verdicts must equal the
     // full-history re-hash path, and the history text is never touched
     import graft.ext.Dedup
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sig").toString
+    val tmp = tempDir("graft-stream-sig")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
     val history = docs.filter(col("doc_id") % 5 =!= 0)
@@ -290,7 +290,7 @@ class StreamingSpec extends SparkSuite {
   test("streaming dedup gate lifecycle: day-2 gates against day-1 signatures, never day-1 text") {
     import graft.ext.Dedup
     import graft.streaming.StreamingDedupGate
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-gate").toString
+    val tmp = tempDir("graft-stream-gate")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
     val day1 = docs.filter(col("doc_id") % 5 =!= 0)
@@ -345,7 +345,7 @@ class StreamingSpec extends SparkSuite {
   test("streaming dedup gate replay: a crashed batch re-runs as an overwrite, never a duplicate") {
     import graft.ext.Dedup
     import graft.streaming.StreamingDedupGate
-    val tmp = java.nio.file.Files.createTempDirectory("graft-gate-replay").toString
+    val tmp = tempDir("graft-gate-replay")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
     val day1 = docs.filter(col("doc_id") % 5 =!= 0)
@@ -396,7 +396,7 @@ class StreamingSpec extends SparkSuite {
   test("signature compaction: batch partitions fold to one, verdicts unchanged, dup-tolerant") {
     import graft.ext.Dedup
     import graft.streaming.StreamingDedupGate
-    val tmp = java.nio.file.Files.createTempDirectory("graft-gate-compact").toString
+    val tmp = tempDir("graft-gate-compact")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
     val day1 = docs.filter(col("doc_id") % 3 === 1)
@@ -466,7 +466,7 @@ class StreamingSpec extends SparkSuite {
     // the ingest-enrichment shape: events stream in, the dimension
     // table is read fresh per micro-batch and broadcast — no state,
     // no watermark needed for a stream-static inner join
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream8").toString
+    val tmp = tempDir("graft-stream8")
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "user_id", "event_type")
     batch.write.mode("overwrite").parquet(s"$tmp/in")
@@ -489,7 +489,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("streaming hopping-window aggregate matches the batch hop lattice") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream7").toString
+    val tmp = tempDir("graft-stream7")
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("ts"), col("event_type"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
@@ -515,7 +515,7 @@ class StreamingSpec extends SparkSuite {
 
   test("foreachBatch HLL maintenance: streamed distinct states fold to the batch answer") {
     import graft.ext.Warehouse
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream6").toString
+    val tmp = tempDir("graft-stream6")
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_type", "user_id")
     batch.write.mode("overwrite").parquet(s"$tmp/in")

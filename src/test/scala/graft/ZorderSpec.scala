@@ -37,7 +37,7 @@ class ZorderSpec extends SparkSuite {
   }
 
   test("z-ordered layout clusters BOTH dimensions; single-column sort only one") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val tmp = tempDir("graft-zorder")
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
       .select(col("o_orderkey"), col("o_custkey"),
         datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
