@@ -559,9 +559,15 @@ object Multimodal {
     * per-clip synthesis cost drops to a plain array fill (it sits
     * inside the fixture's decode-bound hot loop).
     */
-  def syntheticWav(id: Long): Array[Byte] = {
-    val n = 512
-    val rate = 8000
+  def syntheticWav(id: Long): Array[Byte] =
+    wavPcm16(512, 8000,
+      i => (((37 * id + 11 * (i / 8) + 3 * (i % 8)) % 256).toInt - 128) * 256)
+
+  /** Hand-assembled 16-bit PCM mono RIFF container around a sample
+    * formula — independent of javax.sound's WRITER so a writer/reader
+    * bug pair can't cancel out in the round-trip specs.
+    */
+  private def wavPcm16(n: Int, rate: Int, sample: Int => Int): Array[Byte] = {
     val dataBytes = n * 2
     val out = new Array[Byte](44 + dataBytes)
     def le32(off: Int, v: Int): Unit = {
@@ -584,7 +590,7 @@ object Multimodal {
     tag(36, "data"); le32(40, dataBytes)
     var i = 0
     while (i < n) {
-      val s = (((37 * id + 11 * (i / 8) + 3 * (i % 8)) % 256).toInt - 128) * 256
+      val s = sample(i)
       out(44 + 2 * i) = (s & 0xff).toByte
       out(44 + 2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
@@ -775,6 +781,117 @@ object Multimodal {
             x += 1
           }
           y += 1
+        }
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        k += 1
+      }
+      wr.endWriteSequence()
+    } finally { wr.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  // ===== scale-calibrated clique fixtures (measurement-grade) =====
+  //
+  // The id-congruence fixtures above have a FIXED fingerprint family
+  // space (syntheticPng's payload is periodic in id mod lcm(8,5,256) =
+  // 1280), so replicating the corpus F× makes every perceptual clique
+  // ~F× denser and near-dup OUTPUT grows ~F² — a scale curve over them
+  // measures output volume, not candidate generation. The calibrated
+  // fixtures key content on clique = id / 4 through a full-period
+  // Lehmer LCG: family count GROWS with the corpus, clique size is
+  // pinned at ≤ 4 (ids are unique under any replication), so near-dup
+  // output grows ~linearly at every scale factor and the wall-clock
+  // exponent reflects the banding join itself. All-integer and
+  // overflow-safe to id < 2^45, so a DuckDB oracle replays the decode
+  // chain verbatim in BIGINT arithmetic.
+
+  /** Members per calibrated clique (consecutive ids). */
+  val CalCliqueSize = 4L
+
+  /** Lehmer-mixed per-position value: uniform-ish in [0, 2^31-1),
+    * distinct streams per (clique, pos). `pos` spaces for the three
+    * modalities are disjoint (image 0–63, audio 4096+, video 8192+) so
+    * cross-modal fingerprints are uncorrelated.
+    */
+  def calMix(clique: Long, pos: Long): Long =
+    (((clique * 48271L + pos * 12289L) % 2147483647L) * 69621L) % 2147483647L
+
+  /** Calibrated image luminance at aHash grid position p (8×8 image,
+    * so the grid IS the pixel grid): clique-random base, with the
+    * clique member's diagonal pixel (p = member·9) shifted +128 mod
+    * 256 — flips that aHash bit plus the odd mean-boundary bit, so
+    * in-clique pairs land at small nonzero hamming and cross-clique
+    * fps are independent 64-bit draws (hamming ≈ 32).
+    */
+  def calLumImage(id: Long, p: Int): Int = {
+    val base = (calMix(id / CalCliqueSize, p.toLong) % 256L).toInt
+    if (p == (id % CalCliqueSize).toInt * 9) (base + 128) % 256 else base
+  }
+
+  /** Calibrated 8×8 grayscale PNG — decode → [[aHash64]] is exactly
+    * [[calLumImage]] thresholded at its integer mean.
+    */
+  def syntheticPngCal(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < 64) {
+      val g = calLumImage(id, p)
+      img.setRGB(p % 8, p / 8, (g << 16 | g << 8 | g).toInt)
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Calibrated per-frame amplitude for the audio fixture: every
+    * sample in energy-hash frame f holds this value, so the frame
+    * energy IS the amplitude. Member perturbation bumps frame
+    * member·16 by half scale.
+    */
+  def calAmpAudio(id: Long, f: Int): Int = {
+    val base = (calMix(id / CalCliqueSize, 4096L + f.toLong) % 16384L).toInt
+    if (f == (id % CalCliqueSize).toInt * 16) (base + 8192) % 16384 else base
+  }
+
+  /** Calibrated 512-sample WAV (frame-constant amplitudes) — decode →
+    * [[audioFingerprint64]] is exactly [[calAmpAudio]] thresholded at
+    * its integer mean.
+    */
+  def syntheticWavCal(id: Long): Array[Byte] =
+    wavPcm16(512, 8000, i => calAmpAudio(id, i / 8))
+
+  /** Calibrated video luminance: frame k of 3, grid position p, with
+    * the same member-diagonal perturbation in every frame.
+    */
+  def calLumVideo(id: Long, k: Int, p: Int): Int = {
+    val base = (calMix(id / CalCliqueSize, 8192L + k * 64L + p) % 256L).toInt
+    if (p == (id % CalCliqueSize).toInt * 9) (base + 128) % 256 else base
+  }
+
+  /** Calibrated 3-frame 8×8 animated GIF (h = 8 sits inside the
+    * empirically-pinned JDK GIF round-trip envelope — heights 2–4 hit
+    * the writer bug) — decode → per-frame [[aHash64]] is exactly
+    * [[calLumVideo]] thresholded per frame.
+    */
+  def syntheticGifCal(id: Long): Array[Byte] = {
+    val grays = Array.tabulate[Byte](256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      var k = 0
+      while (k < 3) {
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        var p = 0
+        while (p < 64) {
+          img.getRaster.setSample(p % 8, p / 8, 0, calLumVideo(id, k, p))
+          p += 1
         }
         wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
         k += 1

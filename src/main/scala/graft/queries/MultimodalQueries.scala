@@ -52,6 +52,16 @@ object MultimodalQueries extends QueryGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // scale-CALIBRATED image near-dup: same operator, clique fixture
+    // (Multimodal.syntheticPngCal — families grow with the corpus,
+    // clique size pinned at ≤4), so its scale curve measures the
+    // banding join, not fixture-artifact output volume. The oracle
+    // replays the Lehmer-mixed pixel formula analytically.
+    "multimodal_image_neardup_cal" -> ((s, dir) => {
+      Multimodal.imageNearDupPairs(syntheticCalRecs(s, Tables.documents(s, dir)))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // complete near-dup pass: exact-fp star tier (hamming 0, cap-
     // independent — closes the r11 recall residual) unioned with the
     // banded hamming 1..3 tier; one decode feeding both via the shared
@@ -99,6 +109,13 @@ object MultimodalQueries extends QueryGroup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // scale-calibrated audio near-dup (clique fixture — see
+    // multimodal_image_neardup_cal)
+    "multimodal_audio_neardup_cal" -> ((s, dir) => {
+      Multimodal.audioNearDupPairs(syntheticCalWavRecs(s, Tables.documents(s, dir)))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // REAL multi-frame GIF decode: per-video frame extraction with a
     // real ImageIO reader, every-2nd-frame sampling (frameSampleStub
     // made real), per-frame aHash emitted as four 16-bit chunks
@@ -115,6 +132,14 @@ object MultimodalQueries extends QueryGroup {
     // hashes land within hamming 3; min frame-pair hamming + support
     "multimodal_video_neardup" -> ((s, dir) => {
       Multimodal.videoNearDupPairs(syntheticVideoRecs(s, Tables.documents(s, dir)))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // scale-calibrated video near-dup (clique fixture — see
+    // multimodal_image_neardup_cal; every=2 samples frames 0 and 2 of
+    // the fixed 3)
+    "multimodal_video_neardup_cal" -> ((s, dir) => {
+      Multimodal.videoNearDupPairs(syntheticCalGifRecs(s, Tables.documents(s, dir)))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -211,6 +236,36 @@ object MultimodalQueries extends QueryGroup {
     idFeed(s, df)
       .map(id => Multimodal.MediaRecord(id, Multimodal.syntheticPng(id),
         Multimodal.MediaMeta("png", 0, 0, 0L)))
+  }
+
+  /** doc_id → scale-calibrated clique PNG records
+    * ([[Multimodal.syntheticPngCal]]).
+    */
+  private def syntheticCalRecs(s: SparkSession, df: DataFrame) = {
+    import s.implicits._
+    idFeed(s, df)
+      .map(id => Multimodal.MediaRecord(id, Multimodal.syntheticPngCal(id),
+        Multimodal.MediaMeta("png", 0, 0, 0L)))
+  }
+
+  /** doc_id → scale-calibrated clique WAV records
+    * ([[Multimodal.syntheticWavCal]]).
+    */
+  private def syntheticCalWavRecs(s: SparkSession, df: DataFrame) = {
+    import s.implicits._
+    idFeed(s, df)
+      .map(id => Multimodal.MediaRecord(id, Multimodal.syntheticWavCal(id),
+        Multimodal.MediaMeta("wav", 0, 0, 0L)))
+  }
+
+  /** doc_id → scale-calibrated clique animated-GIF records
+    * ([[Multimodal.syntheticGifCal]]).
+    */
+  private def syntheticCalGifRecs(s: SparkSession, df: DataFrame) = {
+    import s.implicits._
+    idFeed(s, df)
+      .map(id => Multimodal.MediaRecord(id, Multimodal.syntheticGifCal(id),
+        Multimodal.MediaMeta("gif", 0, 0, 0L)))
   }
 
   /** doc_id → deterministic synthetic WAV media records (the audio
@@ -360,6 +415,68 @@ FROM documents ORDER BY doc_id""",
     // image's pixel formula on the 8x8 nearest-neighbor grid, mean-
     // threshold into bits, band into 16-bit chunks for candidates, and
     // count differing bits for the exact hamming verify
+    // calibrated image near-dup: the same banded-candidates + exact
+    // hamming verify skeleton over the clique fixture's analytic fps
+    "multimodal_image_neardup_cal" ->
+      s"""WITH $calFingerprintCtes,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cchunks a JOIN cchunks b ON a.chunk = b.chunk AND a.cval = b.cval
+  WHERE a.doc_id < b.doc_id),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(sum(CASE WHEN x.b != y.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN cbits x ON x.doc_id = c.doc_a
+  JOIN cbits y ON y.doc_id = c.doc_b AND y.pos = x.pos
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+ORDER BY doc_a, doc_b""",
+
+    // calibrated audio near-dup: energy-hash analog of the above
+    "multimodal_audio_neardup_cal" ->
+      s"""WITH $calAudioCtes,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM achunks a JOIN achunks b ON a.chunk = b.chunk AND a.cval = b.cval
+  WHERE a.doc_id < b.doc_id),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(sum(CASE WHEN x.b != y.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN abits x ON x.doc_id = c.doc_a
+  JOIN abits y ON y.doc_id = c.doc_b AND y.pos = x.pos
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+ORDER BY doc_a, doc_b""",
+
+    // calibrated video near-dup: per-sampled-frame fps, banded
+    // candidates, min hamming + distinct near fp-pair support
+    "multimodal_video_neardup_cal" ->
+      s"""WITH $calVideoChunkCtes,
+vfp AS (
+  SELECT DISTINCT doc_id,
+    max(CASE WHEN chunk = 0 THEN cval END) AS c0,
+    max(CASE WHEN chunk = 1 THEN cval END) AS c1,
+    max(CASE WHEN chunk = 2 THEN cval END) AS c2,
+    max(CASE WHEN chunk = 3 THEN cval END) AS c3
+  FROM vchunksc GROUP BY doc_id, k),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.c0 AS a0, a.c1 AS a1, a.c2 AS a2, a.c3 AS a3,
+    b.c0 AS b0, b.c1 AS b1, b.c2 AS b2, b.c3 AS b3
+  FROM vfp a JOIN vfp b
+    ON (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+  WHERE a.doc_id < b.doc_id),
+ham AS (
+  SELECT doc_a, doc_b,
+    CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+       + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS BIGINT) AS h
+  FROM cand)
+SELECT doc_a, doc_b, min(h) AS hamming,
+  CAST(count(*) AS BIGINT) AS n_near_fp_pairs
+FROM ham WHERE h <= 3 GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+
     "multimodal_image_neardup" ->
       s"""WITH $fingerprintCtes,
 cand AS (
@@ -591,6 +708,79 @@ chunks AS (
   SELECT doc_id, k, pos // 16 AS chunk,
     sum(b * (CAST(1 AS BIGINT) << (pos % 16))) AS cval
   FROM vbits GROUP BY 1, 2, 3)"""
+
+  /** The Lehmer mix of [[graft.ext.Multimodal.calMix]] in DuckDB BIGINT
+    * arithmetic (overflow-safe: clique < 2^45 keeps every intermediate
+    * under 2^63).
+    */
+  private def calMixSql(posExpr: String): String =
+    s"(((((doc_id // 4) * 48271 + ($posExpr) * 12289) % 2147483647) * 69621) % 2147483647)"
+
+  /** Analytic aHash CTEs for the scale-calibrated image fixture
+    * ([[graft.ext.Multimodal.syntheticPngCal]]): 8×8 grid = pixel grid,
+    * so the lum IS the formula value.
+    */
+  private def calFingerprintCtes: String =
+    s"""csamp AS (
+  SELECT doc_id, unnest(generate_series(0, 63)) AS pos FROM documents),
+clums AS (
+  SELECT doc_id, pos,
+    (${calMixSql("pos")} % 256
+      + CASE WHEN pos = (doc_id % 4) * 9 THEN 128 ELSE 0 END) % 256 AS lum
+  FROM csamp),
+cm AS (SELECT doc_id, sum(lum) // 64 AS mean FROM clums GROUP BY 1),
+cbits AS (
+  SELECT l.doc_id, l.pos AS pos, CASE WHEN l.lum > m.mean THEN 1 ELSE 0 END AS b
+  FROM clums l JOIN cm m USING (doc_id)),
+cchunks AS (
+  SELECT doc_id, pos // 16 AS chunk,
+    sum(b * (CAST(1 AS BIGINT) << (pos % 16))) AS cval
+  FROM cbits GROUP BY 1, 2)"""
+
+  /** Analytic energy-hash CTEs for the calibrated audio fixture
+    * ([[graft.ext.Multimodal.syntheticWavCal]]): frame-constant
+    * amplitudes, so frame energy IS the amplitude formula.
+    */
+  private def calAudioCtes: String =
+    s"""aframes AS (
+  SELECT doc_id, unnest(generate_series(0, 63)) AS pos FROM documents),
+aamp AS (
+  SELECT doc_id, pos,
+    (${calMixSql("4096 + pos")} % 16384
+      + CASE WHEN pos = (doc_id % 4) * 16 THEN 8192 ELSE 0 END) % 16384 AS e
+  FROM aframes),
+am AS (SELECT doc_id, sum(e) // 64 AS mean FROM aamp GROUP BY 1),
+abits AS (
+  SELECT a.doc_id, a.pos AS pos, CASE WHEN a.e > m.mean THEN 1 ELSE 0 END AS b
+  FROM aamp a JOIN am m USING (doc_id)),
+achunks AS (
+  SELECT doc_id, pos // 16 AS chunk,
+    sum(b * (CAST(1 AS BIGINT) << (pos % 16))) AS cval
+  FROM abits GROUP BY 1, 2)"""
+
+  /** Analytic per-frame aHash CTEs for the calibrated video fixture
+    * ([[graft.ext.Multimodal.syntheticGifCal]]) under the every=2
+    * stride over its fixed 3 frames (k = 0, 2).
+    */
+  private def calVideoChunkCtes: String =
+    s"""vfrc AS (
+  SELECT doc_id, unnest([0, 2]) AS k FROM documents),
+vsampc AS (
+  SELECT doc_id, k, unnest(generate_series(0, 63)) AS pos FROM vfrc),
+vlumsc AS (
+  SELECT doc_id, k, pos,
+    (${calMixSql("8192 + k * 64 + pos")} % 256
+      + CASE WHEN pos = (doc_id % 4) * 9 THEN 128 ELSE 0 END) % 256 AS lum
+  FROM vsampc),
+vmc AS (SELECT doc_id, k, sum(lum) // 64 AS mean FROM vlumsc GROUP BY 1, 2),
+vbitsc AS (
+  SELECT l.doc_id, l.k, l.pos AS pos,
+    CASE WHEN l.lum > m.mean THEN 1 ELSE 0 END AS b
+  FROM vlumsc l JOIN vmc m ON l.doc_id = m.doc_id AND l.k = m.k),
+vchunksc AS (
+  SELECT doc_id, k, pos // 16 AS chunk,
+    sum(b * (CAST(1 AS BIGINT) << (pos % 16))) AS cval
+  FROM vbitsc GROUP BY 1, 2, 3)"""
 
   // def, not val: referenced from oracleSql's initializer above, and
   // object vals initialize in declaration order
