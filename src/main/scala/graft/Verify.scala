@@ -23,12 +23,20 @@ object Verify {
     // type sweep share one recorded source of truth (r12's
     // multimodal_video_frames HUGEINT-vs-LONG bug class).
     val schemas = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // name → result row count, for tools/check.py's non-vacuity gate: a
+    // 0-row result whose oracle is ALSO empty hashes green (empty ==
+    // empty), which hid dedup_embedding_lsh_wide's dead 12-bit pin for
+    // a round — the count makes emptiness visible to the harness.
+    val rowCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // count from the WRITTEN parquet (metadata-bound), not the plan —
+        // a second action on fn's DataFrame would recompute the query
+        rowCounts += name -> spark.read.parquet(s"$outDir/$name").count()
         schemas += name -> df.schema.toDDL
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -57,9 +65,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val schemaJson = schemas
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/spark_schema.json"), schemaJson)
+    // On a partial run (`only` set), MERGE into any existing recording
+    // instead of clobbering it — a filtered local iteration would
+    // otherwise shrink spark_schema.json to the subset and the next
+    // full-file consumer (tools/check.py's type sweep) would lose the
+    // other 170+ entries. Jackson is already on the Spark classpath.
+    def writeMerged(path: String, fresh: collection.Map[String, String]): Unit = {
+      val p = Paths.get(path)
+      val prior: Map[String, String] =
+        if (only.isDefined && Files.exists(p)) {
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readValue(Files.readString(p), classOf[java.util.LinkedHashMap[String, String]])
+          scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.toMap
+        } else Map.empty
+      val merged = prior ++ fresh
+      Files.writeString(p, merged.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    }
+    writeMerged(s"$outDir/spark_schema.json", schemas)
+    writeMerged(s"$outDir/rowcounts.json", rowCounts.map { case (k, v) => k -> v.toString })
     spark.stop()
   }
 }

@@ -665,6 +665,23 @@ object Dedup {
     b
   }
 
+  /** Table count coupled to the derived signature width: per-table
+    * collision probability for a pair at angle theta is
+    * (1 - theta/pi)^bits, so recall at a FIXED table count decays
+    * geometrically as [[adaptiveLshBits]] widens the signature with the
+    * corpus (measured with LshRecallProbe on the driver fixtures:
+    * 8 tables x 8 bits finds 0 of 7 true pairs at n=500; 16 tables
+    * finds 4). Doubling tables every 2 derived bits holds the measured
+    * dev-SF recall floor (~25-30% at tau=0.45; DedupSimilaritySpec pins
+    * it) until the cap; past the cap recall decays by the standard
+    * SimHash collision bound — the documented approximation contract
+    * (exact recall needs [[embeddingCosinePairs]], the fenced O(n^2)
+    * ground truth). Integer-exact (shift/divide only) so the DuckDB
+    * oracle derives the identical count from its own count(*).
+    */
+  def adaptiveLshTables(bits: Int, floor: Int = 8, base: Int = 16, cap: Int = 32): Int =
+    math.min(cap, base << math.max(0, (bits - floor) / 2))
+
   /** Embedding near-dup pairs, LSH-bucketed: the scale path. Candidates
     * share a random-hyperplane sign-bucket in at least one of `tables`
     * hash tables (row-local fused bucket keys, one map pass), then the
@@ -676,13 +693,21 @@ object Dedup {
     * Deterministic: seeded planes, so an external oracle can replay the
     * exact pair set.
     *
-    * `bits <= 0` (the DEFAULT) derives the width from a corpus count via
-    * [[adaptiveLshBits]] — expected bucket occupancy stays ~constant as
-    * the corpus grows, closing the fixed-width cliff above. The derived
-    * path uses PREFIX-STABLE planes ([[Similarity.hyperplanesPrefix]])
-    * so one oracle plane table covers every derived width; an explicit
-    * `bits > 0` pins the width with the original sequential-stream
-    * planes (oracle replay of pinned parameterizations).
+    * `bits <= 0` (the DEFAULT) derives BOTH the width and the table
+    * count from a corpus count ([[adaptiveLshBits]] +
+    * [[adaptiveLshTables]]) — expected bucket occupancy stays ~constant
+    * as the corpus grows (closing the fixed-width cliff above) and the
+    * table count doubles every 2 derived bits (holding the recall floor
+    * the width growth would otherwise erode). The derived path IGNORES
+    * the `tables` parameter and uses PREFIX-STABLE planes
+    * ([[Similarity.hyperplanesPrefix]], stable in both dimensions) so
+    * one oracle plane table covers every derived (tables, bits); an
+    * explicit `bits > 0` pins both knobs with the original
+    * sequential-stream planes (oracle replay of pinned
+    * parameterizations). `n >= 0` supplies a precomputed corpus count
+    * for the derived path, skipping the extra count() pass — worth it
+    * when the input is an expensive intermediate rather than a parquet
+    * scan (where count() is metadata-bound and cheap).
     */
   def embeddingCosinePairsLsh(
       df: DataFrame,
@@ -693,7 +718,8 @@ object Dedup {
       bits: Int = 0,
       seed: Long = 42L,
       dim: Int = 64,
-      maxBucket: Int = 100000
+      maxBucket: Int = 100000,
+      n: Long = -1L
   ): DataFrame = {
     import graft.functions.DotProductExpr.dot
     val planes =
@@ -702,8 +728,8 @@ object Dedup {
         // count() on a parquet scan is metadata-bound (row-group counts,
         // no column IO) — cheap even at corpus scale, and deterministic
         // per SF so the oracle's own count() derives the same width.
-        val derived = adaptiveLshBits(df.count())
-        Similarity.hyperplanesPrefix(tables, derived, dim, seed)
+        val derived = adaptiveLshBits(if (n >= 0) n else df.count())
+        Similarity.hyperplanesPrefix(adaptiveLshTables(derived), derived, dim, seed)
       }
     val bucketed = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)

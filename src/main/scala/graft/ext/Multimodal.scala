@@ -762,9 +762,15 @@ object Multimodal {
     val w = 4 + (id % 5).toInt
     val h = 5 + (id % 4).toInt
     val frames = 2 + (id % 3).toInt
+    // acquire the writer BEFORE opening the stream: a missing GIF writer
+    // SPI would otherwise throw NoSuchElementException past the finally
+    // and leak the stream (the read path's videoFrameHashes has the
+    // matching SPI-absent guard)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no GIF ImageWriter SPI registered in this JDK")
+    val wr = writers.next()
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     try {
       wr.setOutput(ios)
       wr.prepareWriteSequence(null)
@@ -878,9 +884,15 @@ object Multimodal {
   def syntheticGifCal(id: Long): Array[Byte] = {
     val grays = Array.tabulate[Byte](256)(_.toByte)
     val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    // acquire the writer BEFORE opening the stream: a missing GIF writer
+    // SPI would otherwise throw NoSuchElementException past the finally
+    // and leak the stream (the read path's videoFrameHashes has the
+    // matching SPI-absent guard)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no GIF ImageWriter SPI registered in this JDK")
+    val wr = writers.next()
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     try {
       wr.setOutput(ios)
       wr.prepareWriteSequence(null)

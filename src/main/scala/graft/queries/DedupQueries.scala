@@ -67,29 +67,36 @@ object DedupQueries extends QueryGroup {
         .orderBy("id_a", "id_b")
     }),
 
-    // Same semantics, scale path: LSH-bucketed candidates (8 tables,
-    // CORPUS-DERIVED signature width — Dedup.adaptiveLshBits keeps
-    // expected bucket occupancy ~4 at any n, closing the r12-measured
+    // Same semantics, scale path: LSH-bucketed candidates with a
+    // CORPUS-DERIVED shape — Dedup.adaptiveLshBits keeps expected
+    // bucket occupancy ~4 at any n (closing the r12-measured
     // fixed-width cliff: bits=8 was 582 s at 200 k vectors where the
-    // derived 16 is ~6 s) then the exact cosine refine — no all-pairs
-    // join anywhere in the plan. The oracle derives the SAME width from
-    // its own count(*) and selects that prefix of an embedded max-width
-    // prefix-stable plane table, so the (approximate) pair set is
-    // checked exactly at EVERY corpus size, not just the dev SF.
+    // derived 16 is ~6 s) and Dedup.adaptiveLshTables doubles the
+    // table count every 2 derived bits (holding the recall floor the
+    // width growth erodes; 8 fixed tables had ZERO recall at the smoke
+    // SF) — then the exact cosine refine, no all-pairs join anywhere in
+    // the plan. The oracle derives the SAME (tables, bits) from its own
+    // count(*) and selects that two-dimensional prefix of an embedded
+    // max-shape plane table, so the (approximate) pair set is checked
+    // exactly at EVERY corpus size, not just the dev SF.
     "dedup_embedding_lsh" -> ((s, dir) => {
       Dedup.embeddingCosinePairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
         .orderBy("id_a", "id_b")
     }),
 
-    // The explicit-width override of the same operator: PINNED 12-bit
-    // buckets (the pre-adaptive sequential-stream planes). Kept so the
-    // pinned parameterization path stays oracle-checked alongside the
-    // adaptive default — retuning the knob never loses the correctness
-    // gate, and a user who wants a fixed width (e.g. replaying a
-    // historical signature table) has a checked form to copy.
+    // The explicit override of the same operator: PINNED 16 tables x
+    // 9-bit buckets (the pre-adaptive sequential-stream planes). Kept so
+    // the pinned parameterization path stays oracle-checked alongside
+    // the adaptive default — retuning the knob never loses the
+    // correctness gate, and a user who wants a fixed shape (e.g.
+    // replaying a historical signature table) has a checked form to
+    // copy. The pin is chosen by LshRecallProbe (mode=seq) to be
+    // NON-VACUOUS at both the smoke and verify SFs (2 and 3 pairs) —
+    // the r13 12-bit pin found nothing at sf0.01, so its green oracle
+    // cell only proved empty == empty.
     "dedup_embedding_lsh_wide" -> ((s, dir) => {
       Dedup.embeddingCosinePairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.45, bits = 12)
+        threshold = 0.45, tables = 16, bits = 9)
         .orderBy("id_a", "id_b")
     }),
 
@@ -448,18 +455,24 @@ ORDER BY id_a, id_b"""
 
   /** Corpus-adaptive oracle: derives bits exactly as
     * Dedup.adaptiveLshBits (integer shifted-comparison scan — no float
-    * log2, so boundary corpus sizes round identically) from its own
-    * count(*), then runs the same bucket/candidate/refine pipeline on
-    * that prefix of the max-width plane table.
+    * log2, so boundary corpus sizes round identically) and tables as
+    * Dedup.adaptiveLshTables (shift of the floored half-difference)
+    * from its own count(*), then runs the same
+    * bucket/candidate/refine pipeline on that (tables, bits) prefix of
+    * the max-shape plane table — hyperplanesPrefix seeds each (t, bit)
+    * plane independently, so the table is prefix-stable in BOTH
+    * dimensions and one embedded table covers every corpus size.
     */
   private def embLshAdaptiveSql: String =
     s"""WITH planes_all(t, bit, plane) AS (VALUES
-${embLshPlanesPrefix(8, 24)}),
+${embLshPlanesPrefix(32, 24)}),
 nrows AS (SELECT count(*) AS n FROM embeddings),
 bsel AS (SELECT COALESCE(min(b), 24) AS bits
          FROM generate_series(8, 24) g(b), nrows
          WHERE (CAST(4 AS BIGINT) << b) >= n),
-planes AS (SELECT t, bit, plane FROM planes_all, bsel WHERE planes_all.bit < bsel.bits),
+tsel AS (SELECT LEAST(32, 16 << GREATEST(0, (bits - 8) // 2)) AS tabs FROM bsel),
+planes AS (SELECT t, bit, plane FROM planes_all, bsel, tsel
+           WHERE planes_all.bit < bsel.bits AND planes_all.t < tsel.tabs),
 buckets AS (
   SELECT e.vec_id, p.t,
     CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
@@ -526,7 +539,7 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_ngram_jaccard" -> jaccardSql,
     "dedup_embedding" -> cosineSql,
     "dedup_embedding_lsh" -> embLshAdaptiveSql,
-    "dedup_embedding_lsh_wide" -> embLshSqlFor(8, 12),
+    "dedup_embedding_lsh_wide" -> embLshSqlFor(16, 9),
     "dedup_spans" -> spanSql,
     "dedup_spans_clean" -> spanCleanSql,
     "dedup_spans_exact" -> spanExactSql,

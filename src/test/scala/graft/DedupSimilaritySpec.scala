@@ -277,6 +277,38 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(Dedup.adaptiveLshBits(100000000L) == 24) // cap
   }
 
+  test("adaptiveLshTables: doubles every 2 bits above the floor, capped") {
+    // must match the oracle's LEAST(32, 16 << GREATEST(0, (bits-8)//2))
+    assert(Dedup.adaptiveLshTables(8) == 16)
+    assert(Dedup.adaptiveLshTables(9) == 16)
+    assert(Dedup.adaptiveLshTables(10) == 32)
+    assert(Dedup.adaptiveLshTables(11) == 32)
+    assert(Dedup.adaptiveLshTables(12) == 32) // cap
+    assert(Dedup.adaptiveLshTables(24) == 32) // cap
+    assert(Dedup.adaptiveLshTables(7) == 16)  // below floor clamps to base
+  }
+
+  test("adaptive LSH recall floor: >= 25% of ground-truth pairs at the verify SF") {
+    // The contract the tables-vs-bits coupling exists to hold: under the
+    // derived (tables, bits) — (16, 8) at this corpus size — the
+    // prefix-stable plane draw must recover at least a quarter of the
+    // exact cosine >= 0.45 pairs on the driver's sf0.01 fixture
+    // (measured 4/14 = 28.6%). A plane re-seed or coupling change that
+    // zeroes the dev-SF yield (the r13 regression: 8 fixed tables -> 0
+    // pairs at sf0.001) fails here, not in the driver's vacuous-green
+    // empty == empty compare.
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingCosinePairsLsh(emb, "vec_id", "embedding", threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture lost its ground-truth near-dup pairs")
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.25, s"adaptive-LSH recall $recall < 0.25 floor (${lsh.size}/${exact.size} pairs)")
+  }
+
   test("hyperplanesPrefix: width-b planes are an exact prefix of any wider set") {
     val narrow = Similarity.hyperplanesPrefix(tables = 8, bits = 8, dim = 16)
     val wide = Similarity.hyperplanesPrefix(tables = 8, bits = 24, dim = 16)

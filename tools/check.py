@@ -17,6 +17,14 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Queries whose EMPTY result at the verify SF is semantically correct and
+# oracle-confirmed (the fixture genuinely contains no qualifying rows).
+# Everything else: 0 rows FAILS even when the oracle also returns 0 —
+# empty == empty hashes green in the driver, which is exactly how
+# dedup_embedding_lsh_wide's dead 12-bit pin stayed green for a round.
+# Adding a name here requires a comment saying WHY emptiness is correct.
+EMPTY_OK: set = set()
+
 
 def norm(df):
     df = df[sorted(df.columns)]
@@ -59,6 +67,13 @@ def type_mismatches(con, name, out_dir, oracle_sql):
         g, w = got_t[c], want_t[c]
         if _TYPE_CLASS.get(g, g) != _TYPE_CLASS.get(w, w):
             bad.append((c, g, w))
+    # a column present on only one side would otherwise bypass the type
+    # gate entirely (the later column-name diff reports the rename but
+    # hides a coincident type change) — surface it here with its type
+    for c in sorted(set(got_t) - set(want_t)):
+        bad.append((c, got_t[c], "<absent in oracle>"))
+    for c in sorted(set(want_t) - set(got_t)):
+        bad.append((c, "<absent in spark output>", want_t[c]))
     return bad
 
 
@@ -84,6 +99,12 @@ def main(sf_dir, out_dir):
         ).fetchdf()
         if name not in oracles:
             print(f"[rows-only] {name}: {len(got)} rows" + (" EMPTY!" if len(got) == 0 else ""))
+            continue
+        if len(got) == 0 and name not in EMPTY_OK:
+            # fail BEFORE the value compare: an empty Spark result vs an
+            # empty oracle result is a vacuous green
+            print(f"[FAIL] {name}: 0 rows (vacuous — not in EMPTY_OK allowlist)")
+            n_fail += 1
             continue
         try:
             want = con.execute(oracles[name]).fetchdf()
