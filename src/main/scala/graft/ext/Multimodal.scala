@@ -803,36 +803,75 @@ object Multimodal {
   // 1280), so replicating the corpus F× makes every perceptual clique
   // ~F× denser and near-dup OUTPUT grows ~F² — a scale curve over them
   // measures output volume, not candidate generation. The calibrated
-  // fixtures key content on clique = id / 4 through a full-period
-  // Lehmer LCG: family count GROWS with the corpus, clique size is
-  // pinned at ≤ 4 (ids are unique under any replication), so near-dup
-  // output grows ~linearly at every scale factor and the wall-clock
-  // exponent reflects the banding join itself. All-integer and
-  // overflow-safe to id < 2^45, so a DuckDB oracle replays the decode
-  // chain verbatim in BIGINT arithmetic.
+  // fixtures key content on clique = id / 4: family count GROWS with
+  // the corpus, clique size is pinned at ≤ 4 (ids are unique under any
+  // replication), so near-dup output grows EXACTLY linearly (6 pairs
+  // per family, measured zero cross-family pairs at 50 000 docs) and
+  // the wall-clock exponent reflects the banding join itself.
+  // All-integer and overflow-safe, so a DuckDB oracle replays the
+  // decode chain verbatim in BIGINT arithmetic.
+  //
+  // DESIGN NOTE (r14 rewrite): the fingerprint BITS are chosen
+  // directly by [[calBit]] and the payloads synthesize two-level
+  // values (100/150) that the threshold-at-mean hash provably maps
+  // back to those bits (mean sits strictly between the levels for any
+  // set-count in [0, 63]; position 63 is pinned clear so 64 is
+  // unreachable). The r13 form derived bits by thresholding a
+  // SINGLE-round Lehmer stream — which is affine in the clique for
+  // fixed pos, so family streams differed by a pos-independent
+  // constant that mod-256 + threshold-at-mean largely preserved:
+  // 460 489 near pairs at 5 000 docs (~60× the designed 7 500), and
+  // 100× output growth per 10× corpus — the quadratic artifact the
+  // fixtures were built to remove. tools/ references: the
+  // measurement is reproducible with the rowcounts.json dump.
 
   /** Members per calibrated clique (consecutive ids). */
   val CalCliqueSize = 4L
 
-  /** Lehmer-mixed per-position value: uniform-ish in [0, 2^31-1),
-    * distinct streams per (clique, pos). `pos` spaces for the three
-    * modalities are disjoint (image 0–63, audio 4096+, video 8192+) so
-    * cross-modal fingerprints are uncorrelated.
+  /** Pseudo-random BIT per (clique, pos): two Lehmer-square rounds
+    * with the position re-injected between them. One affine round (or
+    * one square round — its difference structure is affine in pos) is
+    * measurably insufficient; after two square rounds the
+    * between-family difference is a degree-4 polynomial with
+    * pos-dependent cross terms and the empirical cross-family
+    * near-pair count on the dev corpora is zero. `pos` spaces for the
+    * three modalities are disjoint (image 0–63, audio 4096+, video
+    * 8192+) so cross-modal fingerprints are uncorrelated. Every
+    * intermediate stays below 2^63 for clique < 2^31 — DuckDB BIGINT
+    * replays it exactly.
     */
-  def calMix(clique: Long, pos: Long): Long =
-    (((clique * 48271L + pos * 12289L) % 2147483647L) * 69621L) % 2147483647L
+  def calBit(clique: Long, pos: Long): Int = {
+    val M = 2147483647L
+    var h = (clique * 48271L + pos * 12289L + 9973L) % M
+    h = (h * h) % M
+    h = ((h + pos * 48271L + 7919L) * 69621L) % M
+    h = (h * h) % M
+    ((h >> 15) & 1L).toInt
+  }
+
+  /** Target fingerprint bit at grid position p for clique member
+    * `id`: the clique-random [[calBit]] draw, with position 0 pinned
+    * set and 63 pinned clear (keeps the set-count in [0, 63] so the
+    * two-level encoding below thresholds back exactly), and the
+    * member's diagonal bit (p = member·9) flipped — in-clique pairs
+    * land at hamming 2, cross-clique fps are independent draws
+    * (hamming ≈ 32).
+    */
+  private def calTargetBit(id: Long, p: Int, pos: Long): Int = {
+    var b = calBit(id / CalCliqueSize, pos)
+    if (p == 0) b = 1
+    if (p == 63) b = 0
+    if (p == (id % CalCliqueSize).toInt * 9) b = 1 - b
+    b
+  }
 
   /** Calibrated image luminance at aHash grid position p (8×8 image,
-    * so the grid IS the pixel grid): clique-random base, with the
-    * clique member's diagonal pixel (p = member·9) shifted +128 mod
-    * 256 — flips that aHash bit plus the odd mean-boundary bit, so
-    * in-clique pairs land at small nonzero hamming and cross-clique
-    * fps are independent 64-bit draws (hamming ≈ 32).
+    * so the grid IS the pixel grid): 100 or 150 by the target bit —
+    * the integer mean lies in [100, 149] for any set-count ≤ 63, so
+    * `lum > mean` reproduces the target bits verbatim.
     */
-  def calLumImage(id: Long, p: Int): Int = {
-    val base = (calMix(id / CalCliqueSize, p.toLong) % 256L).toInt
-    if (p == (id % CalCliqueSize).toInt * 9) (base + 128) % 256 else base
-  }
+  def calLumImage(id: Long, p: Int): Int =
+    100 + 50 * calTargetBit(id, p, p.toLong)
 
   /** Calibrated 8×8 grayscale PNG — decode → [[aHash64]] is exactly
     * [[calLumImage]] thresholded at its integer mean.
@@ -853,12 +892,17 @@ object Multimodal {
 
   /** Calibrated per-frame amplitude for the audio fixture: every
     * sample in energy-hash frame f holds this value, so the frame
-    * energy IS the amplitude. Member perturbation bumps frame
-    * member·16 by half scale.
+    * energy IS the amplitude — two-level (100/150) by the target bit,
+    * so the energy hash thresholds back to the chosen bits exactly.
     */
   def calAmpAudio(id: Long, f: Int): Int = {
-    val base = (calMix(id / CalCliqueSize, 4096L + f.toLong) % 16384L).toInt
-    if (f == (id % CalCliqueSize).toInt * 16) (base + 8192) % 16384 else base
+    // member flip on frame member·16 (frames 0/16/32/48), pins on
+    // frames 0 and 63 — the FRAME index is the bit position here
+    var b = calBit(id / CalCliqueSize, 4096L + f.toLong)
+    if (f == 0) b = 1
+    if (f == 63) b = 0
+    if (f == (id % CalCliqueSize).toInt * 16) b = 1 - b
+    100 + 50 * b
   }
 
   /** Calibrated 512-sample WAV (frame-constant amplitudes) — decode →
@@ -871,10 +915,8 @@ object Multimodal {
   /** Calibrated video luminance: frame k of 3, grid position p, with
     * the same member-diagonal perturbation in every frame.
     */
-  def calLumVideo(id: Long, k: Int, p: Int): Int = {
-    val base = (calMix(id / CalCliqueSize, 8192L + k * 64L + p) % 256L).toInt
-    if (p == (id % CalCliqueSize).toInt * 9) (base + 128) % 256 else base
-  }
+  def calLumVideo(id: Long, k: Int, p: Int): Int =
+    100 + 50 * calTargetBit(id, p, 8192L + k * 64L + p)
 
   /** Calibrated 3-frame 8×8 animated GIF (h = 8 sits inside the
     * empirically-pinned JDK GIF round-trip envelope — heights 2–4 hit

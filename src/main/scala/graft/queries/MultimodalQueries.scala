@@ -709,29 +709,47 @@ chunks AS (
     sum(b * (CAST(1 AS BIGINT) << (pos % 16))) AS cval
   FROM vbits GROUP BY 1, 2, 3)"""
 
-  /** The Lehmer mix of [[graft.ext.Multimodal.calMix]] in DuckDB BIGINT
-    * arithmetic (overflow-safe: clique < 2^45 keeps every intermediate
-    * under 2^63).
+  /** The two-round Lehmer-square bit of
+    * [[graft.ext.Multimodal.calBit]] in DuckDB BIGINT arithmetic
+    * (overflow-safe: every intermediate is a product of two mod-2^31
+    * residues < 2^62). Emitted as chained CTEs named `<p>b0..<p>b2`
+    * (prefix keeps the three modalities' CTE names disjoint within
+    * one query); `extraCols` carries grouping columns (e.g. the video
+    * frame index) through the chain. The final column `bb` is the raw
+    * clique bit at the stream position; pin/flip logic is applied by
+    * the caller per grid position.
     */
-  private def calMixSql(posExpr: String): String =
-    s"(((((doc_id // 4) * 48271 + ($posExpr) * 12289) % 2147483647) * 69621) % 2147483647)"
+  private def calBitCtes(prefix: String, srcCte: String, posExpr: String, extraCols: String = ""): String =
+    s"""${prefix}b0 AS (
+  SELECT doc_id$extraCols, pos,
+    (((doc_id // 4) * 48271 + ($posExpr) * 12289 + 9973) % 2147483647) AS h
+  FROM $srcCte),
+${prefix}b1 AS (
+  SELECT doc_id$extraCols, pos,
+    ((((h * h) % 2147483647) + ($posExpr) * 48271 + 7919) * 69621) % 2147483647 AS h
+  FROM ${prefix}b0),
+${prefix}b2 AS (
+  SELECT doc_id$extraCols, pos, (((h * h) % 2147483647) // 32768) % 2 AS bb
+  FROM ${prefix}b1)"""
+
+  /** Pin positions 0 (set) and 63 (clear), then flip the member's bit
+    * at `flipPos` — mirrors [[graft.ext.Multimodal.calTargetBit]]. */
+  private def calBitSelect(flipPos: String): String =
+    s"""CASE WHEN pos = ($flipPos) THEN 1 - b0 ELSE b0 END AS b
+  FROM (SELECT *, CASE WHEN pos = 0 THEN 1 WHEN pos = 63 THEN 0 ELSE bb END AS b0"""
 
   /** Analytic aHash CTEs for the scale-calibrated image fixture
-    * ([[graft.ext.Multimodal.syntheticPngCal]]): 8×8 grid = pixel grid,
-    * so the lum IS the formula value.
+    * ([[graft.ext.Multimodal.syntheticPngCal]]): the fingerprint bits
+    * are the direct [[graft.ext.Multimodal.calBit]] draws (pinned /
+    * member-flipped), which the two-level 100/150 pixel encoding
+    * provably thresholds back to — no mean CTE needed.
     */
   private def calFingerprintCtes: String =
     s"""csamp AS (
   SELECT doc_id, unnest(generate_series(0, 63)) AS pos FROM documents),
-clums AS (
-  SELECT doc_id, pos,
-    (${calMixSql("pos")} % 256
-      + CASE WHEN pos = (doc_id % 4) * 9 THEN 128 ELSE 0 END) % 256 AS lum
-  FROM csamp),
-cm AS (SELECT doc_id, sum(lum) // 64 AS mean FROM clums GROUP BY 1),
+${calBitCtes("c", "csamp", "pos")},
 cbits AS (
-  SELECT l.doc_id, l.pos AS pos, CASE WHEN l.lum > m.mean THEN 1 ELSE 0 END AS b
-  FROM clums l JOIN cm m USING (doc_id)),
+  SELECT doc_id, pos, ${calBitSelect("(doc_id % 4) * 9")} FROM cb2) t),
 cchunks AS (
   SELECT doc_id, pos // 16 AS chunk,
     sum(b * (CAST(1 AS BIGINT) << (pos % 16))) AS cval
@@ -739,20 +757,15 @@ cchunks AS (
 
   /** Analytic energy-hash CTEs for the calibrated audio fixture
     * ([[graft.ext.Multimodal.syntheticWavCal]]): frame-constant
-    * amplitudes, so frame energy IS the amplitude formula.
+    * two-level amplitudes, so the frame-energy bits are the direct
+    * draws at stream positions 4096+frame.
     */
   private def calAudioCtes: String =
     s"""aframes AS (
   SELECT doc_id, unnest(generate_series(0, 63)) AS pos FROM documents),
-aamp AS (
-  SELECT doc_id, pos,
-    (${calMixSql("4096 + pos")} % 16384
-      + CASE WHEN pos = (doc_id % 4) * 16 THEN 8192 ELSE 0 END) % 16384 AS e
-  FROM aframes),
-am AS (SELECT doc_id, sum(e) // 64 AS mean FROM aamp GROUP BY 1),
+${calBitCtes("a", "aframes", "4096 + pos")},
 abits AS (
-  SELECT a.doc_id, a.pos AS pos, CASE WHEN a.e > m.mean THEN 1 ELSE 0 END AS b
-  FROM aamp a JOIN am m USING (doc_id)),
+  SELECT doc_id, pos, ${calBitSelect("(doc_id % 4) * 16")} FROM ab2) t),
 achunks AS (
   SELECT doc_id, pos // 16 AS chunk,
     sum(b * (CAST(1 AS BIGINT) << (pos % 16))) AS cval
@@ -767,16 +780,9 @@ achunks AS (
   SELECT doc_id, unnest([0, 2]) AS k FROM documents),
 vsampc AS (
   SELECT doc_id, k, unnest(generate_series(0, 63)) AS pos FROM vfrc),
-vlumsc AS (
-  SELECT doc_id, k, pos,
-    (${calMixSql("8192 + k * 64 + pos")} % 256
-      + CASE WHEN pos = (doc_id % 4) * 9 THEN 128 ELSE 0 END) % 256 AS lum
-  FROM vsampc),
-vmc AS (SELECT doc_id, k, sum(lum) // 64 AS mean FROM vlumsc GROUP BY 1, 2),
+${calBitCtes("v", "vsampc", "8192 + k * 64 + pos", ", k")},
 vbitsc AS (
-  SELECT l.doc_id, l.k, l.pos AS pos,
-    CASE WHEN l.lum > m.mean THEN 1 ELSE 0 END AS b
-  FROM vlumsc l JOIN vmc m ON l.doc_id = m.doc_id AND l.k = m.k),
+  SELECT doc_id, k, pos, ${calBitSelect("(doc_id % 4) * 9")} FROM vb2) t),
 vchunksc AS (
   SELECT doc_id, k, pos // 16 AS chunk,
     sum(b * (CAST(1 AS BIGINT) << (pos % 16))) AS cval

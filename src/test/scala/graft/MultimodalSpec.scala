@@ -400,4 +400,54 @@ class MultimodalSpec extends SparkSuite {
     val f1 = feats.find(_.id == 1L).get
     assert(f1.histogram.sum == "doc number 1 payload".getBytes("UTF-8").length)
   }
+
+  // ===== scale-calibrated clique fixtures =====
+
+  /** The analytic target fingerprint the _cal payloads encode:
+    * [[Multimodal.calBit]] with position 0 pinned set, 63 pinned
+    * clear, member's diagonal bit flipped. */
+  private def calTargetFp(id: Long, posOf: Int => Long, flipPos: Int): Long = {
+    var fp = 0L
+    for (p <- 0 until 64) {
+      var b = Multimodal.calBit(id / Multimodal.CalCliqueSize, posOf(p))
+      if (p == 0) b = 1
+      if (p == 63) b = 0
+      if (p == flipPos) b = 1 - b
+      if (b == 1) fp |= 1L << p
+    }
+    fp
+  }
+
+  test("calibrated fixtures: real decode reproduces the chosen bits for all three modalities") {
+    for (id <- Seq(0L, 1L, 7L, 123L, 4999L, 49999L)) {
+      val member = (id % 4).toInt
+      assert(Multimodal.imageFingerprint64(Multimodal.syntheticPngCal(id)).get ==
+        calTargetFp(id, p => p.toLong, member * 9), s"image id=$id")
+      assert(Multimodal.audioFingerprint64(Multimodal.syntheticWavCal(id)).get ==
+        calTargetFp(id, p => 4096L + p, member * 16), s"audio id=$id")
+      val frames = Multimodal.videoFrameHashes(Multimodal.syntheticGifCal(id)).get
+      assert(frames.length == 3, s"video id=$id frame count")
+      for (k <- 0 until 3)
+        assert(frames(k) == calTargetFp(id, p => 8192L + k * 64L + p, member * 9),
+          s"video id=$id frame $k")
+    }
+  }
+
+  test("calibrated fixtures: near-dup output is EXACTLY 6 pairs per clique, zero cross-family") {
+    // the property the fixtures exist for: output ∝ corpus (6 per
+    // 4-member family), so a 1×/10× wall-clock curve over them
+    // measures candidate generation, not output volume. The r13
+    // single-round Lehmer fixture failed exactly this (460 489 pairs
+    // from 5 000 docs ≈ 60× the designed count, growing ~quadratic).
+    import spark.implicits._
+    val n = 400L // 100 families
+    val ids = spark.range(0, n).select(org.apache.spark.sql.functions.col("id"))
+      .as[Long].repartition(4)
+    val recs = ids.map(id => Multimodal.MediaRecord(
+      id, Multimodal.syntheticPngCal(id), Multimodal.MediaMeta("png", 0, 0, 0L)))
+    val pairs = Multimodal.imageNearDupPairs(recs).collect()
+    assert(pairs.length == (n / 4 * 6).toInt, s"got ${pairs.length} pairs")
+    assert(pairs.forall(r => r.getLong(0) / 4 == r.getLong(1) / 4),
+      "cross-family near pair found — fixture decorrelation regressed")
+  }
 }
