@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local correctness harness mimicking the driver's DuckDB oracle compare.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--audit]
+
+--audit skips the compare and emits one JSON line per query (rows,
+Spark schema DDL, oracle DESCRIBE types) from the Verify dumps — a
+diffable per-round record.
 
 Reads each <verifyOutDir>/<name>/ parquet (graft.Verify output), runs the
 matching SQL from oracle_sql.json in DuckDB against the sfDir tables,
@@ -77,7 +81,40 @@ def type_mismatches(con, name, out_dir, oracle_sql):
     return bad
 
 
-def main(sf_dir, out_dir):
+def audit(con, out_dir, oracles, names):
+    """One JSON line per query — rows, Spark schema DDL (from Verify's
+    spark_schema.json dump), and the oracle's DESCRIBE types — a single
+    diffable record future rounds (and judges) can compare without
+    re-running anything."""
+    import os
+
+    schemas = {}
+    p = f"{out_dir}/spark_schema.json"
+    if os.path.exists(p):
+        with open(p) as f:
+            schemas = json.load(f)
+    rows = {}
+    p = f"{out_dir}/rowcounts.json"
+    if os.path.exists(p):
+        with open(p) as f:
+            rows = {k: int(v) for k, v in json.load(f).items()}
+    for name in names:
+        if name not in rows:
+            rows[name] = con.execute(
+                f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).fetchone()[0]
+        rec = {"query": name, "rows": rows[name]}
+        if name in schemas:
+            rec["spark_schema"] = schemas[name]
+        if name in oracles:
+            try:
+                rec["oracle_types"] = duck_types(con, f"({oracles[name]})")
+            except Exception as e:
+                rec["oracle_types"] = f"ERROR: {e}"
+        print(json.dumps(rec, sort_keys=True))
+
+
+def main(sf_dir, out_dir, mode=""):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -92,6 +129,9 @@ def main(sf_dir, out_dir):
     names = sorted(
         os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)
     )
+    if mode == "--audit":
+        audit(con, out_dir, oracles, names)
+        return 0
     n_pass = n_fail = 0
     for name in names:
         got = con.execute(
@@ -164,4 +204,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else ""))
