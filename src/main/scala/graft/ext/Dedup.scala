@@ -752,4 +752,73 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Embedding near-dup pairs, MULTI-PROBE LSH: same semantics as
+    * [[embeddingCosinePairsLsh]], but instead of adding hash tables to
+    * hold recall as the signature widens, each vector also probes the
+    * `bits` neighboring buckets one sign-flip away — a candidate pair
+    * needs signatures within hamming <= 1 in some table rather than an
+    * exact match (Lv et al., VLDB'07). Per-table pair recall rises
+    * from p^b to p^b + b·p^(b-1)(1-p) (p = 1 - theta/pi), ~4-9x near
+    * the threshold, so a FIXED small table count suffices at widths
+    * where exact-collision LSH needs its 32-table cap:
+    * probes-substitute-for-tables is the memory-lean end of the same
+    * trade (T signature tables to store/shuffle instead of 4T, at
+    * (bits+1)x bucket rows on ONE side of the join).
+    *
+    * Still a pure equi-join at scale: the probe side explodes each
+    * (table, bucket) key into bits+1 keys (the original and each
+    * one-bit flip) and joins on (t, b) exactly — no hamming predicate
+    * in the join condition anywhere. The probe keys exist only inside
+    * the candidate stage; the exact cosine refine is unchanged.
+    * Derived-width path shares [[adaptiveLshBits]] and the
+    * prefix-stable planes, so the one embedded oracle plane table
+    * covers this operator too.
+    */
+  def embeddingCosinePairsLshMultiprobe(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      tables: Int = 8,
+      bits: Int = 0,
+      seed: Long = 42L,
+      dim: Int = 64,
+      maxBucket: Int = 100000,
+      n: Long = -1L
+  ): DataFrame = {
+    import graft.functions.DotProductExpr.dot
+    val derived = if (bits > 0) bits else adaptiveLshBits(if (n >= 0) n else df.count())
+    val planes =
+      if (bits > 0) Similarity.hyperplanes(tables, derived, dim, seed)
+      else Similarity.hyperplanesPrefix(tables, derived, dim, seed)
+    val bucketed = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.AnnExprs.lshBuckets(col(vecCol), planes)).as(Seq("t", "b")))
+    // probe side: original key plus each one-bit flip — bits+1 rows per
+    // (id, t); the other side keeps exact keys, so a pair within
+    // hamming 1 meets on exactly one (possibly flipped) key
+    val flips = (-1 until derived).map(i => lit(i.toLong)).toArray
+    val probed = bucketed.select(col("id"), col("t"), col("b").as("b0"),
+        explode(array(flips: _*)).as("flip"))
+      .withColumn("b", expr(
+        "CASE WHEN flip < 0 THEN b0 ELSE b0 ^ shiftleft(CAST(1 AS BIGINT), CAST(flip AS INT)) END"))
+      .select("id", "t", "b")
+    val exact = BucketCap.dropHot(bucketed, Seq("t", "b"), maxBucket)
+    val cand = exact.select(col("id").as("id_a"), col("t"), col("b"))
+      .join(probed.select(col("id").as("id_b"), col("t"), col("b")), Seq("t", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val prep = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    cand
+      .join(prep.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), Seq("id_a"))
+      .join(prep.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
 }

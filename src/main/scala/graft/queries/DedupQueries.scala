@@ -100,6 +100,21 @@ object DedupQueries extends QueryGroup {
         .orderBy("id_a", "id_b")
     }),
 
+    // Multi-probe variant of the same operator (Lv et al., VLDB'07):
+    // each vector also probes the `bits` one-flip-away buckets, so a
+    // FIXED 8 tables holds recall where exact-collision LSH needs its
+    // derived 32-table cap — probes substitute for tables (candidate
+    // rows up, signature tables to store/shuffle down 4x). Same
+    // derived width, same prefix-stable planes, still a pure equi-join
+    // on (t, b); the oracle expresses the identical semantics as
+    // "signatures within hamming <= 1 in some table" over its derived
+    // prefix of the embedded plane table.
+    "dedup_embedding_lsh_multiprobe" -> ((s, dir) => {
+      Dedup.embeddingCosinePairsLshMultiprobe(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.45)
+        .orderBy("id_a", "id_b")
+    }),
+
     // C4-style span dedup: every distinct 5-word block keeps only its
     // first global occurrence — catches shared boilerplate that
     // document-level dedup can't. Shuffle ∝ blocks, never pairs.
@@ -497,6 +512,46 @@ FROM pairs
 WHERE round(dot / (na * nb), 4) >= 0.45
 ORDER BY id_a, id_b"""
 
+  /** Multi-probe oracle: the probe-key explosion is an equi-join
+    * IMPLEMENTATION of "signatures within hamming <= 1 in some table";
+    * the oracle states the semantics directly with bit_count(xor()) —
+    * fine at oracle scale, and a stronger check than replaying the
+    * implementation trick (an off-by-one in the flip enumeration would
+    * hash-mismatch here instead of being mirrored).
+    */
+  private def embLshMultiprobeSql: String =
+    s"""WITH planes_all(t, bit, plane) AS (VALUES
+${embLshPlanesPrefix(8, 24)}),
+nrows AS (SELECT count(*) AS n FROM embeddings),
+bsel AS (SELECT COALESCE(min(b), 24) AS bits
+         FROM generate_series(8, 24) g(b), nrows
+         WHERE (CAST(4 AS BIGINT) << b) >= n),
+planes AS (SELECT t, bit, plane FROM planes_all, bsel WHERE planes_all.bit < bsel.bits),
+buckets AS (
+  SELECT e.vec_id, p.t,
+    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+        i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) >= 0
+      THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS b
+  FROM embeddings e CROSS JOIN planes p GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM buckets x JOIN buckets y
+    ON x.t = y.t AND x.vec_id < y.vec_id AND bit_count(xor(x.b, y.b)) <= 1),
+pairs AS (
+  SELECT id_a, id_b,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+    sqrt(list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) AS na,
+    sqrt(list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) AS nb
+  FROM cand JOIN embeddings a ON a.vec_id = id_a
+            JOIN embeddings b ON b.vec_id = id_b)
+SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos
+FROM pairs
+WHERE round(dot / (na * nb), 4) >= 0.45
+ORDER BY id_a, id_b"""
+
   private def embLshSqlFor(tables: Int, bits: Int): String =
     s"""WITH planes(t, bit, plane) AS (VALUES
 ${embLshPlanes(tables, bits)}),
@@ -540,6 +595,7 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_embedding" -> cosineSql,
     "dedup_embedding_lsh" -> embLshAdaptiveSql,
     "dedup_embedding_lsh_wide" -> embLshSqlFor(16, 9),
+    "dedup_embedding_lsh_multiprobe" -> embLshMultiprobeSql,
     "dedup_spans" -> spanSql,
     "dedup_spans_clean" -> spanCleanSql,
     "dedup_spans_exact" -> spanExactSql,

@@ -309,6 +309,26 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.25, s"adaptive-LSH recall $recall < 0.25 floor (${lsh.size}/${exact.size} pairs)")
   }
 
+  test("multiprobe LSH: subset of exact, recall >= 50% at the verify SF, pure equi-join plan") {
+    // probes substitute for tables: 8 fixed tables with 1-flip probing
+    // must beat the exact-collision adaptive path's recall floor
+    // (measured 10/14 = 71% vs 4/14 at sf0.01) while the plan stays an
+    // equi-join on (t, b) — no hamming predicate, no all-pairs join
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mpDf = Dedup.embeddingCosinePairsLshMultiprobe(emb, "vec_id", "embedding", threshold = 0.45)
+    val mp = mpDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mp.subsetOf(exact), s"false positives: ${mp -- exact}")
+    assert(exact.nonEmpty)
+    val recall = (exact intersect mp).size.toDouble / exact.size
+    assert(recall >= 0.5, s"multiprobe recall $recall < 0.5 floor (${mp.size}/${exact.size})")
+    val plan = mpDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      "multiprobe plan must not contain an all-pairs join")
+  }
+
   test("hyperplanesPrefix: width-b planes are an exact prefix of any wider set") {
     val narrow = Similarity.hyperplanesPrefix(tables = 8, bits = 8, dim = 16)
     val wide = Similarity.hyperplanesPrefix(tables = 8, bits = 24, dim = 16)
