@@ -58,6 +58,29 @@ object JdbcSource {
   def read(spark: SparkSession, cfg: JdbcSourceConfig): DataFrame =
     reader(spark, cfg).load()
 
+  /** Reference parity for the connect-then-ping gate
+    * (`database_extractor.py:187-205`: construct client, `ping()`,
+    * abort the extract on failure): opens ONE raw JDBC connection and
+    * runs `probeSql` (default `VALUES 1` — valid on Derby and
+    * standard SQL; pass `SELECT 1` for engines that require a FROM-less
+    * select). Returns false instead of throwing so the caller can gate
+    * a scheduled extract exactly as the reference does. Driver-side by
+    * design — a health probe must not spin up executors.
+    */
+  def ping(cfg: JdbcSourceConfig, probeSql: String = "VALUES 1", timeoutSec: Int = 5): Boolean =
+    try {
+      if (cfg.driver.nonEmpty) Class.forName(cfg.driver)
+      val conn =
+        if (cfg.user.nonEmpty)
+          java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+        else java.sql.DriverManager.getConnection(cfg.url)
+      try {
+        val st = conn.createStatement()
+        try { st.setQueryTimeout(timeoutSec); st.execute(probeSql); true }
+        finally st.close()
+      } finally conn.close()
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** Build from a TOML `[jdbc]` section (key names mirror the Spark
     * option names; the reference's analogous client config is
     * `config/.influxdb.toml-default`).
