@@ -25,7 +25,8 @@ object SparkEntry {
     GraphQueries,
     LexicalQueries,
     AnalyticsQueries,
-    EvalQueries
+    EvalQueries,
+    SourceQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
