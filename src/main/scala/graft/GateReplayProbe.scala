@@ -18,12 +18,22 @@ import org.apache.spark.sql.types.LongType
   * equivalence; the probe exists because the production body runs both
   * phases inside one call and timing them requires a barrier between).
   *
-  * Usage: runMain graft.GateReplayProbe <sfDir> [reps=3]
+  * Usage: runMain graft.GateReplayProbe <sfDir> [reps=3] [fixture=plain|cal]
+  *
+  * fixture=cal swaps in the scale-calibrated clique payloads
+  * ([[graft.ext.Multimodal.syntheticPngCal]]) — the plain fixture has
+  * only 200 distinct fingerprints at ANY corpus size (doc_id mod 1280
+  * periodicity), so its gate candidate volume grows with history ×
+  * clique-density and the 100× point measures the fixture, not the
+  * gate (measured: 517 s gate phase at 500 k docs). The calibrated
+  * payloads hold clique size at ≤ 4, so the curve measures the
+  * banded batch × history join itself.
   */
 object GateReplayProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val cal = args.drop(2).headOption.contains("cal")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,7 +58,8 @@ object GateReplayProbe {
         val batch = docs.filter(col("doc_id") % 3 === b)
           .select(col("doc_id").cast("long")).as[Long]
           .repartition(spark.sparkContext.defaultParallelism)
-          .map(id => Multimodal.MediaRecord(id, Multimodal.syntheticPng(id),
+          .map(id => Multimodal.MediaRecord(id,
+            if (cal) Multimodal.syntheticPngCal(id) else Multimodal.syntheticPng(id),
             Multimodal.MediaMeta("png", 0, 0, 0L)))
         val t0 = System.nanoTime()
         val bFps = Multimodal.imageFingerprints(batch)
@@ -80,7 +91,8 @@ object GateReplayProbe {
       (sec(gateNs), sec(writeNs), sec(compactNs))
     }
     val best = samples.minBy(s => s._1 + s._2 + s._3)
-    println(f"""{"probe":"gate_replay","dir":"$dir","docs":$nDocs,"reps":$reps,"gate_sec":${best._1}%.2f,"write_sec":${best._2}%.2f,"compact_sec":${best._3}%.2f,"total_sec":${best._1 + best._2 + best._3}%.2f}""")
+    val fixture = if (cal) "cal" else "plain"
+    println(f"""{"probe":"gate_replay","dir":"$dir","fixture":"$fixture","docs":$nDocs,"reps":$reps,"gate_sec":${best._1}%.2f,"write_sec":${best._2}%.2f,"compact_sec":${best._3}%.2f,"total_sec":${best._1 + best._2 + best._3}%.2f}""")
     spark.stop()
   }
 }
