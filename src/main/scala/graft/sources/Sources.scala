@@ -99,6 +99,67 @@ object JdbcSource {
       fetchSize = section.get("fetch_size").map(_.asInstanceOf[Long].toInt).getOrElse(10000))
 }
 
+/** Idempotent JDBC sink — the write side of the S2 surface and a
+  * `foreachBatch` body for Structured Streaming: key-wise
+  * DELETE-then-INSERT inside one transaction per partition, so a
+  * crash-replay of the same micro-batch OVERWRITES rather than
+  * duplicates (the same replay posture as
+  * [[graft.streaming.BatchTable.writeBatchPartition]] gives parquet
+  * sinks). DELETE+INSERT instead of engine-specific MERGE keeps it
+  * portable across JDBC stores; both statements run through JDBC
+  * batching, one commit per partition.
+  *
+  * Shape at scale: each executor partition writes its own rows over
+  * its own connection — parallelism is the DataFrame's partition
+  * count, the mirror image of the partitioned read. The driver never
+  * sees a row.
+  */
+object JdbcSink {
+
+  /** Upsert `df` into `cfg.table` keyed by `keyCols`. Supported column
+    * types: the JDBC-standard scalar set (long/int/double/float/
+    * string/boolean/timestamp/date); anything else is set via
+    * setObject and left to the driver.
+    */
+  def upsert(df: DataFrame, cfg: JdbcSourceConfig, keyCols: Seq[String]): Unit = {
+    val schema = df.schema
+    require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
+      s"key columns $keyCols must exist in ${schema.fieldNames.mkString(",")}")
+    val cols = schema.fieldNames.toSeq
+    val deleteSql =
+      s"DELETE FROM ${cfg.table} WHERE ${keyCols.map(c => s"$c = ?").mkString(" AND ")}"
+    val insertSql =
+      s"INSERT INTO ${cfg.table} (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val keyIdx = keyCols.map(schema.fieldIndex).toArray
+    val url = cfg.url; val user = cfg.user; val password = cfg.password
+    val driver = cfg.driver
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        if (driver.nonEmpty) Class.forName(driver)
+        val conn =
+          if (user.nonEmpty) java.sql.DriverManager.getConnection(url, user, password)
+          else java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(deleteSql)
+          val ins = conn.prepareStatement(insertSql)
+          try {
+            rows.foreach { r =>
+              keyIdx.zipWithIndex.foreach { case (ci, pi) => del.setObject(pi + 1, r.get(ci)) }
+              del.addBatch()
+              cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+              ins.addBatch()
+            }
+            del.executeBatch(); ins.executeBatch(); conn.commit()
+          } finally { del.close(); ins.close() }
+        } catch {
+          case e: Throwable => try conn.rollback() catch { case _: Throwable => () }; throw e
+        } finally conn.close()
+      }
+    }
+  }
+}
+
 /** File sources with explicit schemas (schema inference is a full
   * extra scan on CSV/JSON — never at 100 TB).
   */
@@ -111,4 +172,10 @@ object FileSources {
 
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC — the other columnar format Spark bundles natively; schema
+    * travels in the file like parquet, so no explicit schema needed.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }
