@@ -56,4 +56,48 @@ object Decontaminate {
       .filter(col("shared_grams") >= minShared)
       .select("doc_id", "eval_id", "shared_grams", "n_grams")
   }
+
+  /** SEMANTIC contamination: corpus vectors whose cosine to some eval
+    * vector clears `tau` — catches the paraphrased / translated /
+    * reformatted benchmark leakage the n-gram check is blind to
+    * (different surface forms, same meaning → same embedding
+    * neighborhood). Reports each contaminated corpus doc with its
+    * single best-matching eval doc (highest rounded cosine, ties to
+    * the smallest eval id).
+    *
+    * Shape at 100 TB: benchmarks are small by nature, so the eval side
+    * is BROADCAST and the corpus streams map-side through one codegen
+    * dot product per (corpus, eval) pair — linear in the corpus, and
+    * the only shuffle is the contaminated rows (∝ contamination, not
+    * corpus size) into the per-doc top-1 rank. For benchmark suites
+    * too large to broadcast, swap the candidate stage for the LSH
+    * bucketing of [[Dedup.embeddingCosinePairsLsh]] — the refine and
+    * rank are unchanged.
+    */
+  def embeddingContamination(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      evalSet: DataFrame,
+      evalId: String,
+      evalVec: String,
+      tau: Double
+  ): DataFrame = {
+    import graft.functions.DotProductExpr.dot
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(corpusId).as("train_id"), col(corpusVec).cast("array<double>").as("tv"))
+      .withColumn("tn", sqrt(dot(col("tv"), col("tv"))))
+    val e = broadcast(evalSet
+      .select(col(evalId).as("eval_id"), col(evalVec).cast("array<double>").as("ev"))
+      .withColumn("en", sqrt(dot(col("ev"), col("ev")))))
+    val w = Window.partitionBy("train_id")
+      .orderBy(col("cos").desc, col("eval_id").asc)
+    c.join(e, col("train_id") =!= col("eval_id"))
+      .withColumn("cos", round(dot(col("tv"), col("ev")) / (col("tn") * col("en")), 4))
+      .filter(col("cos") >= tau)
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select("train_id", "eval_id", "cos")
+  }
 }

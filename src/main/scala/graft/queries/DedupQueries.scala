@@ -220,6 +220,21 @@ object DedupQueries extends QueryGroup {
         docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
         minShared = 5L)
         .orderBy("doc_id", "eval_id")
+    }),
+
+    // SEMANTIC decontamination: train vectors within cosine 0.35 of the
+    // held-out benchmark slice (vec_id % 10 = 0) — the paraphrase-level
+    // leakage check the n-gram pass can't see. Eval side broadcast; the
+    // corpus never shuffles (only contaminated rows reach the top-1
+    // rank). tau/slice chosen by a DuckDB yield sweep so the cell is
+    // non-vacuous at every dev SF (38 rows at sf0.001, 61 at sf0.01).
+    "decontaminate_embedding" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ext.Decontaminate.embeddingContamination(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        tau = 0.35)
+        .orderBy("train_id")
     })
   )
 
@@ -603,7 +618,25 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_fuzzy_edit" -> fuzzyEditSql,
     "dedup_incremental" -> incrementalSql,
     "streaming_dedup_gate_replay" -> gateReplaySql,
-    "decontaminate_ngram" -> decontaminateSql
+    "decontaminate_ngram" -> decontaminateSql,
+    "decontaminate_embedding" ->
+      """WITH scored AS (
+  SELECT t.vec_id AS train_id, v.vec_id AS eval_id,
+    round(list_sum(list_transform(generate_series(1, 64),
+        i -> CAST(t.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+           i -> CAST(t.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(generate_series(1, 64),
+           i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))))
+      , 4) AS cos
+  FROM embeddings t JOIN embeddings v
+    ON t.vec_id % 10 != 0 AND v.vec_id % 10 = 0 AND t.vec_id != v.vec_id),
+ranked AS (
+  SELECT train_id, eval_id, cos,
+    row_number() OVER (PARTITION BY train_id ORDER BY cos DESC, eval_id ASC) AS r
+  FROM scored WHERE cos >= 0.35)
+SELECT train_id, eval_id, cos FROM ranked WHERE r = 1
+ORDER BY train_id"""
   )
 
   /** Replays the %5 history/batch split, the exact-text tier, and the
