@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
   * O(n^2) ground truth and the grid sweep take milliseconds — this is
   * a planning tool, not a scale path.
   *
-  * Usage: runMain graft.LshRecallProbe <sfDir> <tablesCsv> <bitsCsv> [tau=0.45] [mode=prefix|seq]
+  * Usage: runMain graft.LshRecallProbe <sfDir> <tablesCsv> <bitsCsv> [tau=0.45] [mode=prefix|seq|multiprobe]
   *
   * mode=seq evaluates the pinned path's sequential-stream planes
   * ([[graft.ext.Similarity.hyperplanes]]) instead — those depend on the
@@ -67,14 +67,18 @@ object LshRecallProbe {
     // prefix planes are stable in both dimensions, so one max-shape draw
     // covers the whole grid; sequential planes are a per-shape stream.
     val prefixSigns =
-      if (mode == "prefix") signsFor(graft.ext.Similarity.hyperplanesPrefix(tablesGrid.max, bitsGrid.max, dim = 64))
+      if (mode != "seq") signsFor(graft.ext.Similarity.hyperplanesPrefix(tablesGrid.max, bitsGrid.max, dim = 64))
       else null
     for (bits <- bitsGrid; tables <- tablesGrid) {
       val signs =
-        if (mode == "prefix") prefixSigns
+        if (mode != "seq") prefixSigns
         else signsFor(graft.ext.Similarity.hyperplanes(tables, bits, dim = 64))
+      // "multiprobe" mode scores the hamming<=1 collision the 1-flip
+      // probing implements (prefix planes, as the multiprobe operator)
+      val maxDiff = if (mode == "multiprobe") 1 else 0
       val hit = truth.count { case (i, j) =>
-        (0 until tables).exists(t => (0 until bits).forall(b => signs(i)(t)(b) == signs(j)(t)(b)))
+        (0 until tables).exists(t =>
+          (0 until bits).count(b => signs(i)(t)(b) != signs(j)(t)(b)) <= maxDiff)
       }
       val pct = if (truth.isEmpty) 0.0 else hit * 100.0 / truth.size
       println(f"""{"probe":"lsh_recall","mode":"$mode","tables":$tables,"bits":$bits,"hit":$hit,"recall_pct":$pct%.1f}""")
