@@ -2,26 +2,36 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Recall-planning probe for the embedding-LSH dedup operator: computes
+/** Recall-planning probe for the embedding-LSH dedup operators: computes
   * the exact cosine ground truth (pairs with cos >= tau) driver-side,
   * then for a grid of (tables, bits) reports how many ground-truth
-  * pairs collide in at least one prefix-stable hash table
-  * ([[graft.ext.Similarity.hyperplanesPrefix]] — the adaptive path's
-  * plane draw). This is the measurement behind the tables-vs-bits
-  * coupling in [[graft.ext.Dedup.adaptiveLshTables]]: per-table
-  * collision probability is (1 - theta/pi)^bits, so holding a recall
-  * floor as the derived width grows requires more tables; the probe
-  * turns that formula into recorded numbers on the actual fixtures.
+  * pairs collide under a given probing scheme, and (for the probing
+  * modes) the TOTAL candidate-pair volume the scheme would feed the
+  * cosine refine — recall is worthless without its cost, so the probe
+  * reports both sides of the frontier.
   *
-  * Driver-side on purpose: n at the dev SFs is 500-2000, so the exact
-  * O(n^2) ground truth and the grid sweep take milliseconds — this is
-  * a planning tool, not a scale path.
+  * Modes:
+  *   - prefix      exact bucket collision, prefix-stable planes (the
+  *                 adaptive operator's draw)
+  *   - seq         exact collision, sequential-stream planes (the
+  *                 pinned operator's draw; per-shape plane sets)
+  *   - multiprobe  hamming <= 1 (the r14 one-flip probing)
+  *   - ham2        hamming <= 2, all C(bits,2) flips — the recall
+  *                 ceiling of depth-2 probing, cost-blind
+  *   - qd:M:D      query-directed probing (Lv et al., VLDB'07): flips
+  *                 restricted to the M lowest-|margin| bits of EITHER
+  *                 endpoint, up to D flips (D in {1,2}) — near pairs
+  *                 differ exactly where a margin is small, so a small M
+  *                 buys most of ham<=D's recall at ~(1+M+C(M,2))/
+  *                 (1+b+C(b,2)) of its probe volume
   *
-  * Usage: runMain graft.LshRecallProbe <sfDir> <tablesCsv> <bitsCsv> [tau=0.45] [mode=prefix|seq|multiprobe]
+  * This is the measurement behind both shape couplings in
+  * [[graft.ext.Dedup]]: adaptiveLshTables (tables-vs-bits) and the
+  * multiprobe budget (probes-vs-bits). Driver-side on purpose for the
+  * dev SFs; ground truth is parallelized so the 20 k-vector data-sf1
+  * point stays interactive.
   *
-  * mode=seq evaluates the pinned path's sequential-stream planes
-  * ([[graft.ext.Similarity.hyperplanes]]) instead — those depend on the
-  * full (tables, bits) shape, so each grid point gets its own draw.
+  * Usage: runMain graft.LshRecallProbe <sfDir> <tablesCsv> <bitsCsv> [tau=0.45] [mode=prefix|seq|multiprobe|ham2|qd:M:D]
   */
 object LshRecallProbe {
   def main(args: Array[String]): Unit = {
@@ -49,39 +59,110 @@ object LshRecallProbe {
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       math.rint(d / math.sqrt(na * nb) * 1e4) / 1e4
     }
-    val truth = for {
-      i <- rows.indices; j <- (i + 1) until n
-      if cos(rows(i)._2, rows(j)._2) >= tau
-    } yield (i, j)
+    // ground truth parallelized over the outer index — 2e8 cosine pairs
+    // at the 20 k point would otherwise take minutes single-threaded
+    val truth: IndexedSeq[(Int, Int)] = {
+      import scala.jdk.CollectionConverters._
+      java.util.stream.IntStream.range(0, n).parallel().boxed()
+        .flatMap { i =>
+          val hits = new java.util.ArrayList[(Int, Int)]()
+          var j = i + 1
+          while (j < n) { if (cos(rows(i.intValue)._2, rows(j)._2) >= tau) hits.add((i.intValue, j)); j += 1 }
+          hits.stream()
+        }
+        .collect(java.util.stream.Collectors.toList[(Int, Int)]).asScala.toIndexedSeq
+    }
     println(s"""{"probe":"lsh_recall","dir":"$dir","n":$n,"tau":$tau,"truth_pairs":${truth.size}}""")
 
     val mode = args.drop(4).headOption.getOrElse("prefix")
-    def signsFor(planes: Array[Array[Array[Double]]]): Array[Array[Array[Boolean]]] =
+    // per-row, per-table, per-bit signed margins (dot with each plane);
+    // sign gives the bucket bit, |margin| ranks probe priority
+    def dotsFor(planes: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] =
       rows.map { case (_, v) =>
         planes.map(_.map { p =>
           var d = 0.0; var i = 0
           while (i < 64) { d += v(i) * p(i); i += 1 }
-          d >= 0
+          d
         })
       }
     // prefix planes are stable in both dimensions, so one max-shape draw
     // covers the whole grid; sequential planes are a per-shape stream.
-    val prefixSigns =
-      if (mode != "seq") signsFor(graft.ext.Similarity.hyperplanesPrefix(tablesGrid.max, bitsGrid.max, dim = 64))
+    val prefixDots =
+      if (mode != "seq") dotsFor(graft.ext.Similarity.hyperplanesPrefix(tablesGrid.max, bitsGrid.max, dim = 64))
       else null
+
+    val qd = "qd:(\\d+):(\\d+)".r
+    val (qdBudget, depth) = mode match {
+      case qd(m, d) => (m.toInt, d.toInt)
+      case "multiprobe" => (Int.MaxValue, 1)
+      case "ham2" => (Int.MaxValue, 2)
+      case _ => (0, 0)
+    }
+
     for (bits <- bitsGrid; tables <- tablesGrid) {
-      val signs =
-        if (mode != "seq") prefixSigns
-        else signsFor(graft.ext.Similarity.hyperplanes(tables, bits, dim = 64))
-      // "multiprobe" mode scores the hamming<=1 collision the 1-flip
-      // probing implements (prefix planes, as the multiprobe operator)
-      val maxDiff = if (mode == "multiprobe") 1 else 0
-      val hit = truth.count { case (i, j) =>
-        (0 until tables).exists(t =>
-          (0 until bits).count(b => signs(i)(t)(b) != signs(j)(t)(b)) <= maxDiff)
+      val dots =
+        if (mode != "seq") prefixDots
+        else dotsFor(graft.ext.Similarity.hyperplanes(tables, bits, dim = 64))
+      // packed sign keys + (for qd) low-margin masks per (row, table)
+      val keys = Array.tabulate(n, tables) { (r, t) =>
+        var k = 0L; var b = 0
+        while (b < bits) { if (dots(r)(t)(b) >= 0) k |= (1L << b); b += 1 }
+        k
       }
+      val m = math.min(qdBudget, bits)
+      val masks: Array[Array[Long]] =
+        if (qdBudget == 0 || qdBudget == Int.MaxValue) null
+        else Array.tabulate(n, tables) { (r, t) =>
+          val order = (0 until bits).sortBy(b => (math.abs(dots(r)(t)(b)), b))
+          order.take(m).foldLeft(0L)((acc, b) => acc | (1L << b))
+        }
+      def pairHit(i: Int, j: Int): Boolean =
+        (0 until tables).exists { t =>
+          val diff = keys(i)(t) ^ keys(j)(t)
+          val pc = java.lang.Long.bitCount(diff)
+          pc <= depth && (masks == null ||
+            (diff & ~masks(i)(t)) == 0L || (diff & ~masks(j)(t)) == 0L)
+        }
+      val hit = truth.count { case (i, j) => pairHit(i, j) }
       val pct = if (truth.isEmpty) 0.0 else hit * 100.0 / truth.size
-      println(f"""{"probe":"lsh_recall","mode":"$mode","tables":$tables,"bits":$bits,"hit":$hit,"recall_pct":$pct%.1f}""")
+      // candidate volume: simulate the equi-join (exact keys x probe
+      // keys) the operator runs — distinct canonical pairs pre-refine
+      val candPairs: Long =
+        if (depth == 0) -1L
+        else {
+          val pairs = new java.util.HashSet[Long]()
+          for (t <- 0 until tables) {
+            val exactMap = new java.util.HashMap[Long, java.util.ArrayList[Integer]]()
+            for (r <- 0 until n)
+              exactMap.computeIfAbsent(keys(r)(t), _ => new java.util.ArrayList[Integer]()).add(r)
+            for (r <- 0 until n) {
+              val probeBits: IndexedSeq[Int] =
+                if (masks == null) 0 until bits
+                else (0 until bits).filter(b => (masks(r)(t) & (1L << b)) != 0L)
+              val probeKeys = Seq(keys(r)(t)) ++
+                probeBits.map(b => keys(r)(t) ^ (1L << b)) ++
+                (if (depth >= 2)
+                  for (ii <- probeBits.indices; jj <- (ii + 1) until probeBits.length)
+                    yield keys(r)(t) ^ (1L << probeBits(ii)) ^ (1L << probeBits(jj))
+                else Seq.empty)
+              for (pk <- probeKeys) {
+                val hitsList = exactMap.get(pk)
+                if (hitsList != null) {
+                  val it = hitsList.iterator()
+                  while (it.hasNext) {
+                    val o = it.next().intValue
+                    if (o != r) {
+                      val lo = math.min(o, r).toLong; val hi = math.max(o, r).toLong
+                      pairs.add(lo * n + hi)
+                    }
+                  }
+                }
+              }
+            }
+          }
+          pairs.size().toLong
+        }
+      println(f"""{"probe":"lsh_recall","mode":"$mode","tables":$tables,"bits":$bits,"hit":$hit,"recall_pct":$pct%.1f,"cand_pairs":$candPairs}""")
     }
   }
 }

@@ -70,10 +70,19 @@ object JdbcSource {
   def ping(cfg: JdbcSourceConfig, probeSql: String = "VALUES 1", timeoutSec: Int = 5): Boolean =
     try {
       if (cfg.driver.nonEmpty) Class.forName(cfg.driver)
+      // the statement query-timeout below only bounds the probe query;
+      // getConnection itself would block for the full TCP timeout
+      // (minutes) against an unreachable host — bound the login too, so
+      // the gate actually gates a scheduled extract instead of hanging
+      // it. setLoginTimeout is JVM-global; restore the prior value.
+      val prevLogin = java.sql.DriverManager.getLoginTimeout
+      java.sql.DriverManager.setLoginTimeout(timeoutSec)
       val conn =
-        if (cfg.user.nonEmpty)
-          java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
-        else java.sql.DriverManager.getConnection(cfg.url)
+        try {
+          if (cfg.user.nonEmpty)
+            java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+          else java.sql.DriverManager.getConnection(cfg.url)
+        } finally java.sql.DriverManager.setLoginTimeout(prevLogin)
       try {
         val st = conn.createStatement()
         try { st.setQueryTimeout(timeoutSec); st.execute(probeSql); true }
@@ -116,35 +125,79 @@ object JdbcSource {
   */
 object JdbcSink {
 
+  /** Quote a (possibly schema-qualified) identifier with the store's
+    * quote string ONLY when it needs quoting (non-word characters, or an
+    * embedded quote — the breakage/injection vector): plain lowercase
+    * names stay unquoted so the store's usual case folding still matches
+    * tables created unquoted (quoting `events` as `"events"` would MISS
+    * a Derby/Postgres table folded to `EVENTS`/`events` — always-quote
+    * is only safe when the same layer also created the table).
+    */
+  private[graft] def quoteIdent(name: String, quote: String): String = {
+    val q = Option(quote).map(_.trim).getOrElse("")
+    name.split('.').map { part =>
+      if (q.isEmpty || part.matches("[A-Za-z_][A-Za-z0-9_]*")) part
+      else q + part.replace(q, q + q) + q
+    }.mkString(".")
+  }
+
   /** Upsert `df` into `cfg.table` keyed by `keyCols`. Supported column
     * types: the JDBC-standard scalar set (long/int/double/float/
     * string/boolean/timestamp/date); anything else is set via
     * setObject and left to the driver.
+    *
+    * Key invariant: after the call, the table holds AT MOST ONE row per
+    * key from this batch, regardless of how many updates for that key
+    * the batch carried (streaming micro-batches legitimately carry
+    * several) — the input is repartitioned ON THE KEY COLUMNS (a key
+    * split across two partitions would otherwise commit in arbitrary
+    * order) and deduplicated to the last row per key within each
+    * partition before any statement runs. WHICH same-key row survives
+    * follows partition iteration order — callers that need a specific
+    * winner (e.g. latest-by-timestamp) should reduce to one row per key
+    * upstream (`max_by`); the uniqueness invariant holds either way.
+    * `numPartitions > 0` bounds write parallelism (one connection per
+    * partition); 0 keeps the session's shuffle-partition default.
     */
-  def upsert(df: DataFrame, cfg: JdbcSourceConfig, keyCols: Seq[String]): Unit = {
+  def upsert(df: DataFrame, cfg: JdbcSourceConfig, keyCols: Seq[String],
+      numPartitions: Int = 0): Unit = {
     val schema = df.schema
     require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
       s"key columns $keyCols must exist in ${schema.fieldNames.mkString(",")}")
     val cols = schema.fieldNames.toSeq
-    val deleteSql =
-      s"DELETE FROM ${cfg.table} WHERE ${keyCols.map(c => s"$c = ?").mkString(" AND ")}"
-    val insertSql =
-      s"INSERT INTO ${cfg.table} (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     val keyIdx = keyCols.map(schema.fieldIndex).toArray
     val url = cfg.url; val user = cfg.user; val password = cfg.password
-    val driver = cfg.driver
-    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+    val driver = cfg.driver; val table = cfg.table
+    val keyColumns = keyCols.map(org.apache.spark.sql.functions.col)
+    val parted =
+      if (numPartitions > 0) df.repartition(numPartitions, keyColumns: _*)
+      else df.repartition(keyColumns: _*)
+    parted.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
         if (driver.nonEmpty) Class.forName(driver)
         val conn =
           if (user.nonEmpty) java.sql.DriverManager.getConnection(url, user, password)
           else java.sql.DriverManager.getConnection(url)
         try {
+          // identifier quoting needs the live connection's quote string
+          // — built per partition, negligible next to the writes
+          val q = conn.getMetaData.getIdentifierQuoteString
+          val deleteSql = s"DELETE FROM ${quoteIdent(table, q)} WHERE ${
+            keyCols.map(c => s"${quoteIdent(c, q)} = ?").mkString(" AND ")}"
+          val insertSql = s"INSERT INTO ${quoteIdent(table, q)} (${
+            cols.map(quoteIdent(_, q)).mkString(", ")}) VALUES (${
+            cols.map(_ => "?").mkString(", ")})"
+          // last row per key wins: without this, the partition's DELETEs
+          // all run before its INSERTs, so N same-key rows would insert
+          // N duplicates. Buffers the partition — size write partitions
+          // for executor memory, as with any buffered sink.
+          val last = new java.util.LinkedHashMap[Seq[Any], org.apache.spark.sql.Row]()
+          rows.foreach(r => last.put(keyIdx.toSeq.map(r.get), r))
           conn.setAutoCommit(false)
           val del = conn.prepareStatement(deleteSql)
           val ins = conn.prepareStatement(insertSql)
           try {
-            rows.foreach { r =>
+            last.values().forEach { r =>
               keyIdx.zipWithIndex.foreach { case (ci, pi) => del.setObject(pi + 1, r.get(ci)) }
               del.addBatch()
               cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))

@@ -127,6 +127,63 @@ class SourcesSinksSpec extends SparkSuite {
     assert(after.toSeq == Seq((1L, 11L), (2L, 99L), (3L, 30L), (4L, 40L), (5L, 50L)))
   }
 
+  test("JdbcSink.upsert: duplicate keys within one batch collapse to one row per key") {
+    System.setProperty("derby.system.home", tempDir("graft-derby-dup"))
+    val url = "jdbc:derby:memory:graftdup;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // PRIMARY KEY: Derby itself aborts on any duplicate insert, so a
+      // regression to DELETE-all-then-INSERT-all without the per-key
+      // dedupe fails loudly here, not just on the count assert
+      st.execute("CREATE TABLE dupm (id BIGINT NOT NULL PRIMARY KEY, total BIGINT)")
+      st.close()
+    } finally conn.close()
+    val cfg = JdbcSourceConfig(url = url, table = "dupm")
+
+    import spark.implicits._
+    // one micro-batch carrying THREE updates for key 1 (and the same
+    // key fed from several input partitions — the repartition-on-key
+    // inside upsert must bring them back together)
+    val batch = Seq((1L, 10L), (2L, 20L), (1L, 11L), (1L, 12L), (3L, 30L))
+      .toDF("id", "total").repartition(4)
+    JdbcSink.upsert(batch, cfg, Seq("id"))
+    JdbcSink.upsert(batch, cfg, Seq("id")) // replay: still one row per key
+    val back = JdbcSource.read(spark, cfg).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(back.map(_._1).toSeq == Seq(1L, 2L, 3L), s"one row per key, got ${back.toSeq}")
+    assert(Set(10L, 11L, 12L).contains(back(0)._2),
+      "the surviving value for key 1 is one of the batch's rows")
+    assert(back(1) == ((2L, 20L)) && back(2) == ((3L, 30L)))
+  }
+
+  test("JdbcSink.quoteIdent quotes only what needs it; upsert works on a quoted table name") {
+    // plain names stay unquoted (case folding must keep matching
+    // tables created unquoted); names with non-word chars get the
+    // store's quote string, embedded quotes doubled
+    assert(JdbcSink.quoteIdent("events", "\"") == "events")
+    assert(JdbcSink.quoteIdent("app.events", "\"") == "app.events")
+    assert(JdbcSink.quoteIdent("event total", "\"") == "\"event total\"")
+    assert(JdbcSink.quoteIdent("app.ev ents", "\"") == "app.\"ev ents\"")
+    assert(JdbcSink.quoteIdent("""we"ird""", "\"") == "\"we\"\"ird\"")
+    assert(JdbcSink.quoteIdent("event total", " ") == "event total") // store without quoting
+    assert(JdbcSink.quoteIdent("event total", null) == "event total")
+
+    System.setProperty("derby.system.home", tempDir("graft-derby-quote"))
+    val url = "jdbc:derby:memory:graftquote;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE \"day metrics\" (id BIGINT NOT NULL, \"row total\" BIGINT)")
+      st.close()
+    } finally conn.close()
+    val cfg = JdbcSourceConfig(url = url, table = "day metrics")
+    import spark.implicits._
+    JdbcSink.upsert(Seq((1L, 5L)).toDF("id", "row total"), cfg, Seq("id"))
+    val back = JdbcSource.read(spark, cfg.copy(table = "\"day metrics\"")).collect()
+    assert(back.length == 1 && back(0).getLong(0) == 1L && back(0).getLong(1) == 5L)
+  }
+
   test("FileSources.orc round-trips with schema in-file") {
     val tmp = tempDir("graft-orc")
     Tables.events(spark, "/root/testdata/sf0.001")
