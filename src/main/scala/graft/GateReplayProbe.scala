@@ -77,6 +77,11 @@ object GateReplayProbe {
               .withColumn("is_new", lit(true))
           ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         verdicts.count() // barrier: decode + gate joins all run here
+        // batch 0's empty-history branch never reads bFps, which would
+        // defer its PNG decode into writeBatchPartition and mis-charge
+        // it to write_sec — force it so decode always lands in the gate
+        // phase the barrier comment promises
+        bFps.count()
         gateNs += System.nanoTime() - t0
         val t1 = System.nanoTime()
         BatchTable.writeBatchPartition(verdicts, b, verdictDir)

@@ -74,6 +74,13 @@ object Decontaminate {
     * bucketing of [[Dedup.embeddingCosinePairsLsh]] — the refine and
     * rank are unchanged.
     */
+  /** `excludeSelfPairs` skips (train_id == eval_id) pairs and is OFF by
+    * default: corpus and benchmark ids usually come from DIFFERENT
+    * namespaces, where a coincidental id collision must still be
+    * reported as contamination. Turn it on only when both sides share
+    * one id namespace (e.g. self-checking a corpus against its own
+    * held-out slice, as the registered query's %10 split could).
+    */
   def embeddingContamination(
       corpus: DataFrame,
       corpusId: String,
@@ -81,7 +88,8 @@ object Decontaminate {
       evalSet: DataFrame,
       evalId: String,
       evalVec: String,
-      tau: Double
+      tau: Double,
+      excludeSelfPairs: Boolean = false
   ): DataFrame = {
     import graft.functions.DotProductExpr.dot
     import org.apache.spark.sql.expressions.Window
@@ -94,7 +102,8 @@ object Decontaminate {
       .withColumn("en", sqrt(dot(col("ev"), col("ev")))))
     val w = Window.partitionBy("train_id")
       .orderBy(col("cos").desc, col("eval_id").asc)
-    c.join(e, col("train_id") =!= col("eval_id"))
+    (if (excludeSelfPairs) c.join(e, col("train_id") =!= col("eval_id"))
+     else c.crossJoin(e))
       .withColumn("cos", round(dot(col("tv"), col("ev")) / (col("tn") * col("en")), 4))
       .filter(col("cos") >= tau)
       .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)

@@ -630,7 +630,7 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
            i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))))
       , 4) AS cos
   FROM embeddings t JOIN embeddings v
-    ON t.vec_id % 10 != 0 AND v.vec_id % 10 = 0 AND t.vec_id != v.vec_id),
+    ON t.vec_id % 10 != 0 AND v.vec_id % 10 = 0),
 ranked AS (
   SELECT train_id, eval_id, cos,
     row_number() OVER (PARTITION BY train_id ORDER BY cos DESC, eval_id ASC) AS r
