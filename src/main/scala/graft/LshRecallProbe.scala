@@ -126,9 +126,12 @@ object LshRecallProbe {
       val hit = truth.count { case (i, j) => pairHit(i, j) }
       val pct = if (truth.isEmpty) 0.0 else hit * 100.0 / truth.size
       // candidate volume: simulate the equi-join (exact keys x probe
-      // keys) the operator runs — distinct canonical pairs pre-refine
+      // keys) the operator runs — distinct canonical pairs pre-refine.
+      // Skippable (arg 6 = "nocand"): at the 200 k point the pair-set
+      // materialization dominates the probe; measure cost there by
+      // running the REAL operator in Spark instead.
       val candPairs: Long =
-        if (depth == 0) -1L
+        if (depth == 0 || args.drop(5).headOption.contains("nocand")) -1L
         else {
           val pairs = new java.util.HashSet[Long]()
           for (t <- 0 until tables) {

@@ -753,63 +753,99 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
-  /** Embedding near-dup pairs, MULTI-PROBE LSH: same semantics as
-    * [[embeddingCosinePairsLsh]], but instead of adding hash tables to
-    * hold recall as the signature widens, each vector also probes the
-    * `bits` neighboring buckets one sign-flip away — a candidate pair
-    * needs signatures within hamming <= 1 in some table rather than an
-    * exact match (Lv et al., VLDB'07). Per-table pair recall rises
-    * from p^b to p^b + b·p^(b-1)(1-p) (p = 1 - theta/pi), ~4-9x near
-    * the threshold, so a FIXED small table count suffices at widths
-    * where exact-collision LSH needs its 32-table cap:
-    * probes-substitute-for-tables is the memory-lean end of the same
-    * trade (T signature tables to store/shuffle instead of 4T, at
-    * (bits+1)x bucket rows on ONE side of the join).
+  /** Multiprobe table count for a derived signature width: probes
+    * substitute for tables, so the count grows HALF as fast as the
+    * exact-collision path's [[adaptiveLshTables]] (one doubling per 4
+    * derived bits, not per 2) — measured on the driver fixtures
+    * (LshRecallProbe, SCALE_MEASURED_r15): 16 tables x budget-4 depth-2
+    * probing holds >= 50% recall at 20 k vectors where 32-table
+    * exact-collision recovers 13%. Integer-exact for the oracle.
+    */
+  def multiprobeTables(bits: Int, floor: Int = 8, base: Int = 8, cap: Int = 32): Int =
+    math.min(cap, base << math.max(0, (bits - floor) / 4))
+
+  /** Query-directed probe budget for a derived width: +1 low-margin bit
+    * per 4 derived bits over the floor — the probe set (1 + m + C(m,2)
+    * keys per table) must grow much slower than the width it holds
+    * recall against, or candidate volume balloons exactly where the
+    * adaptive path slims (the r14 one-flip-of-every-bit probing: 17
+    * probes at 16 bits, 36.69 s at 200 k vectors). Integer-exact.
+    */
+  def multiprobeBudget(bits: Int, floor: Int = 8, base: Int = 3, cap: Int = 8): Int =
+    math.min(cap, base + math.max(0, (bits - floor) / 4))
+
+  /** Embedding near-dup pairs, QUERY-DIRECTED MULTI-PROBE LSH (Lv et
+    * al., VLDB'07) — the RECOMMENDED production default of the LSH
+    * family: same semantics as [[embeddingCosinePairsLsh]], but each
+    * vector also probes buckets reachable by flipping up to `probeDepth`
+    * of its `probeBudget` LOWEST-|MARGIN| sign bits (margin = dot with
+    * the plane). A near pair disagrees exactly where one endpoint sits
+    * close to a hyperplane, so the low-margin flips recover most of a
+    * full hamming<=2 probe's recall at a FLAT probe count
+    * (1 + m + C(m,2) keys per table) while the corpus-adaptive width
+    * grows — recall that collapses with scale on the exact-collision
+    * path (13% at 20 k, 4% at 200 k vectors for its 32-table cap,
+    * LshRecallProbe tau=0.45) holds at >= 50% at 20 k here.
+    *
+    * Candidate semantics (what the DuckDB oracle states directly): a
+    * pair is a candidate iff in SOME table the signatures differ in at
+    * most `probeDepth` bits AND every differing bit is within the probe
+    * budget (the m lowest-|margin| bits, ties to the lower index) of AT
+    * LEAST ONE endpoint — the join runs both directions and
+    * canonicalizes, so probing is symmetric.
     *
     * Still a pure equi-join at scale: the probe side explodes each
-    * (table, bucket) key into bits+1 keys (the original and each
-    * one-bit flip) and joins on (t, b) exactly — no hamming predicate
-    * in the join condition anywhere. The probe keys exist only inside
-    * the candidate stage; the exact cosine refine is unchanged.
-    * Derived-width path shares [[adaptiveLshBits]] and the
-    * prefix-stable planes, so the one embedded oracle plane table
-    * covers this operator too.
+    * (table) into the probe-key set ([[graft.functions.AnnExprs
+    * .lshProbeKeys]], one fused codegen pass with the signature) and
+    * joins the exact side on (t, b) — no hamming predicate in the join
+    * condition anywhere. BOTH sides are BucketCap-capped (a skew-hot
+    * bucket's probes would otherwise meet the capped exact side at
+    * cap x probes). Probe count and table count derive from the
+    * corpus-adaptive width ([[multiprobeBudget]], [[multiprobeTables]])
+    * unless pinned; the derived path shares [[adaptiveLshBits]] and the
+    * prefix-stable planes, so one embedded oracle plane table covers
+    * every corpus size.
     */
   def embeddingCosinePairsLshMultiprobe(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      tables: Int = 8,
+      tables: Int = 0,
       bits: Int = 0,
       seed: Long = 42L,
       dim: Int = 64,
       maxBucket: Int = 100000,
-      n: Long = -1L
+      n: Long = -1L,
+      probeBudget: Int = 0,
+      probeDepth: Int = 2
   ): DataFrame = {
     import graft.functions.DotProductExpr.dot
     val derived = if (bits > 0) bits else adaptiveLshBits(if (n >= 0) n else df.count())
+    val tabs = if (tables > 0) tables else multiprobeTables(derived)
+    val budget = if (probeBudget > 0) probeBudget else multiprobeBudget(derived)
     val planes =
-      if (bits > 0) Similarity.hyperplanes(tables, derived, dim, seed)
-      else Similarity.hyperplanesPrefix(tables, derived, dim, seed)
-    val bucketed = df
+      if (bits > 0) Similarity.hyperplanes(tabs, derived, dim, seed)
+      else Similarity.hyperplanesPrefix(tabs, derived, dim, seed)
+    val vecs = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id"),
-        posexplode(graft.functions.AnnExprs.lshBuckets(col(vecCol), planes)).as(Seq("t", "b")))
-    // probe side: original key plus each one-bit flip — bits+1 rows per
-    // (id, t); the other side keeps exact keys, so a pair within
-    // hamming 1 meets on exactly one (possibly flipped) key
-    val flips = (-1 until derived).map(i => lit(i.toLong)).toArray
-    val probed = bucketed.select(col("id"), col("t"), col("b").as("b0"),
-        explode(array(flips: _*)).as("flip"))
-      .withColumn("b", expr(
-        "CASE WHEN flip < 0 THEN b0 ELSE b0 ^ shiftleft(CAST(1 AS BIGINT), CAST(flip AS INT)) END"))
-      .select("id", "t", "b")
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val bucketed = vecs.select(col("id"),
+      posexplode(graft.functions.AnnExprs.lshBuckets(col("v"), planes)).as(Seq("t", "b")))
+    val probed = vecs.select(col("id"),
+      posexplode(graft.functions.AnnExprs.lshProbeKeys(col("v"), planes, budget, probeDepth))
+        .as(Seq("t", "bs")))
+      .select(col("id"), col("t"), explode(col("bs")).as("b"))
     val exact = BucketCap.dropHot(bucketed, Seq("t", "b"), maxBucket)
-    val cand = exact.select(col("id").as("id_a"), col("t"), col("b"))
-      .join(probed.select(col("id").as("id_b"), col("t"), col("b")), Seq("t", "b"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val probedCapped = BucketCap.dropHot(probed, Seq("t", "b"), maxBucket)
+    // both directions meet in the join (x's exact key vs y's probes AND
+    // y's exact key vs x's probes) — canonicalize, then distinct
+    val cand = exact.select(col("id").as("id_x"), col("t"), col("b"))
+      .join(probedCapped.select(col("id").as("id_y"), col("t"), col("b")), Seq("t", "b"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
 
     val prep = df
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))

@@ -100,15 +100,19 @@ object DedupQueries extends QueryGroup {
         .orderBy("id_a", "id_b")
     }),
 
-    // Multi-probe variant of the same operator (Lv et al., VLDB'07):
-    // each vector also probes the `bits` one-flip-away buckets, so a
-    // FIXED 8 tables holds recall where exact-collision LSH needs its
-    // derived 32-table cap — probes substitute for tables (candidate
-    // rows up, signature tables to store/shuffle down 4x). Same
-    // derived width, same prefix-stable planes, still a pure equi-join
-    // on (t, b); the oracle expresses the identical semantics as
-    // "signatures within hamming <= 1 in some table" over its derived
-    // prefix of the embedded plane table.
+    // QUERY-DIRECTED multi-probe (Lv et al., VLDB'07) — the RECOMMENDED
+    // production default of the LSH family: each vector also probes
+    // buckets within 2 flips of its lowest-|margin| sign bits (budget
+    // and table count derived from the corpus-adaptive width:
+    // Dedup.multiprobeBudget / multiprobeTables). Near pairs disagree
+    // exactly where a margin is small, so the flat probe budget holds
+    // recall the exact-collision path loses with scale: >= 50% at 20 k
+    // vectors (tau=0.45) where dedup_embedding_lsh's 32-table cap
+    // recovers 13% (LshRecallProbe, SCALE_MEASURED_r15). Same derived
+    // width, same prefix-stable planes, still a pure equi-join on
+    // (t, b) with BOTH sides BucketCap-capped; the oracle states the
+    // semantics directly — hamming <= 2 with every differing bit inside
+    // the low-margin budget of at least one endpoint.
     "dedup_embedding_lsh_multiprobe" -> ((s, dir) => {
       Dedup.embeddingCosinePairsLshMultiprobe(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.45)
@@ -527,31 +531,50 @@ FROM pairs
 WHERE round(dot / (na * nb), 4) >= 0.45
 ORDER BY id_a, id_b"""
 
-  /** Multi-probe oracle: the probe-key explosion is an equi-join
-    * IMPLEMENTATION of "signatures within hamming <= 1 in some table";
-    * the oracle states the semantics directly with bit_count(xor()) —
-    * fine at oracle scale, and a stronger check than replaying the
-    * implementation trick (an off-by-one in the flip enumeration would
-    * hash-mismatch here instead of being mirrored).
+  /** Query-directed multi-probe oracle: the probe-key explosion is an
+    * equi-join IMPLEMENTATION of "signatures within hamming <=
+    * probeDepth in some table, every differing bit inside the
+    * low-margin probe budget of at least one endpoint"; the oracle
+    * states that semantics directly — per-bit margins, a rank over
+    * |margin| (ties to the lower bit), budget masks, and a
+    * bit_count(xor()) + mask-containment predicate — a stronger check
+    * than replaying the flip enumeration (an off-by-one in the probe
+    * set would hash-mismatch here instead of being mirrored). Derives
+    * bits, tables, and budget from its own count(*) exactly as
+    * Dedup.adaptiveLshBits / multiprobeTables / multiprobeBudget
+    * (integer shifts only).
     */
   private def embLshMultiprobeSql: String =
     s"""WITH planes_all(t, bit, plane) AS (VALUES
-${embLshPlanesPrefix(8, 24)}),
+${embLshPlanesPrefix(32, 24)}),
 nrows AS (SELECT count(*) AS n FROM embeddings),
 bsel AS (SELECT COALESCE(min(b), 24) AS bits
          FROM generate_series(8, 24) g(b), nrows
          WHERE (CAST(4 AS BIGINT) << b) >= n),
-planes AS (SELECT t, bit, plane FROM planes_all, bsel WHERE planes_all.bit < bsel.bits),
-buckets AS (
-  SELECT e.vec_id, p.t,
-    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
-        i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) >= 0
-      THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS b
-  FROM embeddings e CROSS JOIN planes p GROUP BY 1, 2),
+psel AS (SELECT LEAST(32, 8 << GREATEST(0, (bits - 8) // 4)) AS tabs,
+                LEAST(8, 3 + GREATEST(0, (bits - 8) // 4)) AS budget
+         FROM bsel),
+planes AS (SELECT t, bit, plane FROM planes_all, bsel, psel
+           WHERE planes_all.bit < bsel.bits AND planes_all.t < psel.tabs),
+margins AS (
+  SELECT e.vec_id, p.t, p.bit,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) AS mg
+  FROM embeddings e CROSS JOIN planes p),
+sigs AS (
+  SELECT vec_id, t,
+    CAST(sum(CASE WHEN mg >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN rk <= budget THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS mask
+  FROM (SELECT vec_id, t, bit, mg,
+          row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(mg), bit) AS rk
+        FROM margins), psel
+  GROUP BY 1, 2),
 cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-  FROM buckets x JOIN buckets y
-    ON x.t = y.t AND x.vec_id < y.vec_id AND bit_count(xor(x.b, y.b)) <= 1),
+  FROM sigs x JOIN sigs y
+    ON x.t = y.t AND x.vec_id < y.vec_id AND bit_count(xor(x.b, y.b)) <= 2
+    AND ((xor(x.b, y.b) & x.mask) = xor(x.b, y.b)
+      OR (xor(x.b, y.b) & y.mask) = xor(x.b, y.b))),
 pairs AS (
   SELECT id_a, id_b,
     list_sum(list_transform(generate_series(1, 64),

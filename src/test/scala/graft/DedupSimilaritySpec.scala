@@ -310,9 +310,11 @@ class DedupSimilaritySpec extends SparkSuite {
   }
 
   test("multiprobe LSH: subset of exact, recall >= 50% at the verify SF, pure equi-join plan") {
-    // probes substitute for tables: 8 fixed tables with 1-flip probing
-    // must beat the exact-collision adaptive path's recall floor
-    // (measured 10/14 = 71% vs 4/14 at sf0.01) while the plan stays an
+    // query-directed probing: the derived (16-table-capped, budget-m)
+    // low-margin 2-flip probe set must beat the exact-collision
+    // adaptive path's recall floor (measured 13/14 = 93% vs 4/14 at
+    // sf0.01; 60.6% vs 13% at the 20 k data-sf1 point — the committed
+    // recording spec below pins that one) while the plan stays an
     // equi-join on (t, b) — no hamming predicate, no all-pairs join
     val dir = "/root/testdata/sf0.01"
     val emb = Tables.embeddings(spark, dir)
@@ -327,6 +329,63 @@ class DedupSimilaritySpec extends SparkSuite {
     val plan = mpDf.queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       "multiprobe plan must not contain an all-pairs join")
+  }
+
+  test("multiprobeTables/multiprobeBudget: oracle-identical integer couplings") {
+    // must match the oracle's LEAST(32, 8 << GREATEST(0, (bits-8)//4))
+    // and LEAST(8, 3 + GREATEST(0, (bits-8)//4))
+    assert(Dedup.multiprobeTables(8) == 8)
+    assert(Dedup.multiprobeTables(11) == 8)
+    assert(Dedup.multiprobeTables(12) == 16)
+    assert(Dedup.multiprobeTables(13) == 16)
+    assert(Dedup.multiprobeTables(16) == 32)
+    assert(Dedup.multiprobeTables(24) == 32) // cap
+    assert(Dedup.multiprobeTables(7) == 8)   // below floor clamps to base
+    assert(Dedup.multiprobeBudget(8) == 3)
+    assert(Dedup.multiprobeBudget(13) == 4)
+    assert(Dedup.multiprobeBudget(16) == 5)
+    assert(Dedup.multiprobeBudget(24) == 7)
+    assert(Dedup.multiprobeBudget(28) == 8)  // cap
+  }
+
+  test("lshProbeKeys: exact key first, low-margin flips only, eval == codegen") {
+    import graft.functions.AnnExprs
+    import org.apache.spark.sql.functions.col
+    val planes = Similarity.hyperplanesPrefix(tables = 2, bits = 5, dim = 4)
+    import spark.implicits._
+    val vs = Seq(
+      (1L, Array(0.3, -1.2, 0.8, 0.05)),
+      (2L, Array(-0.9, 0.1, 0.02, 1.4)),
+      (3L, Array(0.0, 0.0, 0.0, 0.0))).toDF("id", "v")
+    val got = vs.select(col("id"), AnnExprs.lshProbeKeys(col("v"), planes, budget = 3, depth = 2).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[scala.collection.Seq[Long]](1).map(_.toSeq))
+      .toMap
+    // reference semantics recomputed independently per (row, table)
+    val raw = vs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for ((id, v) <- raw; t <- 0 until 2) {
+      val dots = (0 until 5).map(b => (0 until 4).map(i => v(i) * planes(t)(b)(i)).sum)
+      val key = (0 until 5).foldLeft(0L)((a, b) => if (dots(b) >= 0) a | (1L << b) else a)
+      val sel = (0 until 5).sortBy(b => (math.abs(dots(b)), b)).take(3).sorted
+      val expect = Seq(key) ++ sel.map(b => key ^ (1L << b)) ++
+        (for (i <- sel.indices; j <- (i + 1) until sel.length)
+          yield key ^ (1L << sel(i)) ^ (1L << sel(j)))
+      assert(got(id)(t).toSet == expect.toSet, s"probe keys for id=$id t=$t")
+      assert(got(id)(t).head == key, "exact key must come first")
+      assert(got(id)(t).length == 1 + 3 + 3, "1 + m + C(m,2) keys")
+    }
+    // interpreted eval path must agree with codegen (same expression,
+    // forced through nullSafeEval)
+    val expr = graft.functions.HyperplaneProbeKeysExpr(
+      org.apache.spark.sql.graftshim.GraftShim.expression(col("v").cast("array<double>")),
+      planes, 3, 2)
+    for ((id, v) <- raw) {
+      val arr = expr.nullSafeEval(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      val tbls = (0 until arr.numElements()).map(t =>
+        arr.getArray(t).toLongArray().toSeq)
+      assert(tbls == (0 until 2).map(t => got(id)(t)), s"eval != codegen for id=$id")
+    }
   }
 
   test("hyperplanesPrefix: width-b planes are an exact prefix of any wider set") {
