@@ -821,23 +821,8 @@ object Dedup {
       probeDepth: Int = 2
   ): DataFrame = {
     import graft.functions.DotProductExpr.dot
-    val derived = if (bits > 0) bits else adaptiveLshBits(if (n >= 0) n else df.count())
-    val tabs = if (tables > 0) tables else multiprobeTables(derived)
-    val budget = if (probeBudget > 0) probeBudget else multiprobeBudget(derived)
-    val planes =
-      if (bits > 0) Similarity.hyperplanes(tabs, derived, dim, seed)
-      else Similarity.hyperplanesPrefix(tabs, derived, dim, seed)
-    val vecs = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val bucketed = vecs.select(col("id"),
-      posexplode(graft.functions.AnnExprs.lshBuckets(col("v"), planes)).as(Seq("t", "b")))
-    val probed = vecs.select(col("id"),
-      posexplode(graft.functions.AnnExprs.lshProbeKeys(col("v"), planes, budget, probeDepth))
-        .as(Seq("t", "bs")))
-      .select(col("id"), col("t"), explode(col("bs")).as("b"))
-    val exact = BucketCap.dropHot(bucketed, Seq("t", "b"), maxBucket)
-    val probedCapped = BucketCap.dropHot(probed, Seq("t", "b"), maxBucket)
+    val (exact, probedCapped) = multiprobeBucketSides(
+      df, idCol, vecCol, tables, bits, seed, dim, maxBucket, n, probeBudget, probeDepth)
     // both directions meet in the join (x's exact key vs y's probes AND
     // y's exact key vs x's probes) — canonicalize, then distinct
     val cand = exact.select(col("id").as("id_x"), col("t"), col("b"))
@@ -856,5 +841,84 @@ object Dedup {
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** The multiprobe candidate stage's two join sides — exact (t, key)
+    * rows and probe-key rows, both BucketCap-capped. Shared by the pair
+    * operator and the telemetry report so the report measures the
+    * EXACT candidate stage production runs.
+    */
+  private def multiprobeBucketSides(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tables: Int,
+      bits: Int,
+      seed: Long,
+      dim: Int,
+      maxBucket: Int,
+      n: Long,
+      probeBudget: Int,
+      probeDepth: Int
+  ): (DataFrame, DataFrame) = {
+    val derived = if (bits > 0) bits else adaptiveLshBits(if (n >= 0) n else df.count())
+    val tabs = if (tables > 0) tables else multiprobeTables(derived)
+    val budget = if (probeBudget > 0) probeBudget else multiprobeBudget(derived)
+    val planes =
+      if (bits > 0) Similarity.hyperplanes(tabs, derived, dim, seed)
+      else Similarity.hyperplanesPrefix(tabs, derived, dim, seed)
+    val vecs = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val bucketed = vecs.select(col("id"),
+      posexplode(graft.functions.AnnExprs.lshBuckets(col("v"), planes)).as(Seq("t", "b")))
+    val probed = vecs.select(col("id"),
+      posexplode(graft.functions.AnnExprs.lshProbeKeys(col("v"), planes, budget, probeDepth))
+        .as(Seq("t", "bs")))
+      .select(col("id"), col("t"), explode(col("bs")).as("b"))
+    (BucketCap.dropHot(bucketed, Seq("t", "b"), maxBucket),
+      BucketCap.dropHot(probed, Seq("t", "b"), maxBucket))
+  }
+
+  /** Per-table health telemetry for the multiprobe LSH candidate stage
+    * — the ONLINE recall/selectivity proxy a production dedup run
+    * reports, so the knob the offline probes (LshRecallProbe) measure
+    * is visible on real corpora without computing ground truth:
+    * `n_buckets` (occupied buckets; expected occupancy = corpus /
+    * n_buckets), `max_bucket` (skew — a bucket near BucketCap's limit
+    * is about to be dropped), and `cand_pairs` (distinct candidate
+    * pairs that table feeds the refine — a table whose yield collapses
+    * signals over-wide signatures, one that explodes signals hot
+    * non-discriminative buckets). Integer-only columns; same
+    * candidate-stage plan as the pair operator.
+    */
+  def embeddingLshMultiprobeReport(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tables: Int = 0,
+      bits: Int = 0,
+      seed: Long = 42L,
+      dim: Int = 64,
+      maxBucket: Int = 100000,
+      n: Long = -1L,
+      probeBudget: Int = 0,
+      probeDepth: Int = 2
+  ): DataFrame = {
+    val (exact, probedCapped) = multiprobeBucketSides(
+      df, idCol, vecCol, tables, bits, seed, dim, maxBucket, n, probeBudget, probeDepth)
+    val bstats = exact.groupBy("t", "b").agg(count(lit(1)).as("c"))
+      .groupBy("t").agg(count(lit(1)).as("n_buckets"), max("c").as("max_bucket"))
+    val cands = exact.select(col("id").as("id_x"), col("t"), col("b"))
+      .join(probedCapped.select(col("id").as("id_y"), col("t"), col("b")), Seq("t", "b"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(col("t"), least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+      .groupBy("t").agg(count(lit(1)).as("cand_pairs"))
+    bstats.join(cands, Seq("t"), "left")
+      .select(col("t").cast("long").as("t"), col("n_buckets"), col("max_bucket"),
+        coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"))
+      .orderBy("t")
   }
 }

@@ -119,6 +119,17 @@ object DedupQueries extends QueryGroup {
         .orderBy("id_a", "id_b")
     }),
 
+    // Per-table health telemetry for the multiprobe candidate stage —
+    // the online recall/selectivity proxy (occupied buckets, hottest
+    // bucket, candidate yield per table) a production dedup run
+    // reports, mirroring what LshRecallProbe measures offline against
+    // ground truth. Integer-only; oracle recomputes the same stats from
+    // its own derived signatures and masks.
+    "dedup_embedding_lsh_report" -> ((s, dir) => {
+      Dedup.embeddingLshMultiprobeReport(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("t")
+    }),
+
     // C4-style span dedup: every distinct 5-word block keeps only its
     // first global occurrence — catches shared boilerplate that
     // document-level dedup can't. Shuffle ∝ blocks, never pairs.
@@ -544,7 +555,10 @@ ORDER BY id_a, id_b"""
     * Dedup.adaptiveLshBits / multiprobeTables / multiprobeBudget
     * (integer shifts only).
     */
-  private def embLshMultiprobeSql: String =
+  /** Shared signature+mask CTE chain of the query-directed multiprobe
+    * oracles (pair query and telemetry report).
+    */
+  private def embLshMultiprobeSigsCtes: String =
     s"""WITH planes_all(t, bit, plane) AS (VALUES
 ${embLshPlanesPrefix(32, 24)}),
 nrows AS (SELECT count(*) AS n FROM embeddings),
@@ -568,7 +582,10 @@ sigs AS (
   FROM (SELECT vec_id, t, bit, mg,
           row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(mg), bit) AS rk
         FROM margins), psel
-  GROUP BY 1, 2),
+  GROUP BY 1, 2)"""
+
+  private def embLshMultiprobeSql: String =
+    s"""$embLshMultiprobeSigsCtes,
 cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
   FROM sigs x JOIN sigs y
@@ -589,6 +606,27 @@ SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos
 FROM pairs
 WHERE round(dot / (na * nb), 4) >= 0.45
 ORDER BY id_a, id_b"""
+
+  /** Telemetry-report oracle: per-table bucket stats + candidate yield
+    * under the same derived shape and mask semantics.
+    */
+  private def embLshMultiprobeReportSql: String =
+    s"""$embLshMultiprobeSigsCtes,
+bstats AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_buckets, CAST(max(c) AS BIGINT) AS max_bucket
+  FROM (SELECT t, b, count(*) AS c FROM sigs GROUP BY 1, 2) GROUP BY t),
+cands AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS cand_pairs FROM (
+    SELECT DISTINCT x.t AS t, x.vec_id AS id_a, y.vec_id AS id_b
+    FROM sigs x JOIN sigs y
+      ON x.t = y.t AND x.vec_id < y.vec_id AND bit_count(xor(x.b, y.b)) <= 2
+      AND ((xor(x.b, y.b) & x.mask) = xor(x.b, y.b)
+        OR (xor(x.b, y.b) & y.mask) = xor(x.b, y.b)))
+  GROUP BY t)
+SELECT CAST(b.t AS BIGINT) AS t, n_buckets, max_bucket,
+  COALESCE(cand_pairs, 0) AS cand_pairs
+FROM bstats b LEFT JOIN cands c ON b.t = c.t
+ORDER BY t"""
 
   private def embLshSqlFor(tables: Int, bits: Int): String =
     s"""WITH planes(t, bit, plane) AS (VALUES
@@ -634,6 +672,7 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_embedding_lsh" -> embLshAdaptiveSql,
     "dedup_embedding_lsh_wide" -> embLshSqlFor(16, 9),
     "dedup_embedding_lsh_multiprobe" -> embLshMultiprobeSql,
+    "dedup_embedding_lsh_report" -> embLshMultiprobeReportSql,
     "dedup_spans" -> spanSql,
     "dedup_spans_clean" -> spanCleanSql,
     "dedup_spans_exact" -> spanExactSql,
