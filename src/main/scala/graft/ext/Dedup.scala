@@ -818,29 +818,44 @@ object Dedup {
       maxBucket: Int = 100000,
       n: Long = -1L,
       probeBudget: Int = 0,
-      probeDepth: Int = 2
+      probeDepth: Int = 2,
+      refineBroadcastMax: Long = 1000000L
   ): DataFrame = {
     import graft.functions.DotProductExpr.dot
+    val nEff = if (n >= 0) n else df.count()
     val (exact, probedCapped) = multiprobeBucketSides(
-      df, idCol, vecCol, tables, bits, seed, dim, maxBucket, n, probeBudget, probeDepth)
+      df, idCol, vecCol, tables, bits, seed, dim, maxBucket, nEff, probeBudget, probeDepth)
     // both directions meet in the join (x's exact key vs y's probes AND
-    // y's exact key vs x's probes) — canonicalize, then distinct
-    val cand = exact.select(col("id").as("id_x"), col("t"), col("b"))
+    // y's exact key vs x's probes) — canonicalized pairs. shuffle_hash:
+    // the probe side is (1 + m + C(m,2)) x the exact side — hashing the
+    // exact side beats sort-merge's full sort of the probe stream
+    val joined = exact.select(col("id").as("id_x"), col("t"), col("b")).hint("shuffle_hash")
       .join(probedCapped.select(col("id").as("id_y"), col("t"), col("b")), Seq("t", "b"))
       .filter(col("id_x") =!= col("id_y"))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
-      .distinct()
 
     val prep = df
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
-    cand
-      .join(prep.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), Seq("id_a"))
-      .join(prep.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), Seq("id_b"))
+    def refine(cand: DataFrame, hint: DataFrame => DataFrame): DataFrame = cand
+      .join(hint(prep.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))), Seq("id_a"))
+      .join(hint(prep.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))), Seq("id_b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+    // Refine-stage shape (the 100x lesson, SCALE_MEASURED_r15): the
+    // probing candidate stream is ~100x the corpus, so sort-merge
+    // joining it against the vectors — twice — dominates everything
+    // (227 s of a 244 s run at 200 k vectors). When the corpus fits a
+    // broadcast, refine MAP-SIDE on the raw (duplicated) join output
+    // and dedupe only the tau-survivors: one shuffle of bucket rows
+    // total, the distinct shrinks from all-candidates to actual pairs,
+    // and the duplicated dot products are codegen-cheap. Past the
+    // broadcast bound, dedupe first so the shuffled refine computes
+    // each pair once.
+    if (nEff <= refineBroadcastMax) refine(joined, broadcast).distinct()
+    else refine(joined.distinct(), identity)
   }
 
   /** The multiprobe candidate stage's two join sides — exact (t, key)

@@ -388,6 +388,42 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("scale-pinned recall floors: committed LshRecallProbe recording, >= 50% at 20k and 200k") {
+    // The floor the query-directed probing exists to hold BEYOND the
+    // verify SF: recordings/lsh_recall_r15.jsonl is the committed
+    // LshRecallProbe output over the regenerable data-sf1 (20 k
+    // vectors, derived bits 13) and data-sf10 (200 k, bits 16)
+    // fixtures at tau=0.45. This spec pins (a) the derived default
+    // shape at those corpus sizes, and (b) its RECORDED recall — a
+    // coupling change that silently lands on an unmeasured shape fails
+    // (a); re-recording with a recall collapse fails (b).
+    val lines = {
+      val src = scala.io.Source.fromFile("recordings/lsh_recall_r15.jsonl")
+      try src.getLines().toList finally src.close()
+    }
+    def recall(mode: String, tables: Int, bits: Int): Double = {
+      val re = ("\"mode\":\"" + java.util.regex.Pattern.quote(mode) +
+        "\",\"tables\":" + tables + ",\"bits\":" + bits +
+        ",\"hit\":\\d+,\"recall_pct\":([0-9.]+)").r.unanchored
+      lines.collectFirst { case re(pct) => pct.toDouble }
+        .getOrElse(fail(s"recording missing ($mode, tables=$tables, bits=$bits)"))
+    }
+    // the derived default shape at the two recorded corpus sizes
+    assert(Dedup.adaptiveLshBits(20000L) == 13
+      && Dedup.multiprobeTables(13) == 16 && Dedup.multiprobeBudget(13) == 4,
+      "derived shape at 20k moved off the recorded (qd:4:2, 16 tables) grid point")
+    assert(Dedup.adaptiveLshBits(200000L) == 16
+      && Dedup.multiprobeTables(16) == 32 && Dedup.multiprobeBudget(16) == 5,
+      "derived shape at 200k moved off the recorded (qd:5:2, 32 tables) grid point")
+    // the recorded floors (measured 60.6% and 52.7%)
+    assert(recall("qd:4:2", 16, 13) >= 50.0, "recall floor at 20k vectors")
+    assert(recall("qd:5:2", 32, 16) >= 50.0, "recall floor at 200k vectors")
+    // and the default must dominate the exact-collision path's cap at
+    // the same scale (13.0% and 4.0% recorded)
+    assert(recall("qd:4:2", 16, 13) > recall("prefix", 32, 13))
+    assert(recall("qd:5:2", 32, 16) > recall("prefix", 32, 16))
+  }
+
   test("hyperplanesPrefix: width-b planes are an exact prefix of any wider set") {
     val narrow = Similarity.hyperplanesPrefix(tables = 8, bits = 8, dim = 16)
     val wide = Similarity.hyperplanesPrefix(tables = 8, bits = 24, dim = 16)
