@@ -572,13 +572,17 @@ object Pipeline {
     * `(n·v − s1)² > z²·(n·s2 − s1²)` so no float division or sqrt ever
     * happens — exact, order-independent, oracle-replayable. The
     * data-quality anomaly gate (broken sensor, corrupted shard) run
-    * per series/type. Bound: n·v and n·s2 must fit a signed long —
-    * fine to ~10^9 rows·units per group; beyond that pre-aggregate per
-    * partition or move s2 to DECIMAL.
+    * per series/type. The moments and the test run in DECIMAL(38,0)
+    * (exact 38-digit integer arithmetic; the DuckDB oracle's HUGEINT):
+    * the r15 data-sf1 audit caught the LONG form overflowing at just
+    * 10^5 rows·10^5 units per group (s1² ~ 10^20 > 2^63) — ANSI mode
+    * made it a loud error instead of silent wrap. Decimal bound:
+    * each factor to ~10^19, far past any 100 TB group.
     *
     * Scale shape: one hash aggregate for the per-group moments (tiny:
     * one row per group), joined back scan-side — AQE broadcasts it;
-    * the flag itself is row-local.
+    * the flag itself is row-local. Output columns are the input's —
+    * the decimals never leave the predicate.
     */
   def zscoreOutliers(
       df: DataFrame,
@@ -586,15 +590,16 @@ object Pipeline {
       valueCol: String,
       z: Int
   ): DataFrame = {
+    val dec = "decimal(38,0)"
     val stats = df.groupBy(col(groupCol)).agg(
-      count(lit(1)).as("__n"),
-      sum(col(valueCol)).as("__s1"),
-      sum(col(valueCol) * col(valueCol)).as("__s2"))
+      count(lit(1)).cast(dec).as("__n"),
+      sum(col(valueCol).cast(dec)).as("__s1"),
+      sum(col(valueCol).cast(dec) * col(valueCol).cast(dec)).as("__s2"))
+    val v = col(valueCol).cast(dec)
     df.join(stats, groupCol)
       .filter(
-        (col("__n") * col(valueCol) - col("__s1")) *
-          (col("__n") * col(valueCol) - col("__s1")) >
-          lit(z.toLong * z) * (col("__n") * col("__s2") - col("__s1") * col("__s1")))
+        (col("__n") * v - col("__s1")) * (col("__n") * v - col("__s1")) >
+          lit(z.toLong * z).cast(dec) * (col("__n") * col("__s2") - col("__s1") * col("__s1")))
       .drop("__n", "__s1", "__s2")
   }
 

@@ -750,9 +750,11 @@ ORDER BY event_type, gap_start""",
     CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_centi
   FROM events),
 s AS (
-  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-    CAST(sum(value_centi) AS BIGINT) AS s1,
-    CAST(sum(value_centi * value_centi) AS BIGINT) AS s2
+  -- HUGEINT moments: the Spark side runs the cross-multiplied test in
+  -- DECIMAL(38,0) — BIGINT s1*s1 overflows at 10x data (r15 audit)
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(value_centi) AS HUGEINT) AS s1,
+    sum(CAST(value_centi AS HUGEINT) * CAST(value_centi AS HUGEINT)) AS s2
   FROM e GROUP BY 1)
 SELECT e.event_id, e.event_type, e.value_centi
 FROM e JOIN s USING (event_type)

@@ -115,11 +115,14 @@ def audit(con, out_dir, oracles, names):
 
 
 def main(sf_dir, out_dir, mode=""):
+    import os as _os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # driver testdata tables are single files; ScaleGen (data-sf1,
+        # data-sf10) writes Spark directories named <t>.parquet
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if _os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
