@@ -626,6 +626,69 @@ object Dedup {
       .withColumn("is_new", col("exact_dup_id").isNull && col("near_dup_id").isNull)
   }
 
+  /** Incremental EMBEDDING dedup: gate a small batch of vectors against
+    * an accumulated history (id, vector) store — the semantic-tier
+    * analog of [[incrementalDupsFromSignatures]], and the per-batch
+    * body of [[graft.streaming.EmbeddingDedupGate]]. Two tiers:
+    * EXACT = bit-identical vector (the array-equality join key hashes
+    * row-locally — md5-of-text's analog for vectors); NEAR = the
+    * query-directed multiprobe candidate stage, batch side probing
+    * (flips of up to `depth` of its `budget` lowest-|margin| bits),
+    * history side exact keys, then the cosine >= threshold refine and
+    * a top-1 rank (highest cosine, ties to the smallest history id).
+    *
+    * Shape at 100 TB: the batch broadcasts in BOTH tiers; history
+    * streams map-side through one column-pruned scan per tier — it is
+    * never shuffled and never self-joined, and only candidate rows
+    * (∝ matches) reach the rank. The LSH shape is PINNED (not
+    * corpus-derived): a persisted gate store must gate every future
+    * batch under the signature geometry it was built with — re-shaping
+    * means re-ingest, exactly the [[embeddingCosinePairsLsh]] pinned
+    * path's contract.
+    */
+  def incrementalEmbeddingDups(
+      history: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      tables: Int = 8,
+      bits: Int = 8,
+      budget: Int = 3,
+      depth: Int = 2,
+      seed: Long = 42L,
+      dim: Int = 64
+  ): DataFrame = {
+    import graft.functions.DotProductExpr.dot
+    val planes = Similarity.hyperplanesPrefix(tables, bits, dim, seed)
+    val h = history.select(col(idCol).as("hid"), col(vecCol).cast("array<double>").as("hv"))
+    val b = batch.select(col(idCol).as("doc_id"), col(vecCol).cast("array<double>").as("bv"))
+    val exactM = h.join(broadcast(b), col("hv") === col("bv"))
+      .groupBy("doc_id").agg(min("hid").as("exact_dup_id"))
+
+    val hKeys = h.select(col("hid"), col("hv"),
+      posexplode(graft.functions.AnnExprs.lshBuckets(col("hv"), planes)).as(Seq("t", "b")))
+    val bKeys = b.select(col("doc_id"), col("bv"),
+      posexplode(graft.functions.AnnExprs.lshProbeKeys(col("bv"), planes, budget, depth))
+        .as(Seq("t", "bs")))
+      .select(col("doc_id"), col("bv"), col("t"), explode(col("bs")).as("b"))
+    val scored = hKeys.join(broadcast(bKeys), Seq("t", "b"))
+      .withColumn("cos", round(
+        dot(col("bv"), col("hv")) /
+          (sqrt(dot(col("bv"), col("bv"))) * sqrt(dot(col("hv"), col("hv")))), 4))
+      .select("doc_id", "hid", "cos").distinct()
+      .filter(col("cos") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("cos").desc, col("hid").asc)
+    val best = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("doc_id"), col("hid").as("near_dup_id"), col("cos").as("near_cos"))
+
+    b.select("doc_id")
+      .join(broadcast(exactM), Seq("doc_id"), "left")
+      .join(broadcast(best), Seq("doc_id"), "left")
+      .withColumn("is_new", col("exact_dup_id").isNull && col("near_dup_id").isNull)
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold over an all-pairs
     * join. Correct baseline at any SF that fits a broadcast; the scale
     * path is LSH bucketing (Similarity.lshBuckets) to cut the pair space

@@ -331,6 +331,23 @@ class DedupSimilaritySpec extends SparkSuite {
       "multiprobe plan must not contain an all-pairs join")
   }
 
+  test("multiprobe refine paths: broadcast and shuffle branches produce identical pairs") {
+    // the refineBroadcastMax knob swaps map-side broadcast refine
+    // (survivor-only distinct) for dedupe-first + shuffled refine —
+    // a pure plan change; the pair SET must be identical
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    def pairs(maxB: Long) =
+      Dedup.embeddingCosinePairsLshMultiprobe(emb, "vec_id", "embedding",
+        threshold = 0.45, refineBroadcastMax = maxB)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBroadcast = pairs(Long.MaxValue)
+    val viaShuffle = pairs(0L)
+    assert(viaBroadcast == viaShuffle,
+      s"refine branches disagree: only-broadcast=${viaBroadcast -- viaShuffle}, only-shuffle=${viaShuffle -- viaBroadcast}")
+    assert(viaBroadcast.nonEmpty)
+  }
+
   test("multiprobeTables/multiprobeBudget: oracle-identical integer couplings") {
     // must match the oracle's LEAST(32, 8 << GREATEST(0, (bits-8)//4))
     // and LEAST(8, 3 + GREATEST(0, (bits-8)//4))
