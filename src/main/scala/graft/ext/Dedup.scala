@@ -673,9 +673,13 @@ object Dedup {
         .as(Seq("t", "bs")))
       .select(col("doc_id"), col("bv"), col("t"), explode(col("bs")).as("b"))
     val scored = hKeys.join(broadcast(bKeys), Seq("t", "b"))
-      .withColumn("cos", round(
-        dot(col("bv"), col("hv")) /
-          (sqrt(dot(col("bv"), col("bv"))) * sqrt(dot(col("hv"), col("hv")))), 4))
+      .withColumn("bn", sqrt(dot(col("bv"), col("bv"))))
+      .withColumn("hn", sqrt(dot(col("hv"), col("hv"))))
+      // zero-norm guard: 0/0 = NaN and NaN >= tau is TRUE under
+      // Spark's NaN ordering (see embeddingCosinePairs). A zero
+      // vector can still EXACT-match above; it never near-matches.
+      .filter(col("bn") > 0 && col("hn") > 0)
+      .withColumn("cos", round(dot(col("bv"), col("hv")) / (col("bn") * col("hn")), 4))
       .select("doc_id", "hid", "cos").distinct()
       .filter(col("cos") >= threshold)
     val w = org.apache.spark.sql.expressions.Window
@@ -704,6 +708,11 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      // a zero vector has no direction: its cosine is 0/0 = NaN, and
+      // Spark ORDERS NaN above every value, so `cos >= tau` would be
+      // TRUE — a zero embedding would near-dup every bucket-mate.
+      // Excluded across the cosine-refine family (r15 advice).
+      .filter(col("n") > 0)
     val a = prep.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = prep.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -808,6 +817,9 @@ object Dedup {
     val prep = df
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      // zero-norm vectors excluded: 0/0 = NaN and NaN >= tau is TRUE
+      // under Spark's NaN ordering (see embeddingCosinePairs)
+      .filter(col("n") > 0)
     cand
       .join(prep.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), Seq("id_a"))
       .join(prep.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), Seq("id_b"))
@@ -882,10 +894,20 @@ object Dedup {
       n: Long = -1L,
       probeBudget: Int = 0,
       probeDepth: Int = 2,
-      refineBroadcastMax: Long = 1000000L
+      refineBroadcastMax: Long = -1L
   ): DataFrame = {
     import graft.functions.DotProductExpr.dot
     val nEff = if (n >= 0) n else df.count()
+    // Broadcast-refine cutoff, sized in estimated BYTES, not rows: the
+    // refine broadcasts the (id, v, n) prep TWICE (id_a and id_b
+    // sides), each row ~dim*8 vector bytes + ~64 bytes id/norm/row
+    // overhead. Default caps each broadcast at ~128 MB estimated
+    // (dim=64: ~230 k rows) so wider vectors LOWER the row cutoff
+    // instead of pressuring the driver (the r15 1 M-row default was
+    // ~0.5 GB per broadcast at dim=64). Explicit values pin the branch.
+    val refineMax =
+      if (refineBroadcastMax >= 0) refineBroadcastMax
+      else (128L << 20) / (dim.toLong * 8 + 64)
     val (exact, probedCapped) = multiprobeBucketSides(
       df, idCol, vecCol, tables, bits, seed, dim, maxBucket, nEff, probeBudget, probeDepth)
     // both directions meet in the join (x's exact key vs y's probes AND
@@ -901,6 +923,9 @@ object Dedup {
     val prep = df
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      // zero-norm vectors excluded: 0/0 = NaN and NaN >= tau is TRUE
+      // under Spark's NaN ordering (see embeddingCosinePairs)
+      .filter(col("n") > 0)
     def refine(cand: DataFrame, hint: DataFrame => DataFrame): DataFrame = cand
       .join(hint(prep.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))), Seq("id_a"))
       .join(hint(prep.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))), Seq("id_b"))
@@ -917,7 +942,7 @@ object Dedup {
     // and the duplicated dot products are codegen-cheap. Past the
     // broadcast bound, dedupe first so the shuffled refine computes
     // each pair once.
-    if (nEff <= refineBroadcastMax) refine(joined, broadcast).distinct()
+    if (nEff <= refineMax) refine(joined, broadcast).distinct()
     else refine(joined.distinct(), identity)
   }
 

@@ -38,13 +38,19 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: two dots in one projection (dot(v,v) and dot(v,w)
+      // in the same refine) share a codegen scope — fixed literals
+      // would collide and kick the WHOLE stage out of codegen
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotS")
+      val i = ctx.freshName("dotI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 

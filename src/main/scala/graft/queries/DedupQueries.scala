@@ -223,6 +223,35 @@ object DedupQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // The EMBEDDING ingest gate under the driver's oracle — the
+    // semantic-tier sibling of streaming_dedup_gate_replay (r15 advice:
+    // incrementalEmbeddingDups shipped uncovered): three deterministic
+    // micro-batches of vectors (vec_id % 3 = batch id) replayed through
+    // EmbeddingDedupGate's foreachBatch body — exact tier =
+    // bit-identical vector in an earlier batch, near tier =
+    // query-directed multiprobe candidates + cosine refine against the
+    // accumulated store — with a store compaction between batches 1
+    // and 2 that must not move a verdict. Same fixed-staging-path /
+    // single-process assumptions as the text gate replay.
+    "streaming_embedding_gate_replay" -> ((s, dir) => {
+      import graft.streaming.EmbeddingDedupGate
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_emb_gate_replay").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val emb = Tables.embeddings(s, dir)
+      for (b <- 0L to 2L) {
+        EmbeddingDedupGate.gateAndIngest(
+          emb.filter(col("vec_id") % 3 === b), "vec_id", "embedding",
+          s"$root/store", s"$root/verdicts", threshold = 0.45, batchId = b)
+        if (b == 1L) EmbeddingDedupGate.compactStore(s, s"$root/store", upToBatch = 0L)
+      }
+      s.read.parquet(s"$root/verdicts")
+        .select("doc_id", "exact_dup_id", "near_dup_id", "near_cos", "is_new")
+        .orderBy("doc_id")
+    }),
+
     // Train/eval decontamination: docs sharing >= 5 distinct 3-gram
     // hashes with the held-out "benchmark" slice (doc_id % 20 = 0 —
     // deterministic split; the corpus's built-in near-dups straddle it,
@@ -467,7 +496,7 @@ ORDER BY doc_a, doc_b"""
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos
 FROM pairs
-WHERE round(dot / (na * nb), 4) >= 0.45
+WHERE round(dot / (na * nb), 4) >= 0.45 AND na > 0 AND nb > 0
 ORDER BY id_a, id_b"""
 
   /** The seeded hyperplanes as DuckDB VALUES rows — Double.toString
@@ -539,7 +568,7 @@ pairs AS (
             JOIN embeddings b ON b.vec_id = id_b)
 SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos
 FROM pairs
-WHERE round(dot / (na * nb), 4) >= 0.45
+WHERE round(dot / (na * nb), 4) >= 0.45 AND na > 0 AND nb > 0
 ORDER BY id_a, id_b"""
 
   /** Query-directed multi-probe oracle: the probe-key explosion is an
@@ -604,7 +633,7 @@ pairs AS (
             JOIN embeddings b ON b.vec_id = id_b)
 SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos
 FROM pairs
-WHERE round(dot / (na * nb), 4) >= 0.45
+WHERE round(dot / (na * nb), 4) >= 0.45 AND na > 0 AND nb > 0
 ORDER BY id_a, id_b"""
 
   /** Telemetry-report oracle: per-table bucket stats + candidate yield
@@ -627,6 +656,75 @@ SELECT CAST(b.t AS BIGINT) AS t, n_buckets, max_bucket,
   COALESCE(cand_pairs, 0) AS cand_pairs
 FROM bstats b LEFT JOIN cands c ON b.t = c.t
 ORDER BY t"""
+
+  /** Embedding-gate-replay oracle: states the accumulated-gate
+    * semantics analytically — vec v's history is every vector in a
+    * STRICTLY EARLIER batch (vec_id % 3); exact tier = min earlier id
+    * with a bit-identical vector; near tier = best cosine >= 0.45
+    * among one-sided multiprobe candidates (the BATCH side probes:
+    * signatures within hamming <= 2 in some table with every differing
+    * bit inside the batch row's 3 lowest-|margin| bits — history uses
+    * exact keys only), ties to the smaller history id. Batch-0 rows
+    * have no history: both tiers NULL, is_new true (the day-1 branch).
+    * The LSH shape is the gate's PINNED (8 tables, 8 bits) geometry,
+    * not corpus-derived — a persisted store gates every future batch
+    * under the geometry it was built with. Zero-norm vectors never
+    * near-match (r15 advice: 0/0 = NaN and NaN >= tau is TRUE under
+    * Spark's NaN ordering). Store compaction must not appear in the
+    * result at all.
+    */
+  private def embGateReplaySql: String =
+    s"""WITH planes(t, bit, plane) AS (VALUES
+${embLshPlanesPrefix(8, 8)}),
+margins AS (
+  SELECT e.vec_id, e.vec_id % 3 AS batch, p.t, p.bit,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) AS mg
+  FROM embeddings e CROSS JOIN planes p),
+sigs AS (
+  SELECT vec_id, batch, t,
+    CAST(sum(CASE WHEN mg >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN rk <= 3 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS mask
+  FROM (SELECT vec_id, batch, t, bit, mg,
+          row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(mg), bit) AS rk
+        FROM margins)
+  GROUP BY 1, 2, 3),
+cand AS (
+  SELECT DISTINCT y.vec_id AS doc_id, x.vec_id AS hid
+  FROM sigs x JOIN sigs y
+    ON x.t = y.t AND x.batch < y.batch
+    AND bit_count(xor(x.b, y.b)) <= 2
+    AND (xor(x.b, y.b) & y.mask) = xor(x.b, y.b)),
+scored AS (
+  SELECT doc_id, hid,
+    round(list_sum(list_transform(generate_series(1, 64),
+        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(generate_series(1, 64),
+           i -> CAST(h.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE))))), 4) AS cos
+  FROM cand JOIN embeddings b ON b.vec_id = doc_id
+            JOIN embeddings h ON h.vec_id = hid
+  WHERE list_sum(list_transform(generate_series(1, 64),
+          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) > 0
+    AND list_sum(list_transform(generate_series(1, 64),
+          i -> CAST(h.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE))) > 0),
+best AS (
+  SELECT doc_id, hid AS near_dup_id, cos AS near_cos,
+    row_number() OVER (PARTITION BY doc_id ORDER BY cos DESC, hid ASC) AS r
+  FROM scored WHERE cos >= 0.45),
+ex AS (
+  SELECT b.vec_id AS doc_id, min(h.vec_id) AS exact_dup_id
+  FROM embeddings b JOIN embeddings h
+    ON h.vec_id % 3 < b.vec_id % 3 AND h.embedding = b.embedding
+  GROUP BY 1)
+SELECT e.vec_id AS doc_id, ex.exact_dup_id, bs.near_dup_id, bs.near_cos,
+  (ex.exact_dup_id IS NULL AND bs.near_dup_id IS NULL) AS is_new
+FROM embeddings e
+LEFT JOIN ex ON e.vec_id = ex.doc_id
+LEFT JOIN (SELECT doc_id, near_dup_id, near_cos FROM best WHERE r = 1) bs
+  ON e.vec_id = bs.doc_id
+ORDER BY doc_id"""
 
   private def embLshSqlFor(tables: Int, bits: Int): String =
     s"""WITH planes(t, bit, plane) AS (VALUES
@@ -652,7 +750,7 @@ pairs AS (
             JOIN embeddings b ON b.vec_id = id_b)
 SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos
 FROM pairs
-WHERE round(dot / (na * nb), 4) >= 0.45
+WHERE round(dot / (na * nb), 4) >= 0.45 AND na > 0 AND nb > 0
 ORDER BY id_a, id_b"""
 
   val oracleSql: Map[String, String] = Map(
@@ -680,6 +778,7 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_fuzzy_edit" -> fuzzyEditSql,
     "dedup_incremental" -> incrementalSql,
     "streaming_dedup_gate_replay" -> gateReplaySql,
+    "streaming_embedding_gate_replay" -> embGateReplaySql,
     "decontaminate_ngram" -> decontaminateSql,
     "decontaminate_embedding" ->
       """WITH scored AS (

@@ -67,6 +67,16 @@ object JdbcSource {
     * a scheduled extract exactly as the reference does. Driver-side by
     * design — a health probe must not spin up executors.
     */
+  /** Serializes the JVM-global login-timeout set/restore below: two
+    * overlapping pings could otherwise interleave set A / set B /
+    * restore A / restore B and leave a stale 5 s timeout installed
+    * for every later connect in the JVM (r15 advice). Connects made
+    * OUTSIDE the lock still observe the temporary value for the
+    * bounded duration of one ping — the unavoidable cost of a global
+    * knob; the lock guarantees the prior value always comes back.
+    */
+  private val loginTimeoutLock = new Object
+
   def ping(cfg: JdbcSourceConfig, probeSql: String = "VALUES 1", timeoutSec: Int = 5): Boolean =
     try {
       if (cfg.driver.nonEmpty) Class.forName(cfg.driver)
@@ -74,15 +84,16 @@ object JdbcSource {
       // getConnection itself would block for the full TCP timeout
       // (minutes) against an unreachable host — bound the login too, so
       // the gate actually gates a scheduled extract instead of hanging
-      // it. setLoginTimeout is JVM-global; restore the prior value.
-      val prevLogin = java.sql.DriverManager.getLoginTimeout
-      java.sql.DriverManager.setLoginTimeout(timeoutSec)
-      val conn =
+      // it. setLoginTimeout is JVM-global; set/restore under the lock.
+      val conn = loginTimeoutLock.synchronized {
+        val prevLogin = java.sql.DriverManager.getLoginTimeout
+        java.sql.DriverManager.setLoginTimeout(timeoutSec)
         try {
           if (cfg.user.nonEmpty)
             java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
           else java.sql.DriverManager.getConnection(cfg.url)
         } finally java.sql.DriverManager.setLoginTimeout(prevLogin)
+      }
       try {
         val st = conn.createStatement()
         try { st.setQueryTimeout(timeoutSec); st.execute(probeSql); true }
@@ -192,7 +203,16 @@ object JdbcSink {
           // N duplicates. Buffers the partition — size write partitions
           // for executor memory, as with any buffered sink.
           val last = new java.util.LinkedHashMap[Seq[Any], org.apache.spark.sql.Row]()
-          rows.foreach(r => last.put(keyIdx.toSeq.map(r.get), r))
+          // key values normalize before use: a binary key column reads
+          // back as Array[Byte], which compares by REFERENCE — same-key
+          // rows would not collapse and the DELETE-then-INSERT would
+          // insert duplicates (or abort on a PRIMARY KEY). Arrays wrap
+          // to value-equal Seqs (r15 advice).
+          def normKey(v: Any): Any = v match {
+            case b: Array[_] => b.toSeq
+            case x => x
+          }
+          rows.foreach(r => last.put(keyIdx.toSeq.map(i => normKey(r.get(i))), r))
           conn.setAutoCommit(false)
           val del = conn.prepareStatement(deleteSql)
           val ins = conn.prepareStatement(insertSql)

@@ -348,6 +348,50 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(viaBroadcast.nonEmpty)
   }
 
+  test("zero-norm vectors never pair: NaN cosine guard across the refine family") {
+    // 0/0 = NaN, and Spark ORDERS NaN above every value, so without
+    // the norm guard `cos >= tau` is TRUE and a zero embedding
+    // near-dups every bucket-mate (r15 advice). Guarded in prep across
+    // embeddingCosinePairs / LSH / multiprobe.
+    val rows = (0L to 5L).map { id =>
+      val v = if (id == 5L) Array.fill(8)(0.0f)
+              else Array.tabulate(8)(d => math.sin(id * 8 + d + 1).toFloat)
+      Row(id, v.toSeq)
+    }
+    val vecs0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    // tau = -1 would admit EVERY true pair — only the zero vector must
+    // be absent, whatever the threshold
+    val brute = ids(Dedup.embeddingCosinePairs(vecs0, "vec_id", "embedding", threshold = -1.0))
+    assert(!brute.contains(5L), "zero vector paired in brute-force cosine")
+    assert(brute.nonEmpty)
+    val mp = ids(Dedup.embeddingCosinePairsLshMultiprobe(
+      vecs0, "vec_id", "embedding", threshold = -1.0, tables = 4, bits = 3, dim = 8, n = 6L))
+    assert(!mp.contains(5L), "zero vector paired in multiprobe refine")
+  }
+
+  test("refineBroadcastMax default derives from estimated bytes, not rows") {
+    // default -1 → cutoff = 128 MB / (dim*8 + 64) bytes per prep row:
+    // dim=64 → ~233k rows (broadcast branch at every dev SF), dim=4096
+    // → ~4k rows (wide vectors LOWER the cutoff instead of pressuring
+    // the driver — the r15 1M-row default was ~0.5 GB per broadcast)
+    assert((128L << 20) / (64L * 8 + 64) == 233016L)
+    assert((128L << 20) / (4096L * 8 + 64) == 4088L)
+    // and the derived-default plan at sf0.01 (2k vectors) matches the
+    // explicit-broadcast plan: same pair set either way is already
+    // pinned above; here pin the BRANCH choice itself
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val derived = Dedup.embeddingCosinePairsLshMultiprobe(emb, "vec_id", "embedding",
+      threshold = 0.45)
+    assert(derived.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "below the derived cutoff the refine must broadcast")
+  }
+
   test("multiprobeTables/multiprobeBudget: oracle-identical integer couplings") {
     // must match the oracle's LEAST(32, 8 << GREATEST(0, (bits-8)//4))
     // and LEAST(8, 3 + GREATEST(0, (bits-8)//4))
