@@ -31,13 +31,41 @@ import org.apache.spark.sql.functions._
   *     constant degree, the shape pagerank must scale against.
   *   - dimension tables copy through unchanged.
   *
-  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> [factor=10]
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> [factor=10] [tables]
+  * `tables` = optional comma-list restricting which tables are
+  * generated (e.g. `embeddings` for a vectors-only corpus at a factor
+  * the full-table set would waste disk on).
   */
 object ScaleGen {
+
+  /** Per-lap deterministic ±1 sign pattern for embedding replicas past
+    * the shift+negate period (factor > 2*dim): lap 0 is the identity —
+    * outputs for factor <= 2*dim are bit-identical to the pre-lap
+    * scheme, so the committed data-sf1/data-sf10 measurements stay
+    * comparable — and each later lap applies a seeded diagonal ±1
+    * (norm-preserving; two Lehmer-square rounds with the index
+    * re-injected, the decorrelation the affine-mix fixtures proved
+    * necessary). Cross-lap cosines concentrate near 0 (std ~1/sqrt(dim))
+    * so cross-replica buckets stay sparse at any factor.
+    */
+  private[graft] def lapSigns(lap: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      if (lap == 0) 1.0f
+      else {
+        var x = (lap.toLong * 2654435761L + i.toLong * 40503L + 12345L) % 2147483647L
+        x = (x * x) % 2147483647L
+        x = (x + i.toLong + 48271L) % 2147483647L
+        x = (x * x) % 2147483647L
+        if ((x & 1L) == 0L) 1.0f else -1.0f
+      }
+    }
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir) = args.take(2)
     val factor = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val only: Set[String] =
+      args.drop(3).headOption.map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+    def wanted(t: String): Boolean = only.isEmpty || only.contains(t)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,13 +85,14 @@ object ScaleGen {
     // are fine for the scaling tail (its queries join only among the
     // replicated tables)
     Seq("region", "nation", "customer", "supplier", "part")
-      .foreach(t => write(read(t), t))
+      .filter(wanted).foreach(t => write(read(t), t))
 
     def replicated(base: DataFrame)(per: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(k => per(base, k)).reduce(_ unionByName _)
 
     // documents: tag every word with the replica id (vocabulary
     // becomes disjoint across replicas; in-replica structure exact)
+    if (wanted("documents")) {
     val docs = read("documents")
     val docOff = maxOf(docs, "doc_id")
     write(replicated(docs) { (d, k) =>
@@ -77,6 +106,7 @@ object ScaleGen {
         .withColumn("n_chars", length(col("text")))
         .select("doc_id", "text", "lang", "source", "n_chars")
     }, "documents")
+    }
 
     // embeddings: cyclic component shift per replica (norm-preserving).
     // Past one full lap of the dimension (factor > dim, e.g. the 100x
@@ -85,34 +115,41 @@ object ScaleGen {
     // still norm-preserving, and v / -v sit at cosine -1, the far side
     // of every similarity threshold, so cross-replica buckets stay as
     // sparse as the first lap's.
+    if (wanted("embeddings")) {
     val embs = read("embeddings")
     val vecOff = maxOf(embs, "vec_id")
     val dim = embs.select(size(col("embedding"))).head().getInt(0)
-    // the shift+negate scheme has period 2*dim: replica 2*dim's shift is
-    // 0 on an even lap, reproducing replica 0's vectors exactly (cosine
-    // 1) — past that bound the corpus silently floods with cross-replica
-    // exact duplicates and every dedup/LSH scale measurement is corrupt
-    require(factor <= 2 * dim,
-      s"embedding replication factor $factor exceeds the shift+negate period 2*dim=${2 * dim}; " +
-        "cross-replica vectors would repeat exactly")
+    // shift+negate has period 2*dim; past one full period each LAP
+    // (k / (2*dim)) additionally applies a seeded diagonal ±1
+    // (lapSigns) — lap 0 is the identity, so factors <= 2*dim
+    // reproduce the historical outputs bit-exactly, and no factor can
+    // silently flood the corpus with cross-replica exact duplicates
     write(replicated(embs) { (e, k) =>
       if (k == 0) e
       else {
-        val s = k % dim
+        val inner = k % (2 * dim)
+        val s = inner % dim
         val shifted =
           if (s == 0) col("embedding")
           else expr(s"concat(slice(embedding, ${s + 1}, size(embedding) - $s), " +
             s"slice(embedding, 1, $s))")
         val signed =
-          if ((k / dim) % 2 == 0) col("__shifted")
+          if ((inner / dim) % 2 == 0) col("__shifted")
           else expr("transform(__shifted, x -> -x)")
+        val lap = k / (2 * dim)
+        val lapped =
+          if (lap == 0) col("__signed")
+          else zip_with(col("__signed"), typedLit(lapSigns(lap, dim)), (x, sg) => x * sg)
         e.withColumn("__shifted", shifted)
+          .withColumn("__signed", signed)
           .select((col("vec_id") + lit(k * vecOff)).as("vec_id"),
-            signed.as("embedding"), col("label"))
+            lapped.as("embedding"), col("label"))
       }
     }, "embeddings")
+    }
 
     // events: fresh user population per replica, +k seconds
+    if (wanted("events")) {
     val ev = read("events")
     val evOff = maxOf(ev, "event_id")
     val userOff = maxOf(ev, "user_id")
@@ -124,9 +161,11 @@ object ScaleGen {
         (col("user_id") + lit(k * userOff)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }, "events")
+    }
 
     // orders + lineitem: consistent orderkey offset; fresh customer /
     // supplier id spaces per replica (constant node degree at 10x nodes)
+    if (wanted("orders") || wanted("lineitem")) {
     val orders = read("orders")
     val li = read("lineitem")
     val ordOff = maxOf(orders, "o_orderkey")
@@ -138,12 +177,14 @@ object ScaleGen {
         .withColumn("o_orderkey", col("o_orderkey") + lit(k * ordOff))
         .withColumn("o_custkey", col("o_custkey") + lit(k * custOff))
     }, "orders")
+    if (wanted("lineitem"))
     write(replicated(li) { (l, k) =>
       if (k == 0) l
       else l
         .withColumn("l_orderkey", col("l_orderkey") + lit(k * ordOff))
         .withColumn("l_suppkey", col("l_suppkey") + lit(k * suppOff))
     }, "lineitem")
+    }
 
     println(s"""{"scalegen":"done","src":"$srcDir","out":"$outDir","factor":$factor}""")
     spark.stop()

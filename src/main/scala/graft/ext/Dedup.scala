@@ -737,6 +737,28 @@ object Dedup {
     b
   }
 
+  /** Resolve the corpus size the adaptive LSH shapes derive from — the
+    * r15 verdict's "no silent full-scan count" rule: an explicit
+    * `n >= 0` always wins (the registry and any production pipeline
+    * know their corpus size); otherwise Catalyst's EXACT row-count
+    * statistic when the optimizer can prove one (ANALYZE'd catalog
+    * tables propagate it); otherwise one count() pass — metadata-bound
+    * on a bare parquet scan, a real job on any derived input — logged
+    * loudly with the operator name so the extra scan never hides
+    * inside a plan at 100 TB.
+    */
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.ext.Dedup")
+  private[graft] def corpusCount(df: DataFrame, n: Long, op: String): Long =
+    if (n >= 0L) n
+    else df.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(rc) => rc.longValue
+      case None =>
+        log.warn(s"$op: corpus size not supplied and no exact row-count " +
+          "statistic available - running a count() pass to derive the LSH " +
+          "shape; pass n= (or ANALYZE the table) to avoid the extra scan")
+        df.count()
+    }
+
   /** Table count coupled to the derived signature width: per-table
     * collision probability for a pair at angle theta is
     * (1 - theta/pi)^bits, so recall at a FIXED table count decays
@@ -800,7 +822,7 @@ object Dedup {
         // count() on a parquet scan is metadata-bound (row-group counts,
         // no column IO) — cheap even at corpus scale, and deterministic
         // per SF so the oracle's own count() derives the same width.
-        val derived = adaptiveLshBits(if (n >= 0) n else df.count())
+        val derived = adaptiveLshBits(corpusCount(df, n, "embeddingCosinePairsLsh"))
         Similarity.hyperplanesPrefix(adaptiveLshTables(derived), derived, dim, seed)
       }
     val bucketed = df
@@ -897,7 +919,7 @@ object Dedup {
       refineBroadcastMax: Long = -1L
   ): DataFrame = {
     import graft.functions.DotProductExpr.dot
-    val nEff = if (n >= 0) n else df.count()
+    val nEff = corpusCount(df, n, "embeddingCosinePairsLshMultiprobe")
     // Broadcast-refine cutoff, sized in estimated BYTES, not rows: the
     // refine broadcasts the (id, v, n) prep TWICE (id_a and id_b
     // sides), each row ~dim*8 vector bytes + ~64 bytes id/norm/row
@@ -964,7 +986,8 @@ object Dedup {
       probeBudget: Int,
       probeDepth: Int
   ): (DataFrame, DataFrame) = {
-    val derived = if (bits > 0) bits else adaptiveLshBits(if (n >= 0) n else df.count())
+    val derived = if (bits > 0) bits
+      else adaptiveLshBits(corpusCount(df, n, "multiprobeBucketSides"))
     val tabs = if (tables > 0) tables else multiprobeTables(derived)
     val budget = if (probeBudget > 0) probeBudget else multiprobeBudget(derived)
     val planes =

@@ -80,7 +80,13 @@ object DedupQueries extends QueryGroup {
     // max-shape plane table, so the (approximate) pair set is checked
     // exactly at EVERY corpus size, not just the dev SF.
     "dedup_embedding_lsh" -> ((s, dir) => {
-      Dedup.embeddingCosinePairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
+      // corpus size passed explicitly (no-silent-count rule, r15
+      // verdict #7): one metadata-bound count at the call site, visible
+      // instead of hidden inside the operator. The oracle derives the
+      // same shape from its own count(*).
+      val emb = Tables.embeddings(s, dir)
+      Dedup.embeddingCosinePairsLsh(emb, "vec_id", "embedding", threshold = 0.45,
+        n = emb.count())
         .orderBy("id_a", "id_b")
     }),
 
@@ -114,8 +120,9 @@ object DedupQueries extends QueryGroup {
     // semantics directly — hamming <= 2 with every differing bit inside
     // the low-margin budget of at least one endpoint.
     "dedup_embedding_lsh_multiprobe" -> ((s, dir) => {
-      Dedup.embeddingCosinePairsLshMultiprobe(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.45)
+      val emb = Tables.embeddings(s, dir)
+      Dedup.embeddingCosinePairsLshMultiprobe(emb, "vec_id", "embedding",
+        threshold = 0.45, n = emb.count())
         .orderBy("id_a", "id_b")
     }),
 
@@ -126,7 +133,8 @@ object DedupQueries extends QueryGroup {
     // ground truth. Integer-only; oracle recomputes the same stats from
     // its own derived signatures and masks.
     "dedup_embedding_lsh_report" -> ((s, dir) => {
-      Dedup.embeddingLshMultiprobeReport(Tables.embeddings(s, dir), "vec_id", "embedding")
+      val emb = Tables.embeddings(s, dir)
+      Dedup.embeddingLshMultiprobeReport(emb, "vec_id", "embedding", n = emb.count())
         .orderBy("t")
     }),
 

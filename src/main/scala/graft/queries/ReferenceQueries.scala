@@ -194,6 +194,82 @@ object ReferenceQueries extends QueryGroup {
         .limit(10)
     }),
 
+    // S4 — the reference's PRODUCTION sink under the oracle (r15
+    // verdict #5; previously spec-only): flagship extract →
+    // writeDailyCsv (single file, daily name, header —
+    // database_extractor.py:350) → schema'd CSV read-back, checked
+    // against the SAME oracle as daily_extract. Doubles round-trip
+    // bit-exactly (shortest-repr toString), timestamps via the default
+    // ISO format under the pinned UTC session tz; a lossy sink would
+    // hash-mismatch here.
+    "daily_extract_csv_roundtrip" -> ((s, dir) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_daily_csv").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val df = queries("daily_extract")(s, dir)
+      ExtractOps.writeDailyCsv(df, root, "prototype-zero_realtime-data",
+        java.time.LocalDate.parse("2024-01-02"))
+      s.read.schema(df.schema).option("header", "true")
+        .csv(s"$root/prototype-zero_realtime-data_2024-01-02.csv")
+        .orderBy("ts")
+    }),
+
+    // §2.10 — the STREAMING daily extract itself under the driver's
+    // oracle (r15 verdict #4; previously spec-only): three
+    // deterministic micro-batches (event_id % 3) staged as files and
+    // replayed through resampleLastStream (1 s windowed-last, 1 h
+    // event-time watermark) + the append-mode daily file sink, one
+    // AvailableNow lifecycle per batch so the watermark advances
+    // deterministically between batches. Batch 1 spans the whole time
+    // range, so batches 2 and 3 genuinely exercise BOTH late-data
+    // paths: rows within the horizon of the prior batches' max are
+    // accepted into open windows, rows beyond it are dropped. Two
+    // out-of-band sentinel batches (excluded series, +horizon+2 s
+    // apart) push the watermark past every real window so the final
+    // table is exactly the closed-window set; the oracle recomputes
+    // acceptance from the watermark recurrence (ms-floored max — the
+    // engine tracks event time in milliseconds — minus the horizon,
+    // compared against window END) and the windowed-last from the
+    // accepted union. Same fixed-staging-path / single-process
+    // assumptions as the gate replays.
+    "streaming_extract_replay" -> ((s, dir) => {
+      import graft.streaming.StreamingExtract
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_sextract_replay").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = Tables.events(s, dir).withColumn("ts", col("ts").cast("timestamp"))
+      val schema = ev.schema
+      val mx = ev.agg(max("ts")).head().getTimestamp(0)
+      def stage(df: DataFrame): Unit =
+        df.coalesce(1).write.mode("append").parquet(s"$root/in")
+      def run(): Unit = StreamingExtract.startFileSink(
+        StreamingExtract.resampleLastStream(
+          StreamingExtract.source(s, s"$root/in", schema),
+          "ts", "event_type", "value", every = "1 second", watermark = "1 hour"),
+        "ts", s"$root/out", s"$root/ckpt").awaitTermination(300000)
+      for (b <- 0 to 2) { stage(ev.filter(col("event_id") % 3 === b)); run() }
+      import s.implicits._
+      def sentinel(id: Long, t: java.sql.Timestamp): DataFrame =
+        Seq((id, t, -1L, "__sentinel", 0.0, null: String))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val s1 = new java.sql.Timestamp(mx.getTime + 3600L * 1000 + 2000)
+      val s2 = new java.sql.Timestamp(s1.getTime + 3600L * 1000 + 2000)
+      stage(sentinel(-1L, s1)); run()
+      stage(sentinel(-2L, s2)); run()
+      s.read.parquet(s"$root/out")
+        .select("ts", "event_type", "value", "n_points")
+        // the engine's no-data batches advance the watermark eagerly,
+        // so the FIRST sentinel's own window also closes — the flush
+        // rows are bookkeeping, not data; only real series are the
+        // contract (the oracle never materializes the sentinels)
+        .filter(col("event_type") =!= "__sentinel")
+        .orderBy("ts", "event_type")
+    }),
+
     // §3.2 backfill, scale path: one plan over the whole range instead of
     // the reference's serial per-day loop; daily rollup per series.
     "backfill_daily" -> ((s, dir) => {
@@ -217,6 +293,15 @@ object ReferenceQueries extends QueryGroup {
 
   val oracleSql: Map[String, String] = Map(
     "daily_extract" ->
+      s"""SELECT date_trunc('second', ts) AS ts,
+  ${argMaxCols(EventTypes)}
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+GROUP BY 1 ORDER BY 1""",
+
+    // identical contract to daily_extract — the CSV sink round-trip
+    // must be lossless, so it answers the same oracle
+    "daily_extract_csv_roundtrip" ->
       s"""SELECT date_trunc('second', ts) AS ts,
   ${argMaxCols(EventTypes)}
 FROM events
@@ -264,6 +349,34 @@ GROUP BY 1 ORDER BY 1""",
       """SELECT date_trunc('second', ts) AS ts, event_type, arg_max(value, ts) AS value
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Watermark recurrence stated analytically: the engine's watermark
+    // entering batch N is (ms-floored max event time over ALL rows of
+    // batches < N, dropped ones included) - horizon; a row survives iff
+    // its 1 s window END exceeds that. Batch 1 enters at the epoch
+    // watermark (all accepted); the sentinels close every real window
+    // and appear in no window themselves. The windowed-last and
+    // n_points then aggregate the accepted union — late-but-in-horizon
+    // rows of later batches land in their original windows.
+    "streaming_extract_replay" ->
+      """WITH wm1 AS (
+  SELECT date_trunc('millisecond', max(ts)) - INTERVAL 1 HOUR AS wm
+  FROM events WHERE event_id % 3 = 0),
+wm2 AS (
+  SELECT date_trunc('millisecond', max(ts)) - INTERVAL 1 HOUR AS wm
+  FROM events WHERE event_id % 3 <= 1),
+acc AS (
+  SELECT ts, event_type, value FROM events WHERE event_id % 3 = 0
+  UNION ALL
+  SELECT ts, event_type, value FROM events, wm1
+  WHERE event_id % 3 = 1 AND date_trunc('second', ts) + INTERVAL 1 SECOND > wm
+  UNION ALL
+  SELECT ts, event_type, value FROM events, wm2
+  WHERE event_id % 3 = 2 AND date_trunc('second', ts) + INTERVAL 1 SECOND > wm)
+SELECT date_trunc('second', ts) AS ts, event_type,
+  arg_max(value, ts) AS value, count(*) AS n_points
+FROM acc
 GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "resample_ffill" ->
