@@ -58,8 +58,14 @@ object Bench {
     * sweep vs focus mode purely from exprId drift. Renumbering makes
     * the optimizer's order decisions structural. */
   def planHash(spark: SparkSession, sfDir: String, name: String): String =
+    try planHashDf(spark, SparkEntry.queries(name)(spark, sfDir))
+    catch { case _: Throwable => "err" }
+
+  /** [[planHash]] for an already-built DataFrame — shared with the
+    * offline probes (RefineBranchProbe) so their recorded digests are
+    * directly comparable with planhash.json's. */
+  def planHashDf(spark: SparkSession, df: org.apache.spark.sql.DataFrame): String =
     try {
-      val df = SparkEntry.queries(name)(spark, sfDir)
       val cacheFree = spark.sessionState.optimizer.execute(
         renumberExprIds(df.queryExecution.analyzed.clone()))
       val canon = cacheFree.canonicalized.toString

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Cost probe for the multiprobe LSH refine's two physical branches —
+  * the r15 verdict's #1 unknown: below the broadcast cutoff the refine
+  * broadcasts the (id, vector, norm) prep to both candidate joins and
+  * dedupes SURVIVORS only; above it (the 100 TB production path — a
+  * real corpus is always above any broadcast bound) the candidate
+  * stream dedupes FIRST and the refine joins shuffle. The shuffled
+  * branch had never been executed before this probe; the broadcast
+  * branch's 200 k-vector cost was r15's 27.4 s headline.
+  *
+  * Runs `reps` interleaved passes per requested branch (min-of-N on an
+  * interleaved schedule separates box contention from a plan
+  * difference, the Bench focus-mode protocol) and reports wall time,
+  * the pair count (branches must agree — the spec pins set equality at
+  * the verify SF), and the Bench-comparable plan digest.
+  *
+  * Usage: runMain graft.RefineBranchProbe <sfDir> <branchesCsv> [reps=3] [tau=0.45]
+  *   branches: broadcast | shuffle | default  (default = the
+  *   bytes-derived cutoff picks; records which branch engaged)
+  */
+object RefineBranchProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val branches = args(1).split(",").map(_.trim).toSeq
+    val reps = args.drop(2).headOption.map(_.toInt).getOrElse(3)
+    val tau = args.drop(3).headOption.map(_.toDouble).getOrElse(0.45)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    def dfFor(branch: String) = {
+      val cutoff = branch match {
+        case "broadcast" => Long.MaxValue
+        case "shuffle"   => 0L
+        case "default"   => -1L
+        case other => sys.error(s"unknown branch $other")
+      }
+      graft.ext.Dedup.embeddingCosinePairsLshMultiprobe(
+        emb, "vec_id", "embedding", threshold = tau, n = n,
+        refineBroadcastMax = cutoff)
+    }
+
+    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    val counts = scala.collection.mutable.Map[String, Long]()
+    for (_ <- 1 to reps; b <- branches) {
+      val t0 = System.nanoTime()
+      val c = dfFor(b).count()
+      times(b) = times(b) :+ (System.nanoTime() - t0) / 1e9
+      counts(b) = c
+    }
+    val out = branches.map { b =>
+      val ts = times(b).sorted
+      val digest = Bench.planHashDf(spark, dfFor(b))
+      s""""$b":{"min":${"%.2f".format(ts.head)},"median":${"%.2f".format(ts(ts.size / 2))},""" +
+        s""""max":${"%.2f".format(ts.last)},"pairs":${counts(b)},"plan":"$digest"}"""
+    }.mkString(",")
+    println(s"""{"probe":"refine_branch","dir":"$dir","n":$n,"tau":$tau,"reps":$reps,$out}""")
+    spark.stop()
+  }
+}

@@ -595,7 +595,7 @@ ORDER BY id_a, id_b"""
   /** Shared signature+mask CTE chain of the query-directed multiprobe
     * oracles (pair query and telemetry report).
     */
-  private def embLshMultiprobeSigsCtes: String =
+  private[queries] def embLshMultiprobeSigsCtes: String =
     s"""WITH planes_all(t, bit, plane) AS (VALUES
 ${embLshPlanesPrefix(32, 24)}),
 nrows AS (SELECT count(*) AS n FROM embeddings),

@@ -66,7 +66,7 @@ object EvalQueries extends QueryGroup {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 10)
       val exact = Similarity.bruteTopK(emb, qs, "vec_id", "embedding", 5)
-      val approx = Similarity.lshTopK(emb, qs, "vec_id", "embedding", 5)
+      val approx = Similarity.lshTopK(emb, qs, "vec_id", "embedding", 5, n = emb.count())
       Eval.recallAtK(exact, approx, 5).orderBy("query_id")
     }),
 
@@ -78,7 +78,7 @@ object EvalQueries extends QueryGroup {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 10)
       val exact = Similarity.bruteTopK(emb, qs, "vec_id", "embedding", 5)
-      val approx = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5)
+      val approx = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5, n = emb.count())
       Eval.recallAtK(exact, approx, 5).orderBy("query_id")
     }),
 

@@ -76,21 +76,30 @@ ORDER BY vec_id, pos"""
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed approximate top-5 (8 tables x 8 bits, re-ranked
-    // exactly). Rows-only check here; recall >= 0.8 asserted in
-    // SimilaritySpec against the brute-force baseline.
+    // LSH approximate top-5, CORPUS-ADAPTIVE (r16): derived signature
+    // width + the multiprobe couplings, query-directed probing on the
+    // query side — the shape that held the dedup family's recall
+    // across decades (AnnRecallProbe: 50 % vs the fixed 8x8 shape's
+    // 12 % at the verify SF). The oracle derives the same shape from
+    // its own count(*) and states the probe semantics directly
+    // (hamming <= 2 within the QUERY's low-margin budget mask).
     "ann_topk_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K,
+        n = emb.count())
         .orderBy("query_id", "rank")
     }),
 
-    // IVF approximate top-5 (20 hash-picked centroids, nProbe 3) — the
-    // bucketed-layout scale path; centroid count is fixed-K,
-    // independent of corpus size. Rows-only + recall spec.
+    // IVF approximate top-5, CORPUS-ADAPTIVE (r16): list count =
+    // smallest power of two L with L*L >= n (nlist ~ sqrt(n)), probes
+    // = L/8 (min 3) — constant ~1/8 scan fraction at any corpus size,
+    // where the old fixed 20L x 3P scanned 15 % of ANY corpus (10 k
+    // vectors per list at 200 k). Oracle derives L and P from its own
+    // count(*) with integer shifts.
     "ann_topk_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K,
+        n = emb.count())
         .orderBy("query_id", "rank")
     }),
 
@@ -145,11 +154,14 @@ ORDER BY vec_id, pos"""
     }),
 
     // IVF-PQ: list pruning x code lookups — the composed 10^9-vector
-    // serving layout (nProbe/numCentroids of the corpus scanned, m
-    // lookups per candidate, raw vectors never read at query time).
+    // serving layout (P/L of the corpus scanned, m lookups per
+    // candidate, raw vectors never read at query time). List/probe
+    // shape is corpus-adaptive like ann_topk_ivf (r16); the code
+    // granularity ks stays fixed.
     "ann_topk_ivfpq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K,
+        n = emb.count())
         .orderBy("query_id", "rank")
     }),
 
@@ -192,19 +204,20 @@ ORDER BY vec_id, pos"""
         }
       }.mkString(",\n")
 
+  /** Adaptive query-probing LSH top-k oracle: shares the dedup
+    * multiprobe signature/mask CTE chain (same derived bits/tables/
+    * budget, same prefix-stable planes), with the probe condition
+    * ONE-SIDED — only the QUERY side probes (hamming <= 2, every
+    * differing bit inside the query row's low-margin budget mask).
+    */
   private val lshSql =
-    s"""WITH planes(t, bit, plane) AS (VALUES
-$planesValues),
-buckets AS (
-  SELECT e.vec_id, p.t,
-    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, $Dim),
-        i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) >= 0
-      THEN (1 << p.bit) ELSE 0 END) AS BIGINT) AS b
-  FROM embeddings e CROSS JOIN planes p GROUP BY 1, 2),
+    s"""${DedupQueries.embLshMultiprobeSigsCtes},
 cand AS (
-  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
-  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.b = cb.b
-  WHERE qb.vec_id < 10 AND qb.vec_id <> cb.vec_id),
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c
+    ON q.t = c.t AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+    AND bit_count(xor(q.b, c.b)) <= 2
+    AND (xor(q.b, c.b) & q.mask) = xor(q.b, c.b)),
 pairs AS (
   SELECT query_id, neighbor_id, ${cosSql("q", "c")} AS cos
   FROM cand JOIN embeddings q ON q.vec_id = query_id
@@ -221,11 +234,24 @@ WHERE rank <= $K ORDER BY query_id, rank"""
       i -> (CAST($a.embedding[i] AS DOUBLE) - CAST($b.embedding[i] AS DOUBLE))
          * (CAST($a.embedding[i] AS DOUBLE) - CAST($b.embedding[i] AS DOUBLE))))"""
 
+  /** Adaptive IVF oracle: derives L (smallest power of two with
+    * L*L >= count(*), floor 16 / cap 65536 — Similarity.adaptiveIvfLists)
+    * and P (GREATEST(3, L // 8) — adaptiveIvfProbes) with integer
+    * shifts, picks the first L vectors in (md5-hash, id) order as
+    * centroids, then replays assignment/probing/ranking exactly.
+    */
   private val ivfSql =
-    s"""WITH centroids AS (
-  SELECT vec_id AS list, embedding FROM embeddings
-  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
-  LIMIT 20),
+    s"""WITH nrows AS (SELECT count(*) AS n FROM embeddings),
+lsel AS (SELECT COALESCE(min(CAST(1 AS BIGINT) << p), 65536) AS L
+         FROM generate_series(4, 16) g(p), nrows
+         WHERE (CAST(1 AS BIGINT) << p) * (CAST(1 AS BIGINT) << p) >= n),
+psel AS (SELECT GREATEST(3, L // 8) AS P FROM lsel),
+centroids AS (
+  SELECT list, embedding FROM (
+    SELECT vec_id AS list, embedding,
+      row_number() OVER (ORDER BY
+        CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS r
+    FROM embeddings), lsel WHERE r <= L),
 assigned AS (
   SELECT list, neighbor_id FROM (
     SELECT ct.list, c.vec_id AS neighbor_id,
@@ -237,7 +263,7 @@ probes AS (
     SELECT q.vec_id AS query_id, ct.list,
       row_number() OVER (PARTITION BY q.vec_id
         ORDER BY ${l2sqSql("q", "ct")} ASC, ct.list ASC) AS r
-    FROM embeddings q CROSS JOIN centroids ct WHERE q.vec_id < 10) t WHERE r <= 3),
+    FROM embeddings q CROSS JOIN centroids ct WHERE q.vec_id < 10) t, psel WHERE r <= P),
 pairs AS (
   SELECT p.query_id, a.neighbor_id, ${cosSql("q", "c")} AS cos
   FROM probes p JOIN assigned a USING (list)
@@ -383,15 +409,23 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, adist FROM ranked
 WHERE rank <= $K ORDER BY query_id, rank"""
 
-  /** IVF-PQ oracle: ivfSql's centroid/assign/probe CTEs composed with
+  /** IVF-PQ oracle: ivfSql's ADAPTIVE centroid/assign/probe CTEs
+    * (same L/P integer derivations from count(*)) composed with
     * pqSql's codebook/encode/distance-table CTEs — candidates come from
     * probed lists, distances from code lookups, both replayed exactly.
     */
   private val ivfPqSql =
-    s"""WITH centroids AS (
-  SELECT vec_id AS list, embedding FROM embeddings
-  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
-  LIMIT 20),
+    s"""WITH nrows AS (SELECT count(*) AS n FROM embeddings),
+lsel AS (SELECT COALESCE(min(CAST(1 AS BIGINT) << p), 65536) AS L
+         FROM generate_series(4, 16) g(p), nrows
+         WHERE (CAST(1 AS BIGINT) << p) * (CAST(1 AS BIGINT) << p) >= n),
+psel AS (SELECT GREATEST(3, L // 8) AS P FROM lsel),
+centroids AS (
+  SELECT list, embedding FROM (
+    SELECT vec_id AS list, embedding,
+      row_number() OVER (ORDER BY
+        CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS r
+    FROM embeddings), lsel WHERE r <= L),
 assigned AS (
   SELECT list, neighbor_id FROM (
     SELECT ct.list, c.vec_id AS neighbor_id,
@@ -403,7 +437,7 @@ probes AS (
     SELECT q.vec_id AS query_id, ct.list,
       row_number() OVER (PARTITION BY q.vec_id
         ORDER BY ${l2sqSql("q", "ct")} ASC, ct.list ASC) AS r
-    FROM embeddings q CROSS JOIN centroids ct WHERE q.vec_id < 10) t WHERE r <= 3),
+    FROM embeddings q CROSS JOIN centroids ct WHERE q.vec_id < 10) t, psel WHERE r <= P),
 seedv AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings

