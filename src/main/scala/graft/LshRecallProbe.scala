@@ -20,7 +20,7 @@ import org.apache.spark.sql.SparkSession
   *                 ceiling of depth-2 probing, cost-blind
   *   - qd:M:D      query-directed probing (Lv et al., VLDB'07): flips
   *                 restricted to the M lowest-|margin| bits of EITHER
-  *                 endpoint, up to D flips (D in {1,2}) — near pairs
+  *                 endpoint, up to D flips (D in {1,2,3}) — near pairs
   *                 differ exactly where a margin is small, so a small M
   *                 buys most of ham<=D's recall at ~(1+M+C(M,2))/
   *                 (1+b+C(b,2)) of its probe volume
@@ -31,7 +31,7 @@ import org.apache.spark.sql.SparkSession
   * dev SFs; ground truth is parallelized so the 20 k-vector data-sf1
   * point stays interactive.
   *
-  * Usage: runMain graft.LshRecallProbe <sfDir> <tablesCsv> <bitsCsv> [tau=0.45] [mode=prefix|seq|multiprobe|ham2|qd:M:D]
+  * Usage: runMain graft.LshRecallProbe <sfDir> <tablesCsv> <bitsCsv> [tau=0.45] [modesCsv=prefix|seq|multiprobe|ham2|qd:M:D,...]
   */
 object LshRecallProbe {
   def main(args: Array[String]): Unit = {
@@ -74,7 +74,12 @@ object LshRecallProbe {
     }
     println(s"""{"probe":"lsh_recall","dir":"$dir","n":$n,"tau":$tau,"truth_pairs":${truth.size}}""")
 
-    val mode = args.drop(4).headOption.getOrElse("prefix")
+    // comma-list of modes: the ground truth above is the expensive part
+    // at the 200 k point (~2e10 cosines), so one invocation sweeps every
+    // probing scheme against the same truth. `seq` draws per-shape plane
+    // streams and must run alone.
+    val modes = args.drop(4).headOption.getOrElse("prefix").split(",").map(_.trim).toSeq
+    require(modes.size == 1 || !modes.contains("seq"), "seq must be the sole mode")
     // per-row, per-table, per-bit signed margins (dot with each plane);
     // sign gives the bucket bit, |margin| ranks probe priority
     def dotsFor(planes: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] =
@@ -88,18 +93,18 @@ object LshRecallProbe {
     // prefix planes are stable in both dimensions, so one max-shape draw
     // covers the whole grid; sequential planes are a per-shape stream.
     val prefixDots =
-      if (mode != "seq") dotsFor(graft.ext.Similarity.hyperplanesPrefix(tablesGrid.max, bitsGrid.max, dim = 64))
+      if (!modes.contains("seq")) dotsFor(graft.ext.Similarity.hyperplanesPrefix(tablesGrid.max, bitsGrid.max, dim = 64))
       else null
 
     val qd = "qd:(\\d+):(\\d+)".r
-    val (qdBudget, depth) = mode match {
-      case qd(m, d) => (m.toInt, d.toInt)
-      case "multiprobe" => (Int.MaxValue, 1)
-      case "ham2" => (Int.MaxValue, 2)
-      case _ => (0, 0)
-    }
 
-    for (bits <- bitsGrid; tables <- tablesGrid) {
+    for (bits <- bitsGrid; tables <- tablesGrid; mode <- modes) {
+      val (qdBudget, depth) = mode match {
+        case qd(m, d) => (m.toInt, d.toInt)
+        case "multiprobe" => (Int.MaxValue, 1)
+        case "ham2" => (Int.MaxValue, 2)
+        case _ => (0, 0)
+      }
       val dots =
         if (mode != "seq") prefixDots
         else dotsFor(graft.ext.Similarity.hyperplanes(tables, bits, dim = 64))
@@ -147,6 +152,14 @@ object LshRecallProbe {
                 (if (depth >= 2)
                   for (ii <- probeBits.indices; jj <- (ii + 1) until probeBits.length)
                     yield keys(r)(t) ^ (1L << probeBits(ii)) ^ (1L << probeBits(jj))
+                else Seq.empty) ++
+                (if (depth >= 3)
+                  for {
+                    ii <- probeBits.indices
+                    jj <- (ii + 1) until probeBits.length
+                    kk <- (jj + 1) until probeBits.length
+                  } yield keys(r)(t) ^ (1L << probeBits(ii)) ^
+                    (1L << probeBits(jj)) ^ (1L << probeBits(kk))
                 else Seq.empty)
               for (pk <- probeKeys) {
                 val hitsList = exactMap.get(pk)

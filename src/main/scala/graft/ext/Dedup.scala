@@ -961,11 +961,52 @@ object Dedup {
     // broadcast, refine MAP-SIDE on the raw (duplicated) join output
     // and dedupe only the tau-survivors: one shuffle of bucket rows
     // total, the distinct shrinks from all-candidates to actual pairs,
-    // and the duplicated dot products are codegen-cheap. Past the
-    // broadcast bound, dedupe first so the shuffled refine computes
-    // each pair once.
+    // and the duplicated dot products are codegen-cheap.
+    // Beyond the broadcast bound — the 100 TB production branch. The
+    // structural rule, measured the hard way (r16: the dedupe-first
+    // shuffled refine was KILLED UNFINISHED at 31 min on the 200 k
+    // corpus the broadcast branch refines in ~27 s — its distinct had
+    // to hash-aggregate the full ~520 M-row candidate stream before a
+    // single pair could be pruned): NEVER aggregate, sort, or re-join
+    // the raw candidate stream. Instead the candidate (t, b) join
+    // itself carries a BOUND-SAFE COMPACT PAYLOAD — int8-quantized
+    // signatures (~100 B/side vs ~530 B full-width, computed once per
+    // vector below the probe explode) — and a MAP-SIDE codegen filter
+    // on the join output prunes every pair whose quantized dot PLUS
+    // its Cauchy-Schwarz error bound cannot reach tau:
+    //   dot(a,b) <= d_hat + |a_hat||e_b| + |e_a||b_hat| + |e_a||e_b|
+    // so no true pair is ever dropped. Only the surviving sliver
+    // (~true pairs + a thin margin band) reaches the distinct and the
+    // full-width refine, whose exact cosine/round/threshold semantics
+    // are IDENTICAL to the broadcast branch (spec-pinned equality).
     if (nEff <= refineMax) refine(joined, broadcast).distinct()
-    else refine(joined.distinct(), identity)
+    else {
+      import graft.functions.DotProductExpr.dotBytes
+      val (exactP, probedP) = multiprobeBucketSides(
+        df, idCol, vecCol, tables, bits, seed, dim, maxBucket, nEff,
+        probeBudget, probeDepth, withPayload = true)
+      def named(side: DataFrame, sfx: String) = side.select(
+        col("id").as(s"id_$sfx"), col("t"), col("b"),
+        col("q").as(s"q$sfx"), col("s").as(s"s$sfx"), col("eN").as(s"e$sfx"),
+        col("nh").as(s"h$sfx"), col("n").as(s"n$sfx"))
+      val dhat = dotBytes(col("qx"), col("qy")).cast("double") *
+        col("sx") * col("sy") / lit(127.0 * 127.0)
+      val bnd = col("hx") * col("ey") + col("ex") * col("hy") + col("ex") * col("ey")
+      // The refine keeps round(cos, 4) >= tau, which admits true cosines
+      // down to tau - 5e-5 (half-up grid) — the prefilter threshold must
+      // match that admission edge or it prunes grid-boundary pairs the
+      // broadcast branch keeps; the extra 1e-9*n*n absorbs the bound
+      // arithmetic's own FP rounding.
+      val survivors = named(exactP, "x").hint("shuffle_hash")
+        .join(named(probedP, "y"), Seq("t", "b"))
+        .filter(col("id_x") =!= col("id_y"))
+        .filter(dhat + bnd + lit(1e-9) * col("nx") * col("ny") >=
+          (lit(threshold) - lit(5.1e-5)) * col("nx") * col("ny"))
+        .select(least(col("id_x"), col("id_y")).as("id_a"),
+          greatest(col("id_x"), col("id_y")).as("id_b"))
+        .distinct()
+      refine(survivors, _.hint("shuffle_hash"))
+    }
   }
 
   /** The multiprobe candidate stage's two join sides — exact (t, key)
@@ -973,7 +1014,7 @@ object Dedup {
     * operator and the telemetry report so the report measures the
     * EXACT candidate stage production runs.
     */
-  private def multiprobeBucketSides(
+  private[graft] def multiprobeBucketSides(
       df: DataFrame,
       idCol: String,
       vecCol: String,
@@ -984,7 +1025,8 @@ object Dedup {
       maxBucket: Int,
       n: Long,
       probeBudget: Int,
-      probeDepth: Int
+      probeDepth: Int,
+      withPayload: Boolean = false
   ): (DataFrame, DataFrame) = {
     val derived = if (bits > 0) bits
       else adaptiveLshBits(corpusCount(df, n, "multiprobeBucketSides"))
@@ -996,12 +1038,39 @@ object Dedup {
     val vecs = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val bucketed = vecs.select(col("id"),
-      posexplode(graft.functions.AnnExprs.lshBuckets(col("v"), planes)).as(Seq("t", "b")))
-    val probed = vecs.select(col("id"),
+    // Payload mode (the beyond-broadcast refine): compute the int8
+    // quantization ONCE PER VECTOR — below the explode, so the ~100 B
+    // compact form travels through the probe expansion instead of the
+    // ~530 B doubles — and drop zero-norm rows up front (they can never
+    // pair: cos would be 0/0 = NaN; see the refine's norm guard).
+    //   q  = round(v * 127 / s), s = max|v_i|      (symmetric int8)
+    //   eN = ||v - reconstruct(q)||                (EXACT error norm)
+    //   nh = ||reconstruct(q)||, n = ||v||
+    val vecsEff =
+      if (!withPayload) vecs
+      else {
+        import graft.functions.DotProductExpr.{dot, dotBytes}
+        vecs
+          .withColumn("n", sqrt(dot(col("v"), col("v"))))
+          .filter(col("n") > 0)
+          .withColumn("s", array_max(transform(col("v"), x => abs(x))))
+          .withColumn("q", transform(col("v"),
+            x => round(x * lit(127) / col("s")).cast("tinyint")))
+          .withColumn("eN", sqrt(aggregate(
+            zip_with(col("v"), col("q").cast("array<double>"),
+              (x, qq) => { val e = x - qq * col("s") / lit(127.0); e * e }),
+            lit(0.0), (acc, e2) => acc + e2)))
+          .withColumn("nh",
+            sqrt(dotBytes(col("q"), col("q")).cast("double")) * col("s") / lit(127.0))
+      }
+    val carry: Seq[Column] =
+      if (withPayload) Seq("q", "s", "eN", "nh", "n").map(col) else Nil
+    val bucketed = vecsEff.select(col("id") +: carry :+
+      posexplode(graft.functions.AnnExprs.lshBuckets(col("v"), planes)).as(Seq("t", "b")): _*)
+    val probed = vecsEff.select(col("id") +: carry :+
       posexplode(graft.functions.AnnExprs.lshProbeKeys(col("v"), planes, budget, probeDepth))
-        .as(Seq("t", "bs")))
-      .select(col("id"), col("t"), explode(col("bs")).as("b"))
+        .as(Seq("t", "bs")): _*)
+      .select(col("id") +: carry :+ col("t") :+ explode(col("bs")).as("b"): _*)
     (BucketCap.dropHot(bucketed, Seq("t", "b"), maxBucket),
       BucketCap.dropHot(probed, Seq("t", "b"), maxBucket))
   }

@@ -333,19 +333,63 @@ class DedupSimilaritySpec extends SparkSuite {
 
   test("multiprobe refine paths: broadcast and shuffle branches produce identical pairs") {
     // the refineBroadcastMax knob swaps map-side broadcast refine
-    // (survivor-only distinct) for dedupe-first + shuffled refine —
-    // a pure plan change; the pair SET must be identical
+    // (survivor-only distinct) for the beyond-broadcast shape:
+    // dedupe-first + int8 bound-safe COMPACT PREFILTER + shuffled
+    // full-width refine on bound survivors only — a pure plan change;
+    // the pair SET must be identical (the prefilter provably never
+    // drops a true pair: dot <= d_hat + Cauchy-Schwarz error bound)
     val dir = "/root/testdata/sf0.01"
     val emb = Tables.embeddings(spark, dir)
-    def pairs(maxB: Long) =
+    def df(maxB: Long) =
       Dedup.embeddingCosinePairsLshMultiprobe(emb, "vec_id", "embedding",
         threshold = 0.45, refineBroadcastMax = maxB)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def pairs(maxB: Long) =
+      df(maxB).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val viaBroadcast = pairs(Long.MaxValue)
     val viaShuffle = pairs(0L)
     assert(viaBroadcast == viaShuffle,
       s"refine branches disagree: only-broadcast=${viaBroadcast -- viaShuffle}, only-shuffle=${viaShuffle -- viaBroadcast}")
     assert(viaBroadcast.nonEmpty)
+    // the shuffled branch must keep the candidate stream OUT of any
+    // sort: every join hashed (shuffle_hash hints), no SortMergeJoin
+    // anywhere in the physical plan (the sorted 100x-corpus stream
+    // carrying vector payloads was the r16-measured disk cliff)
+    val shufflePlan = df(0L).queryExecution.executedPlan.toString
+    assert(!shufflePlan.contains("SortMergeJoin"),
+      "beyond-broadcast refine must hash-join, never sort the candidate stream")
+    assert(shufflePlan.contains("ShuffledHashJoin"), shufflePlan.take(400))
+  }
+
+  test("compact prefilter bound: int8 quantization never prunes a true pair, margin is thin") {
+    // d_hat + ha*eb + ea*hb + ea*eb >= dot(a,b) for EVERY pair — the
+    // exactness contract of the beyond-broadcast branch, checked
+    // directly against brute force on deterministic vectors
+    val rnd = new scala.util.Random(7)
+    val vs = Array.tabulate(40)(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian())))
+    def q(v: Array[Double]): (Array[Byte], Double) = {
+      val s = v.map(math.abs).max
+      (v.map(x => math.round(x * 127 / s).toByte), s)
+    }
+    var maxSlack = 0.0
+    for (a <- vs; b <- vs if a._1 < b._1) {
+      val dot = a._2.zip(b._2).map { case (x, y) => x * y }.sum
+      val (qa, sa) = q(a._2); val (qb, sb) = q(b._2)
+      def rec(qv: Array[Byte], s: Double) = qv.map(_.toDouble * s / 127)
+      val ea = math.sqrt(a._2.zip(rec(qa, sa)).map { case (x, y) => (x - y) * (x - y) }.sum)
+      val eb = math.sqrt(b._2.zip(rec(qb, sb)).map { case (x, y) => (x - y) * (x - y) }.sum)
+      val ha = math.sqrt(rec(qa, sa).map(x => x * x).sum)
+      val hb = math.sqrt(rec(qb, sb).map(x => x * x).sum)
+      val dhat = qa.zip(qb).map { case (x, y) => x.toLong * y }.sum.toDouble * sa * sb / (127.0 * 127.0)
+      val ub = dhat + ha * eb + ea * hb + ea * eb
+      assert(ub + 1e-12 >= dot, s"bound violated for (${a._1},${b._1}): $ub < $dot")
+      maxSlack = math.max(maxSlack, ub - dot)
+    }
+    // the bound must also be TIGHT enough to prune: the 16-dim worst
+    // slack stays under ~0.13 * ||a||*||b|| (~4*sqrt(dim)/254), so a
+    // tau-band prefilter admits only a thin margin above true pairs
+    val normBound = 4 * math.sqrt(16) / 254
+    assert(maxSlack < normBound * 16, s"slack $maxSlack suspiciously loose")
   }
 
   test("zero-norm vectors never pair: NaN cosine guard across the refine family") {
