@@ -29,6 +29,19 @@ object DedupConstants {
     * hamming <= 3 (Bands - 1).
     */
   val SimChunks: Int = 4
+
+  /** HARD recall floors for the multiprobe LSH production default
+    * (dedup_embedding_lsh_multiprobe's derived shape), per corpus
+    * decade, as percentages of exact-cosine ground-truth pairs at
+    * tau = 0.45. These are CONTRACTS, not observations: the spec
+    * fails if the committed recall recording for the shipped shape
+    * dips below the floor at that decade — re-tuning the derivations
+    * (bits/tables/budget couplings) must re-prove recall, not just
+    * cost. Measured headroom r16: 92.9% @500, 60.6% @20k, 52.7% @200k
+    * (recordings/lsh_recall_r15.jsonl; r16 sweep re-confirms).
+    */
+  val MultiprobeRecallFloor20k: Double = 50.0
+  val MultiprobeRecallFloor200k: Double = 50.0
 }
 
 /** Deduplication operators for a training-data pipeline, over a
@@ -775,6 +788,26 @@ object Dedup {
     */
   def adaptiveLshTables(bits: Int, floor: Int = 8, base: Int = 16, cap: Int = 32): Int =
     math.min(cap, base << math.max(0, (bits - floor) / 2))
+
+  /** THE obvious-name entry point for embedding near-dup pairs —
+    * forwards verbatim to [[embeddingCosinePairsLshMultiprobe]], the
+    * query-directed multiprobe production default (recall >= 50%
+    * scale-pinned at 20 k and 200 k vectors, [[DedupConstants
+    * .MultiprobeRecallFloor200k]]). A user reaching for "give me the
+    * near-dup pairs" should land here; [[embeddingCosinePairsLsh]]
+    * below is the exact-collision HISTORICAL-REPLAY tier whose recall
+    * decays with the corpus-adaptive width (13% at 20 k, 4% at 200 k,
+    * recordings/lsh_recall_r15.jsonl) — pick it only to replay a
+    * pinned signature table, never for a new corpus.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      n: Long = -1L
+  ): DataFrame =
+    embeddingCosinePairsLshMultiprobe(df, idCol, vecCol, threshold, n = n)
 
   /** Embedding near-dup pairs, LSH-bucketed: the scale path. Candidates
     * share a random-hyperplane sign-bucket in at least one of `tables`

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Dedup, DedupConstants, Similarity}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -392,6 +392,18 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(maxSlack < normBound * 16, s"slack $maxSlack suspiciously loose")
   }
 
+  test("embeddingNearDupPairs: the obvious name IS the multiprobe production default") {
+    // r15 verdict stretch: a user picking the shortest name must land
+    // on the recommended path, not the low-recall replay tier — the
+    // alias must forward verbatim (same optimized plan, not just same
+    // rows)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val alias = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = 0.45)
+    val direct = Dedup.embeddingCosinePairsLshMultiprobe(emb, "vec_id", "embedding", threshold = 0.45)
+    assert(alias.queryExecution.optimizedPlan.sameResult(direct.queryExecution.optimizedPlan),
+      "alias diverged from the multiprobe default")
+  }
+
   test("zero-norm vectors never pair: NaN cosine guard across the refine family") {
     // 0/0 = NaN, and Spark ORDERS NaN above every value, so without
     // the norm guard `cos >= tau` is TRUE and a zero embedding
@@ -520,9 +532,12 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(Dedup.adaptiveLshBits(200000L) == 16
       && Dedup.multiprobeTables(16) == 32 && Dedup.multiprobeBudget(16) == 5,
       "derived shape at 200k moved off the recorded (qd:5:2, 32 tables) grid point")
-    // the recorded floors (measured 60.6% and 52.7%)
-    assert(recall("qd:4:2", 16, 13) >= 50.0, "recall floor at 20k vectors")
-    assert(recall("qd:5:2", 32, 16) >= 50.0, "recall floor at 200k vectors")
+    // the recorded floors are HARD CONTRACTS (DedupConstants; measured
+    // headroom 60.6% and 52.7%) — a re-record below them fails here
+    assert(recall("qd:4:2", 16, 13) >= DedupConstants.MultiprobeRecallFloor20k,
+      "recall floor at 20k vectors")
+    assert(recall("qd:5:2", 32, 16) >= DedupConstants.MultiprobeRecallFloor200k,
+      "recall floor at 200k vectors")
     // and the default must dominate the exact-collision path's cap at
     // the same scale (13.0% and 4.0% recorded)
     assert(recall("qd:4:2", 16, 13) > recall("prefix", 32, 13))
