@@ -31,7 +31,7 @@ import org.apache.spark.sql.SparkSession
   * dev SFs; ground truth is parallelized so the 20 k-vector data-sf1
   * point stays interactive.
   *
-  * Usage: runMain graft.LshRecallProbe <sfDir> <tablesCsv> <bitsCsv> [tau=0.45] [modesCsv=prefix|seq|multiprobe|ham2|qd:M:D,...]
+  * Usage: runMain graft.LshRecallProbe <sfDir> <tablesCsv> <bitsCsv> [tau=0.45] [modesCsv=prefix|seq|multiprobe|ham2|qd:M:D,...] [flags: nocand, sample:K]
   */
 object LshRecallProbe {
   def main(args: Array[String]): Unit = {
@@ -59,20 +59,44 @@ object LshRecallProbe {
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       math.rint(d / math.sqrt(na * nb) * 1e4) / 1e4
     }
+    // SAMPLED ground truth past the all-pairs wall: full truth is
+    // n^2/2 cosines (5e11 at 1 M vectors — hours); "sample:K" in the
+    // flags arg instead takes K evenly-strided query rows and computes
+    // their true pair sets against the WHOLE corpus (K x n cosines —
+    // minutes at 1 M). Recall over a uniform row sample is an unbiased
+    // estimate of pair recall weighted by per-row pair membership —
+    // the production quantity (a row's chance its duplicates are
+    // found). Deterministic stride, so re-runs are comparable.
+    val flags = args.drop(5).headOption.getOrElse("")
+    val sampleK = "sample:(\\d+)".r.findFirstMatchIn(flags).map(_.group(1).toInt).getOrElse(0)
+    val queryIdx: Array[Int] =
+      if (sampleK <= 0 || sampleK >= n) Array.range(0, n)
+      else Array.tabulate(sampleK)(k => (k.toLong * n / sampleK).toInt)
     // ground truth parallelized over the outer index — 2e8 cosine pairs
     // at the 20 k point would otherwise take minutes single-threaded
     val truth: IndexedSeq[(Int, Int)] = {
       import scala.jdk.CollectionConverters._
-      java.util.stream.IntStream.range(0, n).parallel().boxed()
-        .flatMap { i =>
+      val qSet = if (sampleK > 0) queryIdx.toSet else null
+      java.util.stream.IntStream.range(0, if (sampleK > 0) queryIdx.length else n)
+        .parallel().boxed()
+        .flatMap { ii =>
+          val i = if (sampleK > 0) queryIdx(ii.intValue) else ii.intValue
           val hits = new java.util.ArrayList[(Int, Int)]()
-          var j = i + 1
-          while (j < n) { if (cos(rows(i.intValue)._2, rows(j)._2) >= tau) hits.add((i.intValue, j)); j += 1 }
+          // full mode walks j > i (each pair once); sampled mode walks
+          // ALL j != i (the sampled row's complete pair set), skipping
+          // j-also-sampled duplicates via the canonical orientation
+          var j = if (sampleK > 0) 0 else i + 1
+          while (j < n) {
+            if (j != i && cos(rows(i)._2, rows(j)._2) >= tau
+              && (sampleK == 0 || j > i || !qSet.contains(j)))
+              hits.add((math.min(i, j), math.max(i, j)))
+            j += 1
+          }
           hits.stream()
         }
         .collect(java.util.stream.Collectors.toList[(Int, Int)]).asScala.toIndexedSeq
     }
-    println(s"""{"probe":"lsh_recall","dir":"$dir","n":$n,"tau":$tau,"truth_pairs":${truth.size}}""")
+    println(s"""{"probe":"lsh_recall","dir":"$dir","n":$n,"tau":$tau,"truth_pairs":${truth.size},"sampled_queries":${if (sampleK > 0) queryIdx.length else -1}}""")
 
     // comma-list of modes: the ground truth above is the expensive part
     // at the 200 k point (~2e10 cosines), so one invocation sweeps every
@@ -82,14 +106,20 @@ object LshRecallProbe {
     require(modes.size == 1 || !modes.contains("seq"), "seq must be the sole mode")
     // per-row, per-table, per-bit signed margins (dot with each plane);
     // sign gives the bucket bit, |margin| ranks probe priority
-    def dotsFor(planes: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] =
-      rows.map { case (_, v) =>
-        planes.map(_.map { p =>
+    def dotsFor(planes: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+      // parallel over rows: 1 M rows x 32 tables x 18 bits is ~37e9
+      // multiply-adds — minutes single-threaded, seconds across cores
+      val out = new Array[Array[Array[Double]]](n)
+      java.util.stream.IntStream.range(0, n).parallel().forEach { r =>
+        val v = rows(r)._2
+        out(r) = planes.map(_.map { p =>
           var d = 0.0; var i = 0
           while (i < 64) { d += v(i) * p(i); i += 1 }
           d
         })
       }
+      out
+    }
     // prefix planes are stable in both dimensions, so one max-shape draw
     // covers the whole grid; sequential planes are a per-shape stream.
     val prefixDots =
@@ -108,19 +138,29 @@ object LshRecallProbe {
       val dots =
         if (mode != "seq") prefixDots
         else dotsFor(graft.ext.Similarity.hyperplanes(tables, bits, dim = 64))
-      // packed sign keys + (for qd) low-margin masks per (row, table)
-      val keys = Array.tabulate(n, tables) { (r, t) =>
-        var k = 0L; var b = 0
-        while (b < bits) { if (dots(r)(t)(b) >= 0) k |= (1L << b); b += 1 }
-        k
-      }
+      // packed sign keys + (for qd) low-margin masks per (row, table),
+      // parallel over rows (32M 18-element margin sorts at the 1M point)
       val m = math.min(qdBudget, bits)
+      val keys = new Array[Array[Long]](n)
       val masks: Array[Array[Long]] =
-        if (qdBudget == 0 || qdBudget == Int.MaxValue) null
-        else Array.tabulate(n, tables) { (r, t) =>
-          val order = (0 until bits).sortBy(b => (math.abs(dots(r)(t)(b)), b))
-          order.take(m).foldLeft(0L)((acc, b) => acc | (1L << b))
+        if (qdBudget == 0 || qdBudget == Int.MaxValue) null else new Array[Array[Long]](n)
+      java.util.stream.IntStream.range(0, n).parallel().forEach { r =>
+        val krow = new Array[Long](tables)
+        val mrow = if (masks != null) new Array[Long](tables) else null
+        var t = 0
+        while (t < tables) {
+          var k = 0L; var b = 0
+          while (b < bits) { if (dots(r)(t)(b) >= 0) k |= (1L << b); b += 1 }
+          krow(t) = k
+          if (mrow != null) {
+            val order = (0 until bits).sortBy(b => (math.abs(dots(r)(t)(b)), b))
+            mrow(t) = order.take(m).foldLeft(0L)((acc, b) => acc | (1L << b))
+          }
+          t += 1
         }
+        keys(r) = krow
+        if (masks != null) masks(r) = mrow
+      }
       def pairHit(i: Int, j: Int): Boolean =
         (0 until tables).exists { t =>
           val diff = keys(i)(t) ^ keys(j)(t)
@@ -136,7 +176,7 @@ object LshRecallProbe {
       // materialization dominates the probe; measure cost there by
       // running the REAL operator in Spark instead.
       val candPairs: Long =
-        if (depth == 0 || args.drop(5).headOption.contains("nocand")) -1L
+        if (depth == 0 || flags.contains("nocand") || sampleK > 0) -1L
         else {
           val pairs = new java.util.HashSet[Long]()
           for (t <- 0 until tables) {

@@ -110,8 +110,8 @@ case class HyperplaneBucketsExpr(child: Expression, planes: Array[Array[Array[Do
 
 /** `array<double> -> array<array<long>>`: per hash table, the vector's
   * QUERY-DIRECTED multi-probe key set (Lv et al., VLDB'07): the exact
-  * bucket key first, then keys with 1 and (if `depth >= 2`) 2 sign bits
-  * flipped — flips restricted to the `budget` bits with the SMALLEST
+  * bucket key first, then keys with 1, (if `depth >= 2`) 2, and (if
+  * `depth >= 3`) 3 sign bits flipped — flips restricted to the `budget` bits with the SMALLEST
   * |margin| (dot product with the plane; ties to the lower bit index).
   * A near-duplicate pair disagrees exactly where one endpoint sits
   * close to a hyperplane, so flipping only low-margin bits buys most of
@@ -128,13 +128,15 @@ case class HyperplaneProbeKeysExpr(
     depth: Int)
     extends UnaryExpression {
 
-  require(depth == 1 || depth == 2, s"probe depth must be 1 or 2, got $depth")
+  require(depth >= 1 && depth <= 3, s"probe depth must be 1..3, got $depth")
 
   @transient private lazy val tables = planes.length
   @transient private lazy val bits = planes(0).length
   @transient private lazy val dim = planes(0)(0).length
   @transient private lazy val m = math.min(budget, bits)
-  @transient private lazy val nKeys = 1 + m + (if (depth >= 2) m * (m - 1) / 2 else 0)
+  @transient private lazy val nKeys = 1 + m +
+    (if (depth >= 2) m * (m - 1) / 2 else 0) +
+    (if (depth >= 3) m * (m - 1) * (m - 2) / 6 else 0)
   @transient private lazy val flat: Array[Double] = {
     val out = new Array[Double](tables * bits * dim)
     var t = 0
@@ -199,6 +201,21 @@ case class HyperplaneProbeKeysExpr(
           i += 1
         }
       }
+      if (depth >= 3) {
+        var i = 0
+        while (i < m) {
+          var j = i + 1
+          while (j < m) {
+            var l = j + 1
+            while (l < m) {
+              keys(p) = key ^ (1L << sel(i)) ^ (1L << sel(j)) ^ (1L << sel(l))
+              p += 1; l += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
       out(t) = new GenericArrayData(keys)
       t += 1
     }
@@ -225,11 +242,23 @@ case class HyperplaneProbeKeysExpr(
       val bb = ctx.freshName("bb")
       val keys = ctx.freshName("keys")
       val p = ctx.freshName("p")
+      val l = ctx.freshName("l")
       val depth2 = if (depth >= 2)
         s"""
            |for (int $i = 0; $i < $m; $i++) {
            |  for (int $j = $i + 1; $j < $m; $j++) {
            |    $keys[$p++] = $key ^ (1L << $sel[$i]) ^ (1L << $sel[$j]);
+           |  }
+           |}
+         """.stripMargin
+      else ""
+      val depth3 = if (depth >= 3)
+        s"""
+           |for (int $i = 0; $i < $m; $i++) {
+           |  for (int $j = $i + 1; $j < $m; $j++) {
+           |    for (int $l = $j + 1; $l < $m; $l++) {
+           |      $keys[$p++] = $key ^ (1L << $sel[$i]) ^ (1L << $sel[$j]) ^ (1L << $sel[$l]);
+           |    }
            |  }
            |}
          """.stripMargin
@@ -264,6 +293,7 @@ case class HyperplaneProbeKeysExpr(
          |  $keys[$p++] = $key;
          |  for (int $i = 0; $i < $m; $i++) { $keys[$p++] = $key ^ (1L << $sel[$i]); }
          |  $depth2
+         |  $depth3
          |  $out[$t] = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);

@@ -505,6 +505,53 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("lshProbeKeys depth 3: triples of low-margin flips, superset of depth 2, eval == codegen") {
+    // depth-3 probing is the measured fix for the 18-bit (1M-vector)
+    // decade, where depth-2 recall falls to 29.4% and qd:6:3 holds
+    // 53.5% (recordings/lsh_recall_r16.jsonl sampled-truth rows) —
+    // the expression must enumerate exactly 1 + m + C(m,2) + C(m,3)
+    // keys, every deeper set containing the shallower one
+    import graft.functions.AnnExprs
+    import org.apache.spark.sql.functions.col
+    val planes = Similarity.hyperplanesPrefix(tables = 2, bits = 6, dim = 4)
+    import spark.implicits._
+    val vs = Seq(
+      (1L, Array(0.3, -1.2, 0.8, 0.05)),
+      (2L, Array(-0.9, 0.1, 0.02, 1.4))).toDF("id", "v")
+    def keysAt(depth: Int) =
+      vs.select(col("id"), AnnExprs.lshProbeKeys(col("v"), planes, budget = 4, depth = depth).as("ks"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[scala.collection.Seq[Long]](1).map(_.toSet))
+        .toMap
+    val d2 = keysAt(2); val d3 = keysAt(3)
+    val raw = vs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for ((id, v) <- raw; t <- 0 until 2) {
+      val dots = (0 until 6).map(b => (0 until 4).map(i => v(i) * planes(t)(b)(i)).sum)
+      val key = (0 until 6).foldLeft(0L)((a, b) => if (dots(b) >= 0) a | (1L << b) else a)
+      val sel = (0 until 6).sortBy(b => (math.abs(dots(b)), b)).take(4).sorted
+      val expect = (Seq(key) ++ sel.map(b => key ^ (1L << b)) ++
+        (for (i <- sel.indices; j <- (i + 1) until sel.length)
+          yield key ^ (1L << sel(i)) ^ (1L << sel(j))) ++
+        (for {
+          i <- sel.indices; j <- (i + 1) until sel.length; l <- (j + 1) until sel.length
+        } yield key ^ (1L << sel(i)) ^ (1L << sel(j)) ^ (1L << sel(l)))).toSet
+      assert(d3(id)(t) == expect, s"depth-3 keys for id=$id t=$t")
+      assert(d2(id)(t).subsetOf(d3(id)(t)), "depth-2 keys must be a subset of depth-3")
+      assert(d3(id)(t).size == 1 + 4 + 6 + 4, "1 + m + C(m,2) + C(m,3) keys")
+    }
+    // interpreted eval must agree with the codegen result above
+    val expr = graft.functions.HyperplaneProbeKeysExpr(
+      org.apache.spark.sql.graftshim.GraftShim.expression(col("v").cast("array<double>")),
+      planes, 4, 3)
+    for ((id, v) <- raw) {
+      val arr = expr.nullSafeEval(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      val tbls = (0 until arr.numElements()).map(t =>
+        arr.getArray(t).toLongArray().toSet)
+      assert(tbls == (0 until 2).map(t => d3(id)(t)), s"eval != codegen for id=$id")
+    }
+  }
+
   test("scale-pinned recall floors: committed LshRecallProbe recording, >= 50% at 20k and 200k") {
     // The floor the query-directed probing exists to hold BEYOND the
     // verify SF: recordings/lsh_recall_r15.jsonl is the committed
