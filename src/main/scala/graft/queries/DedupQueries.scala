@@ -126,6 +126,22 @@ object DedupQueries extends QueryGroup {
         .orderBy("id_a", "id_b")
     }),
 
+    // PINNED depth-3 multiprobe (8 tables x 8 bits seq planes, budget 4,
+    // triple flips): exists so the probe-key expression's DEPTH-3 branch
+    // — the measured fix for the 1M-vector decade, where depth-2 recall
+    // falls to 29.4% (recordings/lsh_recall_r16.jsonl sampled-truth
+    // rows) — runs under the DuckDB oracle at the verify SF. The oracle
+    // states hamming <= 3 with low-margin-budget containment directly;
+    // a default-coupling escalation (depth 2 -> 3 at bits >= 18) can
+    // land on this certified branch.
+    "dedup_embedding_lsh_multiprobe_d3" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Dedup.embeddingCosinePairsLshMultiprobe(emb, "vec_id", "embedding",
+        threshold = 0.45, tables = 8, bits = 8, probeBudget = 4, probeDepth = 3,
+        n = emb.count())
+        .orderBy("id_a", "id_b")
+    }),
+
     // Per-table health telemetry for the multiprobe candidate stage —
     // the online recall/selectivity proxy (occupied buckets, hottest
     // bucket, candidate yield per table) a production dedup run
@@ -621,6 +637,51 @@ sigs AS (
         FROM margins), psel
   GROUP BY 1, 2)"""
 
+  /** Pinned-shape query-directed multiprobe oracle: tables/bits/budget/
+    * depth explicit, SEQUENTIAL-stream planes (the operator's bits > 0
+    * path, like [[embLshSqlFor]]). Same margin/rank/mask semantics as
+    * the derived oracle, with the hamming bound at `depth` — the
+    * depth-3 instantiation certifies the probe expression's triple-flip
+    * branch at the verify SF.
+    */
+  private def embLshMultiprobePinnedSql(
+      tables: Int, bits: Int, budget: Int, depth: Int): String =
+    s"""WITH planes(t, bit, plane) AS (VALUES
+${embLshPlanes(tables, bits)}),
+margins AS (
+  SELECT e.vec_id, p.t, p.bit,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) AS mg
+  FROM embeddings e CROSS JOIN planes p),
+sigs AS (
+  SELECT vec_id, t,
+    CAST(sum(CASE WHEN mg >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN rk <= $budget THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS mask
+  FROM (SELECT vec_id, t, bit, mg,
+          row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(mg), bit) AS rk
+        FROM margins)
+  GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM sigs x JOIN sigs y
+    ON x.t = y.t AND x.vec_id < y.vec_id AND bit_count(xor(x.b, y.b)) <= $depth
+    AND ((xor(x.b, y.b) & x.mask) = xor(x.b, y.b)
+      OR (xor(x.b, y.b) & y.mask) = xor(x.b, y.b))),
+pairs AS (
+  SELECT id_a, id_b,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+    sqrt(list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) AS na,
+    sqrt(list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) AS nb
+  FROM cand JOIN embeddings a ON a.vec_id = id_a
+            JOIN embeddings b ON b.vec_id = id_b)
+SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos
+FROM pairs
+WHERE round(dot / (na * nb), 4) >= 0.45 AND na > 0 AND nb > 0
+ORDER BY id_a, id_b"""
+
   private def embLshMultiprobeSql: String =
     s"""$embLshMultiprobeSigsCtes,
 cand AS (
@@ -778,6 +839,7 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_embedding_lsh" -> embLshAdaptiveSql,
     "dedup_embedding_lsh_wide" -> embLshSqlFor(16, 9),
     "dedup_embedding_lsh_multiprobe" -> embLshMultiprobeSql,
+    "dedup_embedding_lsh_multiprobe_d3" -> embLshMultiprobePinnedSql(8, 8, 4, 3),
     "dedup_embedding_lsh_report" -> embLshMultiprobeReportSql,
     "dedup_spans" -> spanSql,
     "dedup_spans_clean" -> spanCleanSql,
