@@ -80,7 +80,7 @@ object AnnRecallProbe {
         case "ivf-fixed" => "20L x 3P"
         case _ => "exact"
       }
-      s""""$m":{"shape":"$shape","secs":${"%.2f".format(secs)},"recall_pct":${"%.1f".format(recall)}}"""
+      s""""$m":{"shape":"$shape","secs":${"%.2f".formatLocal(java.util.Locale.ROOT, secs)},"recall_pct":${"%.1f".formatLocal(java.util.Locale.ROOT, recall)}}"""
     }.mkString(",")
     println(s"""{"probe":"ann_recall","dir":"$dir","n":$n,"k":$k,"queries":$qcount,$out}""")
     spark.stop()

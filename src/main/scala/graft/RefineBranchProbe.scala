@@ -62,8 +62,8 @@ object RefineBranchProbe {
     val out = branches.map { b =>
       val ts = times(b).sorted
       val digest = Bench.planHashDf(spark, dfFor(b))
-      s""""$b":{"min":${"%.2f".format(ts.head)},"median":${"%.2f".format(ts(ts.size / 2))},""" +
-        s""""max":${"%.2f".format(ts.last)},"pairs":${counts(b)},"plan":"$digest"}"""
+      s""""$b":{"min":${"%.2f".formatLocal(java.util.Locale.ROOT, ts.head)},"median":${"%.2f".formatLocal(java.util.Locale.ROOT, ts(ts.size / 2))},""" +
+        s""""max":${"%.2f".formatLocal(java.util.Locale.ROOT, ts.last)},"pairs":${counts(b)},"plan":"$digest"}"""
     }.mkString(",")
     println(s"""{"probe":"refine_branch","dir":"$dir","n":$n,"tau":$tau,"reps":$reps,$out}""")
     spark.stop()

@@ -61,7 +61,8 @@ object RefineDiag {
     def timed(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val c = f
-      println(f"""{"step":"$name","secs":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$c}""")
+      val secs = "%.2f".formatLocal(java.util.Locale.ROOT, (System.nanoTime() - t0) / 1e9)
+      println(s"""{"step":"$name","secs":$secs,"rows":$c}""")
     }
     steps.foreach {
       case "cand" => timed("cand")(slimJoined.count())

@@ -171,6 +171,7 @@ object ScaleGen {
     val ordOff = maxOf(orders, "o_orderkey")
     val custOff = maxOf(orders, "o_custkey")
     val suppOff = maxOf(li, "l_suppkey")
+    if (wanted("orders"))
     write(replicated(orders) { (o, k) =>
       if (k == 0) o
       else o

@@ -1068,24 +1068,29 @@ object Dedup {
     val planes =
       if (bits > 0) Similarity.hyperplanes(tabs, derived, dim, seed)
       else Similarity.hyperplanesPrefix(tabs, derived, dim, seed)
+    import graft.functions.DotProductExpr.{dot, dotBytes}
+    // Zero-norm rows can never pair (cos = 0/0 = NaN; the refine's norm
+    // guard excludes them) — drop them BEFORE BucketCap in BOTH payload
+    // and non-payload modes, so dropHot sees identical bucket counts
+    // and the spec-pinned identical-pair-set contract between the
+    // broadcast and beyond-broadcast branches holds even on corpora
+    // with many zero vectors (all of which share one bucket per table).
     val vecs = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .filter(col("n") > 0)
     // Payload mode (the beyond-broadcast refine): compute the int8
     // quantization ONCE PER VECTOR — below the explode, so the ~100 B
     // compact form travels through the probe expansion instead of the
-    // ~530 B doubles — and drop zero-norm rows up front (they can never
-    // pair: cos would be 0/0 = NaN; see the refine's norm guard).
+    // ~530 B doubles.
     //   q  = round(v * 127 / s), s = max|v_i|      (symmetric int8)
     //   eN = ||v - reconstruct(q)||                (EXACT error norm)
     //   nh = ||reconstruct(q)||, n = ||v||
     val vecsEff =
       if (!withPayload) vecs
       else {
-        import graft.functions.DotProductExpr.{dot, dotBytes}
         vecs
-          .withColumn("n", sqrt(dot(col("v"), col("v"))))
-          .filter(col("n") > 0)
           .withColumn("s", array_max(transform(col("v"), x => abs(x))))
           .withColumn("q", transform(col("v"),
             x => round(x * lit(127) / col("s")).cast("tinyint")))

@@ -627,7 +627,9 @@ margins AS (
   SELECT e.vec_id, p.t, p.bit,
     list_sum(list_transform(generate_series(1, 64),
       i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) AS mg
-  FROM embeddings e CROSS JOIN planes p),
+  FROM embeddings e CROSS JOIN planes p
+  WHERE list_sum(list_transform(generate_series(1, 64),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) > 0),
 sigs AS (
   SELECT vec_id, t,
     CAST(sum(CASE WHEN mg >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS b,
