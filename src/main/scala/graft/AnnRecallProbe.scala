@@ -60,6 +60,11 @@ object AnnRecallProbe {
             tables = 8, bits = 8))
         case "lsh-adaptive" =>
           pairsOf(Similarity.lshTopK(emb, qs, "vec_id", "embedding", k, n = n))
+        case s if s.startsWith("lsh-qd:") =>
+          // explicit query-side probe shape sweep: lsh-qd:<budget>:<depth>
+          val parts = s.stripPrefix("lsh-qd:").split(":")
+          pairsOf(Similarity.lshTopK(emb, qs, "vec_id", "embedding", k, n = n,
+            probeBudget = parts(0).toInt, probeDepth = parts(1).toInt))
         case "ivf-fixed" =>
           pairsOf(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k,
             numCentroids = 20, nProbe = 3))
@@ -72,7 +77,10 @@ object AnnRecallProbe {
       val shape = m match {
         case "lsh-adaptive" =>
           val b = Dedup.adaptiveLshBits(n)
-          s"${Dedup.multiprobeTables(b)}t x ${b}b qd:${Dedup.multiprobeBudget(b)}:2"
+          s"${Dedup.multiprobeTables(b)}t x ${b}b qd:${Similarity.TopKProbeBudget}:${Similarity.TopKProbeDepth}"
+        case s if s.startsWith("lsh-qd:") =>
+          val b = Dedup.adaptiveLshBits(n)
+          s"${Dedup.multiprobeTables(b)}t x ${b}b qd:${s.stripPrefix("lsh-qd:")}"
         case "ivf-adaptive" =>
           val l = Similarity.adaptiveIvfLists(n)
           s"${l}L x ${Similarity.adaptiveIvfProbes(l)}P"

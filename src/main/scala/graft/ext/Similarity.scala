@@ -157,19 +157,26 @@ object Similarity {
       seed: Long = 42L,
       dim: Int = 64,
       maxBucket: Int = 100000,
-      probeDepth: Int = 2,
+      probeDepth: Int = 0,
+      probeBudget: Int = 0,
       n: Long = -1L
   ): DataFrame = {
-    // bits <= 0 ⇒ the CORPUS-ADAPTIVE default (r16): derived signature
+    // bits <= 0 ⇒ the CORPUS-ADAPTIVE default: derived signature
     // width (occupancy ~4 at any n — the r12 fixed-width cliff), the
-    // multiprobe table/budget couplings, prefix-stable planes, and
-    // QUERY-DIRECTED probing on the query side — the query also visits
+    // multiprobe table coupling, prefix-stable planes, and QUERY-
+    // DIRECTED probing on the query side — the query also visits
     // buckets within `probeDepth` flips of its lowest-|margin| bits,
-    // which holds recall as the derived width grows (the dedup-LSH
-    // family's measured fix: 52.7% vs 4% at 200 k vectors). The query
-    // side is the small side, so probing multiplies the broadcast, not
-    // the corpus scan. Explicit `bits > 0` pins the historical
-    // exact-collision shape (sequential-stream planes, no probing).
+    // which holds recall as the derived width grows. Unlike the dedup
+    // pair operator — whose candidate volume multiplies the CORPUS by
+    // the probe count, forcing a tight budget — top-k probing
+    // multiplies only the broadcast query side, so the default shape
+    // is the flat deep one ([[TopKProbeBudget]]:[[TopKProbeDepth]] =
+    // qd:12:3, capped at `bits` inside the probe expression). Measured
+    // (recordings/ann_recall_r17.jsonl, 50 queries, k=5): recall
+    // 98.8 % @20 k, 98.8 % @200 k, 92.8 % @1 M vectors vs the dedup
+    // coupling's 36.8/42.8/24.4 %. Explicit `bits > 0` pins the
+    // historical exact-collision shape (sequential-stream planes, no
+    // probing).
     val adaptive = bits <= 0
     val b = if (adaptive) Dedup.adaptiveLshBits(Dedup.corpusCount(corpus, n, "lshTopK"))
             else bits
@@ -185,20 +192,38 @@ object Similarity {
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val q = broadcast(
       if (adaptive) {
-        val budget = Dedup.multiprobeBudget(b)
+        val budget = if (probeBudget > 0) probeBudget else TopKProbeBudget
+        val depth = if (probeDepth > 0) probeDepth else TopKProbeDepth
         qBase.select(col("query_id"), col("qv"),
-          posexplode(graft.functions.AnnExprs.lshProbeKeys(col("qv"), planes, budget, probeDepth))
+          posexplode(graft.functions.AnnExprs.lshProbeKeys(col("qv"), planes, budget, depth))
             .as(Seq("t", "bs")))
           .select(col("query_id"), col("qv"), col("t"), explode(col("bs")).as("b"))
       } else withBuckets(qBase, "query_id", "qv", planes))
 
+    // Cosine is computed MAP-SIDE, before the cross-table dedup — the
+    // distinct then shuffles (query_id, neighbor_id, cos) rows (~50 B)
+    // instead of rows carrying both full vectors (~1.1 kB); cosine is
+    // deterministic per pair, so deduping after scoring is
+    // result-identical and the re-rank sees the same set.
     rankedTopK(
       c.join(q, Seq("t", "b"))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv").distinct()
-        .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4)),
+        .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
+        .select("query_id", "neighbor_id", "cos").distinct(),
       "cos", scoreDesc = true, k)
   }
+
+  /** Flat query-side probe shape for the adaptive [[lshTopK]]: budget
+    * 12 (capped at the derived signature width inside the probe
+    * expression), depth 3. The dedup pair operator's budget coupling
+    * ([[Dedup.multiprobeBudget]]) must stay tight because every probe
+    * key multiplies a CORPUS-sized join side; the top-k query side is
+    * a broadcast of the (small) query set, so the deep shape costs
+    * probes × queries — not probes × corpus — and buys the measured
+    * recall jump in the scaladoc above.
+    */
+  val TopKProbeBudget = 12
+  val TopKProbeDepth = 3
 
   /** IVF list count derived from the corpus: the smallest POWER OF TWO
     * `L` with L² >= n (the classic nlist ≈ √n rule snapped to a power

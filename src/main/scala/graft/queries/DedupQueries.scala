@@ -609,9 +609,15 @@ ORDER BY id_a, id_b"""
     * (integer shifts only).
     */
   /** Shared signature+mask CTE chain of the query-directed multiprobe
-    * oracles (pair query and telemetry report).
+    * oracles (pair query, telemetry report, and — with `maskRk`
+    * overridden to the flat top-k budget — the ANN top-k oracle, whose
+    * query-side-only probing affords a deeper mask than the dedup
+    * pair coupling).
     */
   private[queries] def embLshMultiprobeSigsCtes: String =
+    embLshMultiprobeSigsCtesFor("budget")
+
+  private[queries] def embLshMultiprobeSigsCtesFor(maskRk: String): String =
     s"""WITH planes_all(t, bit, plane) AS (VALUES
 ${embLshPlanesPrefix(32, 24)}),
 nrows AS (SELECT count(*) AS n FROM embeddings),
@@ -633,7 +639,7 @@ margins AS (
 sigs AS (
   SELECT vec_id, t,
     CAST(sum(CASE WHEN mg >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS b,
-    CAST(sum(CASE WHEN rk <= budget THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS mask
+    CAST(sum(CASE WHEN rk <= $maskRk THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS mask
   FROM (SELECT vec_id, t, bit, mg,
           row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(mg), bit) AS rk
         FROM margins), psel

@@ -76,13 +76,15 @@ ORDER BY vec_id, pos"""
         .orderBy("query_id", "rank")
     }),
 
-    // LSH approximate top-5, CORPUS-ADAPTIVE (r16): derived signature
-    // width + the multiprobe couplings, query-directed probing on the
-    // query side — the shape that held the dedup family's recall
-    // across decades (AnnRecallProbe: 50 % vs the fixed 8x8 shape's
-    // 12 % at the verify SF). The oracle derives the same shape from
-    // its own count(*) and states the probe semantics directly
-    // (hamming <= 2 within the QUERY's low-margin budget mask).
+    // LSH approximate top-5, CORPUS-ADAPTIVE: derived signature width
+    // + table coupling, FLAT DEEP query-directed probing (qd:12:3 —
+    // the query side is broadcast, so deep probing multiplies queries,
+    // not the corpus scan; measured 98.8/98.8/92.8 % recall across
+    // 20k/200k/1M vectors vs 36.8/42.8/24.4 for the dedup coupling,
+    // recordings/ann_recall_r17.jsonl). The oracle derives the same
+    // shape from its own count(*) and states the probe semantics
+    // directly (hamming <= 3 within the QUERY's low-margin 12-bit
+    // mask).
     "ann_topk_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K,
@@ -205,18 +207,21 @@ ORDER BY vec_id, pos"""
       }.mkString(",\n")
 
   /** Adaptive query-probing LSH top-k oracle: shares the dedup
-    * multiprobe signature/mask CTE chain (same derived bits/tables/
-    * budget, same prefix-stable planes), with the probe condition
-    * ONE-SIDED — only the QUERY side probes (hamming <= 2, every
-    * differing bit inside the query row's low-margin budget mask).
+    * multiprobe signature/mask CTE chain (same derived bits/tables,
+    * same prefix-stable planes) with the FLAT TOP-K probe shape —
+    * mask = the query's [[Similarity.TopKProbeBudget]] lowest-|margin|
+    * bits (rank auto-caps at the derived width), hamming <=
+    * [[Similarity.TopKProbeDepth]] — and the probe condition
+    * ONE-SIDED: only the QUERY side probes; the corpus side sits at
+    * its exact key.
     */
   private val lshSql =
-    s"""${DedupQueries.embLshMultiprobeSigsCtes},
+    s"""${DedupQueries.embLshMultiprobeSigsCtesFor(Similarity.TopKProbeBudget.toString)},
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM sigs q JOIN sigs c
     ON q.t = c.t AND q.vec_id < 10 AND q.vec_id <> c.vec_id
-    AND bit_count(xor(q.b, c.b)) <= 2
+    AND bit_count(xor(q.b, c.b)) <= ${Similarity.TopKProbeDepth}
     AND (xor(q.b, c.b) & q.mask) = xor(q.b, c.b)),
 pairs AS (
   SELECT query_id, neighbor_id, ${cosSql("q", "c")} AS cos
