@@ -1022,7 +1022,7 @@ object Dedup {
         col("id").as(s"id_$sfx"), col("t"), col("b"),
         col("q").as(s"q$sfx"), col("s").as(s"s$sfx"), col("eN").as(s"e$sfx"),
         col("nh").as(s"h$sfx"), col("n").as(s"n$sfx"))
-      val dhat = dotBytes(col("qx"), col("qy")).cast("double") *
+      val dhat = graft.functions.DotProductExpr.dotPacked(col("qx"), col("qy")).cast("double") *
         col("sx") * col("sy") / lit(127.0 * 127.0)
       val bnd = col("hx") * col("ey") + col("ex") * col("hy") + col("ex") * col("ey")
       // The refine keeps round(cos, 4) >= tau, which admits true cosines
@@ -1092,14 +1092,20 @@ object Dedup {
       else {
         vecs
           .withColumn("s", array_max(transform(col("v"), x => abs(x))))
-          .withColumn("q", transform(col("v"),
+          .withColumn("qa", transform(col("v"),
             x => round(x * lit(127) / col("s")).cast("tinyint")))
           .withColumn("eN", sqrt(aggregate(
-            zip_with(col("v"), col("q").cast("array<double>"),
+            zip_with(col("v"), col("qa").cast("array<double>"),
               (x, qq) => { val e = x - qq * col("s") / lit(127.0); e * e }),
             lit(0.0), (acc, e2) => acc + e2)))
           .withColumn("nh",
-            sqrt(dotBytes(col("q"), col("q")).cast("double")) * col("s") / lit(127.0))
+            sqrt(dotBytes(col("qa"), col("qa")).cast("double")) * col("s") / lit(127.0))
+          // the payload travels PACKED (BinaryType, 64 raw bytes) —
+          // ~16 B/row less than the array<tinyint> UnsafeArrayData
+          // form across the candidate-join shuffle, whose probe side
+          // is the dominant volume at the 1 M-vector point
+          .withColumn("q", graft.functions.DotProductExpr.packBytes(col("qa")))
+          .drop("qa")
       }
     val carry: Seq[Column] =
       if (withPayload) Seq("q", "s", "eN", "nh", "n").map(col) else Nil

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.GraftShim
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
 
 /** Native codegen dot product over two `array<double>` columns.
   *
@@ -74,6 +74,78 @@ object DotProductExpr {
     GraftShim.column(ByteDotExpr(
       GraftShim.expression(a.cast("array<tinyint>")),
       GraftShim.expression(b.cast("array<tinyint>"))))
+
+  /** Packs an `array<tinyint>` into a flat BinaryType value.
+    * UnsafeArrayData stores a 64-element tinyint array as 8 B length
+    * word + 8 B null bitmap + 64 B padded data (~80 B in the row); the
+    * packed binary is the 64 raw bytes — ~16 B/row off the candidate-
+    * join shuffle whose probe side is ~n·tables·probeKeys rows at the
+    * 1 M-vector point (~48 GB measured in r16). Null elements are not
+    * expected (the quantization maps a non-null vector elementwise).
+    */
+  def packBytes(a: Column): Column =
+    GraftShim.column(PackBytesExpr(
+      GraftShim.expression(a.cast("array<tinyint>"))))
+
+  /** [[ByteDotExpr]] over two packed-binary payloads ([[packBytes]]):
+    * same exact long accumulation, reading raw bytes.
+    */
+  def dotPacked(a: Column, b: Column): Column =
+    GraftShim.column(BinaryDotExpr(
+      GraftShim.expression(a), GraftShim.expression(b)))
+}
+
+/** `array<tinyint>` → BinaryType (raw element bytes, in order). */
+case class PackBytesExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(a: Any): Any =
+    a.asInstanceOf[ArrayData].toByteArray()
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $a.toByteArray();")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Exact integer dot over two packed int8 payloads (BinaryType), long
+  * accumulator — the [[ByteDotExpr]] semantics on the shuffle-compact
+  * representation.
+  */
+case class BinaryDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x(i).toLong * y(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("pdotN")
+      val s = ctx.freshName("pdotS")
+      val i = ctx.freshName("pdotI")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a[$i] * $b[$i];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** [[DotProductExpr]] over `array<tinyint>` children, accumulating in

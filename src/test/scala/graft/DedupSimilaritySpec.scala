@@ -392,6 +392,33 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(maxSlack < normBound * 16, s"slack $maxSlack suspiciously loose")
   }
 
+  test("packBytes/dotPacked equal the array<tinyint> spelling, negatives included") {
+    // the packed BinaryType payload is a pure representation change:
+    // dotPacked(pack(a), pack(b)) must equal dotBytes(a, b) exactly
+    // (long integer accumulation either way), across negative bytes
+    // and unequal lengths (min-length fold)
+    import graft.functions.DotProductExpr.{dotBytes, dotPacked, packBytes}
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 50).map { i =>
+      val n = 1 + rnd.nextInt(64)
+      Row(i.toLong, Array.fill(n)((rnd.nextInt(255) - 127).toByte).toSeq,
+        Array.fill(64)((rnd.nextInt(255) - 127).toByte).toSeq)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("id", LongType),
+        StructField("a", ArrayType(ByteType)), StructField("b", ArrayType(ByteType)))))
+    val out = df.select(
+      dotBytes(col("a"), col("b")).as("viaArray"),
+      dotPacked(packBytes(col("a")), packBytes(col("b"))).as("viaPacked"),
+      length(packBytes(col("a"))).as("packedLen"),
+      size(col("a")).as("arrayLen")).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"packed dot diverged: $r")
+      assert(r.getInt(2) == r.getInt(3), s"packed length diverged: $r")
+    }
+  }
+
   test("embeddingNearDupPairs: the obvious name IS the multiprobe production default") {
     // r15 verdict stretch: a user picking the shortest name must land
     // on the recommended path, not the low-recall replay tier — the
