@@ -2,14 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Cost probe for the multiprobe LSH refine's two physical branches —
-  * the r15 verdict's #1 unknown: below the broadcast cutoff the refine
-  * broadcasts the (id, vector, norm) prep to both candidate joins and
-  * dedupes SURVIVORS only; above it (the 100 TB production path — a
-  * real corpus is always above any broadcast bound) the candidate
-  * stream dedupes FIRST and the refine joins shuffle. The shuffled
-  * branch had never been executed before this probe; the broadcast
-  * branch's 200 k-vector cost was r15's 27.4 s headline.
+/** Cost probe for the multiprobe LSH refine's physical tiers:
+  * full-width broadcast refine (tier 1), quantized-broadcast slim-
+  * stream prefilter (tier 2, r17), and payload-carry prefilter
+  * (tier 3 — when even the int8 corpus exceeds a broadcast). All
+  * tiers must produce the identical pair set (spec-pinned).
   *
   * Runs `reps` interleaved passes per requested branch (min-of-N on an
   * interleaved schedule separates box contention from a plan
@@ -39,15 +36,16 @@ object RefineBranchProbe {
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count()
     def dfFor(branch: String) = {
-      val cutoff = branch match {
-        case "broadcast" => Long.MaxValue
-        case "shuffle"   => 0L
-        case "default"   => -1L
+      val (cutoff, quantCutoff) = branch match {
+        case "broadcast" => (Long.MaxValue, -1L)
+        case "quant"     => (0L, Long.MaxValue)
+        case "shuffle"   => (0L, 0L)
+        case "default"   => (-1L, -1L)
         case other => sys.error(s"unknown branch $other")
       }
       graft.ext.Dedup.embeddingCosinePairsLshMultiprobe(
         emb, "vec_id", "embedding", threshold = tau, n = n,
-        refineBroadcastMax = cutoff)
+        refineBroadcastMax = cutoff, quantBroadcastMax = quantCutoff)
     }
 
     val times = scala.collection.mutable.Map[String, Vector[Double]]()

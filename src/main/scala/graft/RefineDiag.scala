@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   *          replaced by the fused map-side prefilter.
   *   bc   — end-to-end broadcast branch (refineBroadcastMax pinned
   *          above n).
-  *   sh   — end-to-end fused-prefilter shuffle branch (pinned to 0).
+  *   qt   — end-to-end quantized-broadcast slim-stream tier
+  *          (refineBroadcastMax 0, quantBroadcastMax above n).
+  *   sh   — end-to-end payload-carry prefilter tier (both cutoffs 0).
   *
   * Usage: runMain graft.RefineDiag <sfDir> <stepsCsv> [tau=0.45] [tables=0] [budget=0] [depth=2]
   * (tables/budget 0 = corpus-derived — the operator defaults; explicit
@@ -53,11 +55,11 @@ object RefineDiag {
         .select(least(col("id_x"), col("id_y")).as("id_a"),
           greatest(col("id_x"), col("id_y")).as("id_b"))
     }
-    def branch(cutoff: Long) =
+    def branch(cutoff: Long, quantCutoff: Long = 0L) =
       graft.ext.Dedup.embeddingCosinePairsLshMultiprobe(
         emb, "vec_id", "embedding", threshold = tau, tables = tablesArg,
         n = n, probeBudget = budgetArg, probeDepth = depthArg,
-        refineBroadcastMax = cutoff)
+        refineBroadcastMax = cutoff, quantBroadcastMax = quantCutoff)
     def timed(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val c = f
@@ -68,6 +70,7 @@ object RefineDiag {
       case "cand" => timed("cand")(slimJoined.count())
       case "dist" => timed("dist")(slimJoined.distinct().count())
       case "bc"   => timed("bc")(branch(Long.MaxValue).count())
+      case "qt"   => timed("qt")(branch(0L, Long.MaxValue).count())
       case "sh"   => timed("sh")(branch(0L).count())
       case other  => sys.error(s"unknown step $other")
     }

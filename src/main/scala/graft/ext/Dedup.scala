@@ -36,12 +36,15 @@ object DedupConstants {
     * tau = 0.45. These are CONTRACTS, not observations: the spec
     * fails if the committed recall recording for the shipped shape
     * dips below the floor at that decade — re-tuning the derivations
-    * (bits/tables/budget couplings) must re-prove recall, not just
-    * cost. Measured headroom r16: 92.9% @500, 60.6% @20k, 52.7% @200k
-    * (recordings/lsh_recall_r15.jsonl; r16 sweep re-confirms).
+    * (bits/tables/budget/depth couplings) must re-prove recall, not
+    * just cost. Measured headroom r17 (recordings/
+    * lsh_recall_r17.jsonl): 61.5% @20k (qd:4:2, bits 13), 68.2% @200k
+    * (qd:5:3 — the depth-3 escalation at >= 16 derived bits), 41.4%
+    * @1M (qd:5:3, bits 18, sampled truth).
     */
   val MultiprobeRecallFloor20k: Double = 50.0
-  val MultiprobeRecallFloor200k: Double = 50.0
+  val MultiprobeRecallFloor200k: Double = 65.0
+  val MultiprobeRecallFloor1M: Double = 35.0
 }
 
 /** Deduplication operators for a training-data pipeline, over a
@@ -904,6 +907,22 @@ object Dedup {
   def multiprobeBudget(bits: Int, floor: Int = 8, base: Int = 3, cap: Int = 8): Int =
     math.min(cap, base + math.max(0, (bits - floor) / 4))
 
+  /** Probe depth for a derived width: 2 flips up to 15 bits, 3 from 16.
+    * The escalation axis matters because the two knobs price very
+    * differently (r16/r17 measurements, 200 k vectors): widening the
+    * BUDGET (5 → 6 at depth 2) costs ~3× — the extra low-margin bit's
+    * flips land in the most crowded buckets — for +8 pp recall, while
+    * deepening to TRIPLE FLIPS of the SAME 5-bit mask (qd:5:2 → qd:5:3,
+    * 16 → 26 keys) measured ~1.07× operator cost for +15.5 pp
+    * (52.7 → 68.2 %, recordings/lsh_recall_r16.jsonl full-truth rows;
+    * cost RefineDiag min-of-3 fused branch). At the 18-bit (1 M-vector)
+    * decade depth-2 recall collapses to 29.4 % and qd:5:3 holds 41.4 %
+    * (sampled truth). Below 16 bits the depth-2 recall already clears
+    * the floors (61.5 % at the 13-bit decade) — the cheaper shape wins.
+    * Integer-exact for the oracle (CASE WHEN bits >= 16).
+    */
+  def multiprobeDepth(bits: Int): Int = if (bits >= 16) 3 else 2
+
   /** Embedding near-dup pairs, QUERY-DIRECTED MULTI-PROBE LSH (Lv et
     * al., VLDB'07) — the RECOMMENDED production default of the LSH
     * family: same semantics as [[embeddingCosinePairsLsh]], but each
@@ -930,11 +949,14 @@ object Dedup {
     * joins the exact side on (t, b) — no hamming predicate in the join
     * condition anywhere. BOTH sides are BucketCap-capped (a skew-hot
     * bucket's probes would otherwise meet the capped exact side at
-    * cap x probes). Probe count and table count derive from the
-    * corpus-adaptive width ([[multiprobeBudget]], [[multiprobeTables]])
-    * unless pinned; the derived path shares [[adaptiveLshBits]] and the
-    * prefix-stable planes, so one embedded oracle plane table covers
-    * every corpus size.
+    * cap x probes). Probe count, table count, and probe DEPTH derive
+    * from the corpus-adaptive width ([[multiprobeBudget]],
+    * [[multiprobeTables]], [[multiprobeDepth]] — triple flips of the
+    * same low-margin mask from 16 derived bits, the measured ~1.07x
+    * answer to the wide-signature recall decay) unless pinned; the
+    * derived path shares [[adaptiveLshBits]] and the prefix-stable
+    * planes, so one embedded oracle plane table covers every corpus
+    * size.
     */
   def embeddingCosinePairsLshMultiprobe(
       df: DataFrame,
@@ -948,8 +970,9 @@ object Dedup {
       maxBucket: Int = 100000,
       n: Long = -1L,
       probeBudget: Int = 0,
-      probeDepth: Int = 2,
-      refineBroadcastMax: Long = -1L
+      probeDepth: Int = 0,
+      refineBroadcastMax: Long = -1L,
+      quantBroadcastMax: Long = -1L
   ): DataFrame = {
     import graft.functions.DotProductExpr.dot
     val nEff = corpusCount(df, n, "embeddingCosinePairsLshMultiprobe")
@@ -995,26 +1018,75 @@ object Dedup {
     // and dedupe only the tau-survivors: one shuffle of bucket rows
     // total, the distinct shrinks from all-candidates to actual pairs,
     // and the duplicated dot products are codegen-cheap.
-    // Beyond the broadcast bound — the 100 TB production branch. The
+    // Quantized-broadcast cutoff, also sized in BYTES: the int8
+    // payload row is ~(dim + 56) bytes (packed q + four doubles + id),
+    // so a 512 MB broadcast covers ~4.5 M vectors at dim 64 — an order
+    // of magnitude past the full-width bound, and comfortably under
+    // Spark's 8 GB broadcast hard cap.
+    val quantMax =
+      if (quantBroadcastMax >= 0) quantBroadcastMax
+      else (512L << 20) / (dim.toLong + 56)
+    // Shared bound-safe prefilter semantics of the two beyond-broadcast
+    // tiers — a MAP-SIDE codegen filter prunes every pair whose
+    // quantized dot PLUS its Cauchy-Schwarz error bound cannot reach
+    // tau:
+    //   dot(a,b) <= d_hat + |a_hat||e_b| + |e_a||b_hat| + |e_a||e_b|
+    // so no true pair is ever dropped. The refine keeps
+    // round(cos, 4) >= tau, which admits true cosines down to
+    // tau - 5e-5 (half-up grid) — the prefilter threshold must match
+    // that admission edge or it prunes grid-boundary pairs the
+    // broadcast branch keeps; the extra 1e-9*n*n absorbs the bound
+    // arithmetic's own FP rounding. Only the surviving sliver
+    // (~true pairs + a thin margin band) reaches the distinct and the
+    // full-width refine, whose exact cosine/round/threshold semantics
+    // are IDENTICAL across all three tiers (spec-pinned equality).
+    val dhat = graft.functions.DotProductExpr.dotPacked(col("qx"), col("qy")).cast("double") *
+      col("sx") * col("sy") / lit(127.0 * 127.0)
+    val bnd = col("hx") * col("ey") + col("ex") * col("hy") + col("ex") * col("ey")
+    val boundPass = dhat + bnd + lit(1e-9) * col("nx") * col("ny") >=
+      (lit(threshold) - lit(5.1e-5)) * col("nx") * col("ny")
+
+    // Tier 1 — full-width broadcast refine: map-side exact cosine on
+    // the raw (duplicated) join output, dedupe only tau-survivors.
+    if (nEff <= refineMax) refine(joined, broadcast).distinct()
+    // Tier 2 — QUANTIZED-BROADCAST prefilter (r17): the candidate
+    // stream stays SLIM (id_a, id_b) — the (t, b) join shuffles
+    // ~24 B rows, 4-5x less than payload-carry at depth 3 (whose
+    // ~71 GB spill at the 1 M point exceeded this box's disk) — and
+    // the int8 payload rides a BROADCAST joined map-side on both
+    // endpoints, then the bound filter prunes before anything
+    // shuffles again. Same never-aggregate-the-raw-stream rule: the
+    // stream flows map-side through two BroadcastHashJoins + filter;
+    // only bound-survivors reach the distinct.
+    else if (nEff <= quantMax) {
+      val payload = withInt8Payload(
+        df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+          .withColumn("n", sqrt(dot(col("v"), col("v"))))
+          .filter(col("n") > 0)).drop("v")
+      def pside(key: String, sfx: String) = broadcast(payload.select(
+        col("id").as(key), col("q").as(s"q$sfx"), col("s").as(s"s$sfx"),
+        col("eN").as(s"e$sfx"), col("nh").as(s"h$sfx"), col("n").as(s"n$sfx")))
+      val survivors = joined
+        .join(pside("id_a", "x"), Seq("id_a"))
+        .join(pside("id_b", "y"), Seq("id_b"))
+        .filter(boundPass)
+        .select("id_a", "id_b")
+        .distinct()
+      refine(survivors, _.hint("shuffle_hash"))
+    }
+    // Tier 3 — PAYLOAD-CARRY prefilter: when even the quantized corpus
+    // exceeds the broadcast bound (>~4.5 M vectors at dim 64; any
+    // 100 TB corpus), the candidate (t, b) join itself carries the
+    // ~100 B int8 payload (computed once per vector below the probe
+    // explode) and the bound filter runs on the join output — nothing
+    // is ever broadcast, nothing scales with the driver. The
     // structural rule, measured the hard way (r16: the dedupe-first
     // shuffled refine was KILLED UNFINISHED at 31 min on the 200 k
     // corpus the broadcast branch refines in ~27 s — its distinct had
     // to hash-aggregate the full ~520 M-row candidate stream before a
     // single pair could be pruned): NEVER aggregate, sort, or re-join
-    // the raw candidate stream. Instead the candidate (t, b) join
-    // itself carries a BOUND-SAFE COMPACT PAYLOAD — int8-quantized
-    // signatures (~100 B/side vs ~530 B full-width, computed once per
-    // vector below the probe explode) — and a MAP-SIDE codegen filter
-    // on the join output prunes every pair whose quantized dot PLUS
-    // its Cauchy-Schwarz error bound cannot reach tau:
-    //   dot(a,b) <= d_hat + |a_hat||e_b| + |e_a||b_hat| + |e_a||e_b|
-    // so no true pair is ever dropped. Only the surviving sliver
-    // (~true pairs + a thin margin band) reaches the distinct and the
-    // full-width refine, whose exact cosine/round/threshold semantics
-    // are IDENTICAL to the broadcast branch (spec-pinned equality).
-    if (nEff <= refineMax) refine(joined, broadcast).distinct()
+    // the raw candidate stream.
     else {
-      import graft.functions.DotProductExpr.dotBytes
       val (exactP, probedP) = multiprobeBucketSides(
         df, idCol, vecCol, tables, bits, seed, dim, maxBucket, nEff,
         probeBudget, probeDepth, withPayload = true)
@@ -1022,24 +1094,43 @@ object Dedup {
         col("id").as(s"id_$sfx"), col("t"), col("b"),
         col("q").as(s"q$sfx"), col("s").as(s"s$sfx"), col("eN").as(s"e$sfx"),
         col("nh").as(s"h$sfx"), col("n").as(s"n$sfx"))
-      val dhat = graft.functions.DotProductExpr.dotPacked(col("qx"), col("qy")).cast("double") *
-        col("sx") * col("sy") / lit(127.0 * 127.0)
-      val bnd = col("hx") * col("ey") + col("ex") * col("hy") + col("ex") * col("ey")
-      // The refine keeps round(cos, 4) >= tau, which admits true cosines
-      // down to tau - 5e-5 (half-up grid) — the prefilter threshold must
-      // match that admission edge or it prunes grid-boundary pairs the
-      // broadcast branch keeps; the extra 1e-9*n*n absorbs the bound
-      // arithmetic's own FP rounding.
       val survivors = named(exactP, "x").hint("shuffle_hash")
         .join(named(probedP, "y"), Seq("t", "b"))
         .filter(col("id_x") =!= col("id_y"))
-        .filter(dhat + bnd + lit(1e-9) * col("nx") * col("ny") >=
-          (lit(threshold) - lit(5.1e-5)) * col("nx") * col("ny"))
+        .filter(boundPass)
         .select(least(col("id_x"), col("id_y")).as("id_a"),
           greatest(col("id_x"), col("id_y")).as("id_b"))
         .distinct()
       refine(survivors, _.hint("shuffle_hash"))
     }
+  }
+
+  /** Adds the bound-safe int8 prefilter payload to a `(id, v, n)`
+    * vector frame (`n` = ||v||, zero-norm rows already dropped):
+    *
+    *   q  = round(v * 127 / s), s = max|v_i|      (symmetric int8)
+    *   eN = ||v - reconstruct(q)||                (EXACT error norm)
+    *   nh = ||reconstruct(q)||
+    *
+    * The payload travels PACKED (BinaryType, dim raw bytes) — ~16 B/row
+    * less than the array<tinyint> UnsafeArrayData form. Shared by the
+    * payload-carry candidate sides and the quantized-broadcast refine
+    * tier, so the bound filter sees bit-identical quantities in both.
+    */
+  private[graft] def withInt8Payload(vecs: DataFrame): DataFrame = {
+    import graft.functions.DotProductExpr.dotBytes
+    vecs
+      .withColumn("s", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qa", transform(col("v"),
+        x => round(x * lit(127) / col("s")).cast("tinyint")))
+      .withColumn("eN", sqrt(aggregate(
+        zip_with(col("v"), col("qa").cast("array<double>"),
+          (x, qq) => { val e = x - qq * col("s") / lit(127.0); e * e }),
+        lit(0.0), (acc, e2) => acc + e2)))
+      .withColumn("nh",
+        sqrt(dotBytes(col("qa"), col("qa")).cast("double")) * col("s") / lit(127.0))
+      .withColumn("q", graft.functions.DotProductExpr.packBytes(col("qa")))
+      .drop("qa")
   }
 
   /** The multiprobe candidate stage's two join sides — exact (t, key)
@@ -1065,6 +1156,7 @@ object Dedup {
       else adaptiveLshBits(corpusCount(df, n, "multiprobeBucketSides"))
     val tabs = if (tables > 0) tables else multiprobeTables(derived)
     val budget = if (probeBudget > 0) probeBudget else multiprobeBudget(derived)
+    val depth = if (probeDepth > 0) probeDepth else multiprobeDepth(derived)
     val planes =
       if (bits > 0) Similarity.hyperplanes(tabs, derived, dim, seed)
       else Similarity.hyperplanesPrefix(tabs, derived, dim, seed)
@@ -1080,39 +1172,17 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
       .filter(col("n") > 0)
-    // Payload mode (the beyond-broadcast refine): compute the int8
+    // Payload mode (the payload-carry refine tier): compute the int8
     // quantization ONCE PER VECTOR — below the explode, so the ~100 B
     // compact form travels through the probe expansion instead of the
     // ~530 B doubles.
-    //   q  = round(v * 127 / s), s = max|v_i|      (symmetric int8)
-    //   eN = ||v - reconstruct(q)||                (EXACT error norm)
-    //   nh = ||reconstruct(q)||, n = ||v||
-    val vecsEff =
-      if (!withPayload) vecs
-      else {
-        vecs
-          .withColumn("s", array_max(transform(col("v"), x => abs(x))))
-          .withColumn("qa", transform(col("v"),
-            x => round(x * lit(127) / col("s")).cast("tinyint")))
-          .withColumn("eN", sqrt(aggregate(
-            zip_with(col("v"), col("qa").cast("array<double>"),
-              (x, qq) => { val e = x - qq * col("s") / lit(127.0); e * e }),
-            lit(0.0), (acc, e2) => acc + e2)))
-          .withColumn("nh",
-            sqrt(dotBytes(col("qa"), col("qa")).cast("double")) * col("s") / lit(127.0))
-          // the payload travels PACKED (BinaryType, 64 raw bytes) —
-          // ~16 B/row less than the array<tinyint> UnsafeArrayData
-          // form across the candidate-join shuffle, whose probe side
-          // is the dominant volume at the 1 M-vector point
-          .withColumn("q", graft.functions.DotProductExpr.packBytes(col("qa")))
-          .drop("qa")
-      }
+    val vecsEff = if (!withPayload) vecs else withInt8Payload(vecs)
     val carry: Seq[Column] =
       if (withPayload) Seq("q", "s", "eN", "nh", "n").map(col) else Nil
     val bucketed = vecsEff.select(col("id") +: carry :+
       posexplode(graft.functions.AnnExprs.lshBuckets(col("v"), planes)).as(Seq("t", "b")): _*)
     val probed = vecsEff.select(col("id") +: carry :+
-      posexplode(graft.functions.AnnExprs.lshProbeKeys(col("v"), planes, budget, probeDepth))
+      posexplode(graft.functions.AnnExprs.lshProbeKeys(col("v"), planes, budget, depth))
         .as(Seq("t", "bs")): _*)
       .select(col("id") +: carry :+ col("t") :+ explode(col("bs")).as("b"): _*)
     (BucketCap.dropHot(bucketed, Seq("t", "b"), maxBucket),
@@ -1142,7 +1212,7 @@ object Dedup {
       maxBucket: Int = 100000,
       n: Long = -1L,
       probeBudget: Int = 0,
-      probeDepth: Int = 2
+      probeDepth: Int = 0
   ): DataFrame = {
     val (exact, probedCapped) = multiprobeBucketSides(
       df, idCol, vecCol, tables, bits, seed, dim, maxBucket, n, probeBudget, probeDepth)

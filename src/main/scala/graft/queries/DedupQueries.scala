@@ -108,17 +108,21 @@ object DedupQueries extends QueryGroup {
 
     // QUERY-DIRECTED multi-probe (Lv et al., VLDB'07) — the RECOMMENDED
     // production default of the LSH family: each vector also probes
-    // buckets within 2 flips of its lowest-|margin| sign bits (budget
-    // and table count derived from the corpus-adaptive width:
-    // Dedup.multiprobeBudget / multiprobeTables). Near pairs disagree
-    // exactly where a margin is small, so the flat probe budget holds
-    // recall the exact-collision path loses with scale: >= 50% at 20 k
+    // buckets within depth flips of its lowest-|margin| sign bits
+    // (budget, table count, AND depth derived from the corpus-adaptive
+    // width: Dedup.multiprobeBudget / multiprobeTables /
+    // multiprobeDepth — depth escalates 2 -> 3 at 16 derived bits,
+    // where triple flips of the same mask measured ~1.07x cost for
+    // +15.5 pp recall at 200 k vectors). Near pairs disagree exactly
+    // where a margin is small, so the flat probe budget holds recall
+    // the exact-collision path loses with scale: >= 50% at 20 k
     // vectors (tau=0.45) where dedup_embedding_lsh's 32-table cap
     // recovers 13% (LshRecallProbe, SCALE_MEASURED_r15). Same derived
     // width, same prefix-stable planes, still a pure equi-join on
     // (t, b) with BOTH sides BucketCap-capped; the oracle states the
-    // semantics directly — hamming <= 2 with every differing bit inside
-    // the low-margin budget of at least one endpoint.
+    // semantics directly — hamming <= derived depth with every
+    // differing bit inside the low-margin budget of at least one
+    // endpoint.
     "dedup_embedding_lsh_multiprobe" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Dedup.embeddingCosinePairsLshMultiprobe(emb, "vec_id", "embedding",
@@ -132,8 +136,8 @@ object DedupQueries extends QueryGroup {
     // falls to 29.4% (recordings/lsh_recall_r16.jsonl sampled-truth
     // rows) — runs under the DuckDB oracle at the verify SF. The oracle
     // states hamming <= 3 with low-margin-budget containment directly;
-    // a default-coupling escalation (depth 2 -> 3 at bits >= 18) can
-    // land on this certified branch.
+    // the default-coupling escalation (Dedup.multiprobeDepth: 2 -> 3
+    // at bits >= 16, shipped r17) lands on this certified branch.
     "dedup_embedding_lsh_multiprobe_d3" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Dedup.embeddingCosinePairsLshMultiprobe(emb, "vec_id", "embedding",
@@ -625,7 +629,8 @@ bsel AS (SELECT COALESCE(min(b), 24) AS bits
          FROM generate_series(8, 24) g(b), nrows
          WHERE (CAST(4 AS BIGINT) << b) >= n),
 psel AS (SELECT LEAST(32, 8 << GREATEST(0, (bits - 8) // 4)) AS tabs,
-                LEAST(8, 3 + GREATEST(0, (bits - 8) // 4)) AS budget
+                LEAST(8, 3 + GREATEST(0, (bits - 8) // 4)) AS budget,
+                CASE WHEN bits >= 16 THEN 3 ELSE 2 END AS depth
          FROM bsel),
 planes AS (SELECT t, bit, plane FROM planes_all, bsel, psel
            WHERE planes_all.bit < bsel.bits AND planes_all.t < psel.tabs),
@@ -695,7 +700,8 @@ ORDER BY id_a, id_b"""
 cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
   FROM sigs x JOIN sigs y
-    ON x.t = y.t AND x.vec_id < y.vec_id AND bit_count(xor(x.b, y.b)) <= 2
+    ON x.t = y.t AND x.vec_id < y.vec_id
+    AND bit_count(xor(x.b, y.b)) <= (SELECT depth FROM psel)
     AND ((xor(x.b, y.b) & x.mask) = xor(x.b, y.b)
       OR (xor(x.b, y.b) & y.mask) = xor(x.b, y.b))),
 pairs AS (
@@ -725,7 +731,8 @@ cands AS (
   SELECT t, CAST(count(*) AS BIGINT) AS cand_pairs FROM (
     SELECT DISTINCT x.t AS t, x.vec_id AS id_a, y.vec_id AS id_b
     FROM sigs x JOIN sigs y
-      ON x.t = y.t AND x.vec_id < y.vec_id AND bit_count(xor(x.b, y.b)) <= 2
+      ON x.t = y.t AND x.vec_id < y.vec_id
+      AND bit_count(xor(x.b, y.b)) <= (SELECT depth FROM psel)
       AND ((xor(x.b, y.b) & x.mask) = xor(x.b, y.b)
         OR (xor(x.b, y.b) & y.mask) = xor(x.b, y.b)))
   GROUP BY t)

@@ -331,33 +331,45 @@ class DedupSimilaritySpec extends SparkSuite {
       "multiprobe plan must not contain an all-pairs join")
   }
 
-  test("multiprobe refine paths: broadcast and shuffle branches produce identical pairs") {
-    // the refineBroadcastMax knob swaps map-side broadcast refine
-    // (survivor-only distinct) for the beyond-broadcast shape:
-    // dedupe-first + int8 bound-safe COMPACT PREFILTER + shuffled
-    // full-width refine on bound survivors only — a pure plan change;
-    // the pair SET must be identical (the prefilter provably never
-    // drops a true pair: dot <= d_hat + Cauchy-Schwarz error bound)
+  test("multiprobe refine paths: all three tiers produce identical pairs") {
+    // the refineBroadcastMax / quantBroadcastMax knobs walk the tier
+    // ladder: full-width broadcast refine (survivor-only distinct) →
+    // quantized-broadcast slim-stream prefilter (candidate stream
+    // never carries payloads; int8 payload rides a broadcast) →
+    // payload-carry prefilter (nothing broadcast at all). Pure plan
+    // changes; the pair SET must be identical (the shared bound filter
+    // provably never drops a true pair: dot <= d_hat + Cauchy-Schwarz
+    // error bound)
     val dir = "/root/testdata/sf0.01"
     val emb = Tables.embeddings(spark, dir)
-    def df(maxB: Long) =
+    def df(maxB: Long, quantB: Long) =
       Dedup.embeddingCosinePairsLshMultiprobe(emb, "vec_id", "embedding",
-        threshold = 0.45, refineBroadcastMax = maxB)
-    def pairs(maxB: Long) =
-      df(maxB).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val viaBroadcast = pairs(Long.MaxValue)
-    val viaShuffle = pairs(0L)
-    assert(viaBroadcast == viaShuffle,
-      s"refine branches disagree: only-broadcast=${viaBroadcast -- viaShuffle}, only-shuffle=${viaShuffle -- viaBroadcast}")
+        threshold = 0.45, refineBroadcastMax = maxB, quantBroadcastMax = quantB)
+    def pairs(maxB: Long, quantB: Long) =
+      df(maxB, quantB).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBroadcast = pairs(Long.MaxValue, -1L)
+    val viaQuant = pairs(0L, Long.MaxValue)
+    val viaPayload = pairs(0L, 0L)
+    assert(viaBroadcast == viaQuant,
+      s"tiers disagree: only-broadcast=${viaBroadcast -- viaQuant}, only-quant=${viaQuant -- viaBroadcast}")
+    assert(viaBroadcast == viaPayload,
+      s"tiers disagree: only-broadcast=${viaBroadcast -- viaPayload}, only-payload=${viaPayload -- viaBroadcast}")
     assert(viaBroadcast.nonEmpty)
-    // the shuffled branch must keep the candidate stream OUT of any
-    // sort: every join hashed (shuffle_hash hints), no SortMergeJoin
-    // anywhere in the physical plan (the sorted 100x-corpus stream
-    // carrying vector payloads was the r16-measured disk cliff)
-    val shufflePlan = df(0L).queryExecution.executedPlan.toString
-    assert(!shufflePlan.contains("SortMergeJoin"),
-      "beyond-broadcast refine must hash-join, never sort the candidate stream")
-    assert(shufflePlan.contains("ShuffledHashJoin"), shufflePlan.take(400))
+    // the beyond-broadcast tiers must keep the candidate stream OUT of
+    // any sort: every join hashed, no SortMergeJoin anywhere (the
+    // sorted 100x-corpus stream carrying vector payloads was the
+    // r16-measured disk cliff)
+    for ((quantB, label) <- Seq((Long.MaxValue, "quant"), (0L, "payload-carry"))) {
+      val plan = df(0L, quantB).queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$label refine must hash-join, never sort the candidate stream")
+      assert(plan.contains("ShuffledHashJoin"), plan.take(400))
+    }
+    // and the quant tier's stream-side joins must be broadcast (the
+    // slim stream never shuffles between the (t,b) join and the bound
+    // filter)
+    assert(df(0L, Long.MaxValue).queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "quant tier must broadcast the int8 payload")
   }
 
   test("compact prefilter bound: int8 quantization never prunes a true pair, margin is thin") {
@@ -579,17 +591,18 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
-  test("scale-pinned recall floors: committed LshRecallProbe recording, >= 50% at 20k and 200k") {
+  test("scale-pinned recall floors: committed LshRecallProbe recording at 20k/200k/1M") {
     // The floor the query-directed probing exists to hold BEYOND the
-    // verify SF: recordings/lsh_recall_r15.jsonl is the committed
+    // verify SF: recordings/lsh_recall_r17.jsonl is the committed
     // LshRecallProbe output over the regenerable data-sf1 (20 k
-    // vectors, derived bits 13) and data-sf10 (200 k, bits 16)
-    // fixtures at tau=0.45. This spec pins (a) the derived default
-    // shape at those corpus sizes, and (b) its RECORDED recall — a
-    // coupling change that silently lands on an unmeasured shape fails
-    // (a); re-recording with a recall collapse fails (b).
+    // vectors, derived bits 13), data-sf10 (200 k, bits 16), and
+    // data-sf50 (1 M, bits 18, sampled truth) fixtures at tau=0.45.
+    // This spec pins (a) the derived default shape at those corpus
+    // sizes, and (b) its RECORDED recall — a coupling change that
+    // silently lands on an unmeasured shape fails (a); re-recording
+    // with a recall collapse fails (b).
     val lines = {
-      val src = scala.io.Source.fromFile("recordings/lsh_recall_r15.jsonl")
+      val src = scala.io.Source.fromFile("recordings/lsh_recall_r17.jsonl")
       try src.getLines().toList finally src.close()
     }
     def recall(mode: String, tables: Int, bits: Int): Double = {
@@ -599,23 +612,33 @@ class DedupSimilaritySpec extends SparkSuite {
       lines.collectFirst { case re(pct) => pct.toDouble }
         .getOrElse(fail(s"recording missing ($mode, tables=$tables, bits=$bits)"))
     }
-    // the derived default shape at the two recorded corpus sizes
+    // the derived default shape at the three recorded corpus sizes —
+    // depth escalates 2 -> 3 at 16 derived bits (multiprobeDepth)
     assert(Dedup.adaptiveLshBits(20000L) == 13
-      && Dedup.multiprobeTables(13) == 16 && Dedup.multiprobeBudget(13) == 4,
+      && Dedup.multiprobeTables(13) == 16 && Dedup.multiprobeBudget(13) == 4
+      && Dedup.multiprobeDepth(13) == 2,
       "derived shape at 20k moved off the recorded (qd:4:2, 16 tables) grid point")
     assert(Dedup.adaptiveLshBits(200000L) == 16
-      && Dedup.multiprobeTables(16) == 32 && Dedup.multiprobeBudget(16) == 5,
-      "derived shape at 200k moved off the recorded (qd:5:2, 32 tables) grid point")
+      && Dedup.multiprobeTables(16) == 32 && Dedup.multiprobeBudget(16) == 5
+      && Dedup.multiprobeDepth(16) == 3,
+      "derived shape at 200k moved off the recorded (qd:5:3, 32 tables) grid point")
+    assert(Dedup.adaptiveLshBits(1000000L) == 18
+      && Dedup.multiprobeTables(18) == 32 && Dedup.multiprobeBudget(18) == 5
+      && Dedup.multiprobeDepth(18) == 3,
+      "derived shape at 1M moved off the recorded (qd:5:3, 32 tables) grid point")
     // the recorded floors are HARD CONTRACTS (DedupConstants; measured
-    // headroom 60.6% and 52.7%) — a re-record below them fails here
+    // headroom 61.5 / 68.2 / 41.4 %) — a re-record below them fails
     assert(recall("qd:4:2", 16, 13) >= DedupConstants.MultiprobeRecallFloor20k,
       "recall floor at 20k vectors")
-    assert(recall("qd:5:2", 32, 16) >= DedupConstants.MultiprobeRecallFloor200k,
+    assert(recall("qd:5:3", 32, 16) >= DedupConstants.MultiprobeRecallFloor200k,
       "recall floor at 200k vectors")
+    assert(recall("qd:5:3", 32, 18) >= DedupConstants.MultiprobeRecallFloor1M,
+      "recall floor at 1M vectors")
     // and the default must dominate the exact-collision path's cap at
-    // the same scale (13.0% and 4.0% recorded)
+    // the same scale
     assert(recall("qd:4:2", 16, 13) > recall("prefix", 32, 13))
-    assert(recall("qd:5:2", 32, 16) > recall("prefix", 32, 16))
+    assert(recall("qd:5:3", 32, 16) > recall("prefix", 32, 16))
+    assert(recall("qd:5:3", 32, 18) > recall("prefix", 32, 18))
   }
 
   test("hyperplanesPrefix: width-b planes are an exact prefix of any wider set") {
