@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *          (refineBroadcastMax 0, quantBroadcastMax above n).
   *   sh   — end-to-end payload-carry prefilter tier (both cutoffs 0).
   *
-  * Usage: runMain graft.RefineDiag <sfDir> <stepsCsv> [tau=0.45] [tables=0] [budget=0] [depth=2]
-  * (tables/budget 0 = corpus-derived — the operator defaults; explicit
+  * Usage: runMain graft.RefineDiag <sfDir> <stepsCsv> [tau=0.45] [tables=0] [budget=0] [depth=0]
+  * (tables/budget/depth 0 = corpus-derived — the operator defaults,
+  * including the depth-3 escalation at >= 16 derived bits; explicit
   * values sweep the recall/cost frontier with the REAL operator.)
   */
 object RefineDiag {
@@ -31,7 +32,7 @@ object RefineDiag {
     val tau = args.drop(2).headOption.map(_.toDouble).getOrElse(0.45)
     val tablesArg = args.drop(3).headOption.map(_.toInt).getOrElse(0)
     val budgetArg = args.drop(4).headOption.map(_.toInt).getOrElse(0)
-    val depthArg = args.drop(5).headOption.map(_.toInt).getOrElse(2)
+    val depthArg = args.drop(5).headOption.map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -38,7 +38,7 @@ object DedupConstants {
     * dips below the floor at that decade — re-tuning the derivations
     * (bits/tables/budget/depth couplings) must re-prove recall, not
     * just cost. Measured headroom r17 (recordings/
-    * lsh_recall_r17.jsonl): 61.5% @20k (qd:4:2, bits 13), 68.2% @200k
+    * lsh_recall_r17.jsonl): 60.6% @20k (qd:4:2, bits 13), 68.2% @200k
     * (qd:5:3 — the depth-3 escalation at >= 16 derived bits), 41.4%
     * @1M (qd:5:3, bits 18, sampled truth).
     */
@@ -918,7 +918,7 @@ object Dedup {
     * cost RefineDiag min-of-3 fused branch). At the 18-bit (1 M-vector)
     * decade depth-2 recall collapses to 29.4 % and qd:5:3 holds 41.4 %
     * (sampled truth). Below 16 bits the depth-2 recall already clears
-    * the floors (61.5 % at the 13-bit decade) — the cheaper shape wins.
+    * the floors (60.6 % at the 13-bit decade) — the cheaper shape wins.
     * Integer-exact for the oracle (CASE WHEN bits >= 16).
     */
   def multiprobeDepth(bits: Int): Int = if (bits >= 16) 3 else 2
@@ -1040,11 +1040,17 @@ object Dedup {
     // (~true pairs + a thin margin band) reaches the distinct and the
     // full-width refine, whose exact cosine/round/threshold semantics
     // are IDENTICAL across all three tiers (spec-pinned equality).
-    val dhat = graft.functions.DotProductExpr.dotPacked(col("qx"), col("qy")).cast("double") *
-      col("sx") * col("sy") / lit(127.0 * 127.0)
-    val bnd = col("hx") * col("ey") + col("ex") * col("hy") + col("ex") * col("ey")
-    val boundPass = dhat + bnd + lit(1e-9) * col("nx") * col("ny") >=
-      (lit(threshold) - lit(5.1e-5)) * col("nx") * col("ny")
+    def boundPassOn(
+        qx: Column, sx: Column, ex: Column, hx: Column, nx: Column,
+        qy: Column, sy: Column, ey: Column, hy: Column, ny: Column): Column = {
+      val dhat = graft.functions.DotProductExpr.dotPacked(qx, qy).cast("double") *
+        sx * sy / lit(127.0 * 127.0)
+      val bnd = hx * ey + ex * hy + ex * ey
+      dhat + bnd + lit(1e-9) * nx * ny >= (lit(threshold) - lit(5.1e-5)) * nx * ny
+    }
+    val boundPass = boundPassOn(
+      col("qx"), col("sx"), col("ex"), col("hx"), col("nx"),
+      col("qy"), col("sy"), col("ey"), col("hy"), col("ny"))
 
     // Tier 1 — full-width broadcast refine: map-side exact cosine on
     // the raw (duplicated) join output, dedupe only tau-survivors.
@@ -1059,17 +1065,27 @@ object Dedup {
     // stream flows map-side through two BroadcastHashJoins + filter;
     // only bound-survivors reach the distinct.
     else if (nEff <= quantMax) {
-      val payload = withInt8Payload(
+      // ONE canonical broadcast of the quantized payload, joined twice
+      // through dataset aliases. The r17 shape (two differently-aliased
+      // projections, each wrapped in its own broadcast()) was measured
+      // to ALREADY share one exchange — ReuseExchange canonicalizes
+      // alias names away, so the corpus was quantized and broadcast
+      // once, not twice — but that reuse hinges on expression
+      // canonicalization internals. This shape makes the sharing
+      // structural: both BroadcastHashJoin build sides are literally
+      // the same plan below a SubqueryAlias, so the second build is a
+      // ReusedExchange by construction (spec-asserted in
+      // DedupSimilaritySpec) under any canonicalization behavior.
+      val payload = broadcast(withInt8Payload(
         df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
           .withColumn("n", sqrt(dot(col("v"), col("v"))))
-          .filter(col("n") > 0)).drop("v")
-      def pside(key: String, sfx: String) = broadcast(payload.select(
-        col("id").as(key), col("q").as(s"q$sfx"), col("s").as(s"s$sfx"),
-        col("eN").as(s"e$sfx"), col("nh").as(s"h$sfx"), col("n").as(s"n$sfx")))
+          .filter(col("n") > 0)).drop("v"))
       val survivors = joined
-        .join(pside("id_a", "x"), Seq("id_a"))
-        .join(pside("id_b", "y"), Seq("id_b"))
-        .filter(boundPass)
+        .join(payload.as("px"), col("id_a") === col("px.id"))
+        .join(payload.as("py"), col("id_b") === col("py.id"))
+        .filter(boundPassOn(
+          col("px.q"), col("px.s"), col("px.eN"), col("px.nh"), col("px.n"),
+          col("py.q"), col("py.s"), col("py.eN"), col("py.nh"), col("py.n")))
         .select("id_a", "id_b")
         .distinct()
       refine(survivors, _.hint("shuffle_hash"))
@@ -1119,13 +1135,23 @@ object Dedup {
     */
   private[graft] def withInt8Payload(vecs: DataFrame): DataFrame = {
     import graft.functions.DotProductExpr.dotBytes
+    // Null ELEMENTS are coalesced to 0.0 throughout the payload math:
+    // the full-width tier's DotProductExpr reads a null slot as 0.0
+    // (codegen getDouble over the null bitmap's zeroed value word), so
+    // without the coalesce a single null element would diverge — the
+    // quantized tiers would NPE inside PackBytesExpr's toByteArray()
+    // (ArrayData refuses null elements) while tier 1 silently scores
+    // the pair. Coalescing keeps the three tiers' pair sets identical
+    // on such rows instead of failing with an opaque codegen NPE on
+    // exactly two of the three.
+    val v0 = (x: Column) => coalesce(x, lit(0.0))
     vecs
-      .withColumn("s", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("s", array_max(transform(col("v"), x => abs(v0(x)))))
       .withColumn("qa", transform(col("v"),
-        x => round(x * lit(127) / col("s")).cast("tinyint")))
+        x => round(v0(x) * lit(127) / col("s")).cast("tinyint")))
       .withColumn("eN", sqrt(aggregate(
         zip_with(col("v"), col("qa").cast("array<double>"),
-          (x, qq) => { val e = x - qq * col("s") / lit(127.0); e * e }),
+          (x, qq) => { val e = v0(x) - qq * col("s") / lit(127.0); e * e }),
         lit(0.0), (acc, e2) => acc + e2)))
       .withColumn("nh",
         sqrt(dotBytes(col("qa"), col("qa")).cast("double")) * col("s") / lit(127.0))

@@ -185,11 +185,18 @@ object Similarity {
       if (adaptive) hyperplanesPrefix(tabs, b, dim, seed)
       else hyperplanes(tabs, b, dim, seed)
 
+    // Zero-norm vectors are excluded on BOTH sides, matching the
+    // oracle's shared sigs CTE filter: a zero-norm corpus vector
+    // colliding with a query scores cos = 0/0 = NaN, and NaN sorts
+    // LARGEST under descending order — it would rank first in top-k
+    // while contributing no similarity signal at all.
     val c = BucketCap.dropHot(withBuckets(
       corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv", planes),
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .filter(VectorOps.norm(col("cv")) > 0), "neighbor_id", "cv", planes),
       Seq("t", "b"), maxBucket)
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(VectorOps.norm(col("qv")) > 0)
     val q = broadcast(
       if (adaptive) {
         val budget = if (probeBudget > 0) probeBudget else TopKProbeBudget

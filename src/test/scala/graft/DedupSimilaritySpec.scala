@@ -248,6 +248,33 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("lshTopK excludes zero-norm vectors on both sides (no NaN rank-1 neighbors)") {
+    // a zero-norm corpus vector colliding with a query scores
+    // cos = 0/0 = NaN, and NaN sorts LARGEST under Spark's descending
+    // order — unfiltered it would take rank 1 in every matching top-k
+    // while the oracle's sigs CTE excludes it. The all-zero vector
+    // hashes to the same bucket in every table (all margins 0), so it
+    // WOULD collide with queries without the filter.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val zeroRow = Row(99L, Seq.fill(8)(0.0f))
+    val withZero = vecs.union(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(zeroRow)),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))))
+    val queries = withZero.filter(col("vec_id") % 5 === 0 && col("vec_id") < 90)
+    val got = Similarity.lshTopK(withZero, queries, "vec_id", "embedding", 4,
+      tables = 8, bits = 4, dim = 8).collect()
+    assert(got.nonEmpty)
+    assert(!got.exists(_.getAs[Long]("neighbor_id") == 99L),
+      "zero-norm corpus vector must never appear as a neighbor")
+    assert(!got.exists(r => r.getAs[Double]("cos").isNaN), "NaN cosine leaked into top-k")
+    // and as a QUERY the zero vector returns no rows at all
+    val zq = Similarity.lshTopK(withZero, withZero.filter(col("vec_id") === 99L),
+      "vec_id", "embedding", 4, tables = 8, bits = 4, dim = 8).collect()
+    assert(zq.isEmpty, s"zero-norm query must yield no neighbors, got ${zq.length}")
+  }
+
   test("embeddingCosinePairsLsh: subset of exact pairs, high recall, no all-pairs join") {
     val exact = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -370,6 +397,56 @@ class DedupSimilaritySpec extends SparkSuite {
     // filter)
     assert(df(0L, Long.MaxValue).queryExecution.executedPlan.toString
       .contains("BroadcastHashJoin"), "quant tier must broadcast the int8 payload")
+    // the quantized payload is BUILT once: both endpoint joins hang off
+    // one canonical broadcast (dataset aliases above it), so the second
+    // build side is a ReusedExchange — the full corpus is quantized and
+    // broadcast exactly once. Checked with AQE off because the adaptive
+    // initial plan prints pre-reuse (runtime stage caching uses the
+    // same canonicalized key).
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = df(0L, Long.MaxValue).queryExecution.executedPlan.toString
+      val builtPayloadBcasts = plan.linesIterator.count(l =>
+        l.contains("BroadcastExchange HashedRelationBroadcastMode(List(input[0, bigint") &&
+          !l.contains("ReusedExchange"))
+      assert(builtPayloadBcasts == 1,
+        s"expected exactly one built id-keyed payload broadcast, got $builtPayloadBcasts:\n" +
+          plan.linesIterator.filter(_.contains("BroadcastExchange")).mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("null embedding elements: all three tiers agree (no codegen NPE in the quantized tiers)") {
+    // a null ELEMENT inside an embedding reads as 0.0 through the
+    // full-width tier's DotProductExpr (zeroed value word under the
+    // null bitmap); withInt8Payload coalesces nulls to 0.0 so the
+    // quantized tiers score the same pairs instead of NPE-ing inside
+    // PackBytesExpr's toByteArray()
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    def vec(): Array[java.lang.Float] = Array.fill(dim)(java.lang.Float.valueOf(rnd.nextGaussian().toFloat))
+    val base = Array.tabulate(20)(i => (i.toLong, vec()))
+    // 21 = copy of 0 with one element nulled: cosine vs 0 stays high
+    // (one zeroed coordinate), so the pair (0, 21) is live in every tier
+    val withNull = base(0)._2.clone(); withNull(3) = null
+    val rows = base.map { case (id, v) => Row(id, v.toSeq) } :+ Row(21L, withNull.toSeq)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 4),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = true)))))
+    def pairs(maxB: Long, quantB: Long) =
+      Dedup.embeddingCosinePairsLshMultiprobe(df, "vec_id", "embedding", threshold = 0.45,
+        dim = dim, n = 21L, refineBroadcastMax = maxB, quantBroadcastMax = quantB)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bc = pairs(Long.MaxValue, -1L)
+    val qt = pairs(0L, Long.MaxValue)
+    val sh = pairs(0L, 0L)
+    assert(bc.exists(p => p._1 == 0L && p._2 == 21L),
+      s"the null-element near-dup pair must survive the broadcast tier: $bc")
+    assert(bc == qt, s"quant tier diverges on null elements: ${(bc diff qt) ++ (qt diff bc)}")
+    assert(bc == sh, s"payload-carry tier diverges on null elements: ${(bc diff sh) ++ (sh diff bc)}")
   }
 
   test("compact prefilter bound: int8 quantization never prunes a true pair, margin is thin") {
@@ -627,7 +704,7 @@ class DedupSimilaritySpec extends SparkSuite {
       && Dedup.multiprobeDepth(18) == 3,
       "derived shape at 1M moved off the recorded (qd:5:3, 32 tables) grid point")
     // the recorded floors are HARD CONTRACTS (DedupConstants; measured
-    // headroom 61.5 / 68.2 / 41.4 %) — a re-record below them fails
+    // headroom 60.6 / 68.2 / 41.4 %) — a re-record below them fails
     assert(recall("qd:4:2", 16, 13) >= DedupConstants.MultiprobeRecallFloor20k,
       "recall floor at 20k vectors")
     assert(recall("qd:5:3", 32, 16) >= DedupConstants.MultiprobeRecallFloor200k,
