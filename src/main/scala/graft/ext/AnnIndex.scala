@@ -1,0 +1,280 @@
+package graft.ext
+
+import graft.functions.{AnnExprs, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN indexes — the build-once / query-many split the
+  * in-flight operators ([[Similarity.lshTopK]], [[Similarity.ivfTopK]])
+  * deliberately do not make. At 100 TB the corpus-side work (signature
+  * hashing / centroid assignment, the hot-bucket census, one full
+  * corpus pass each) dwarfs any single query batch, and a production
+  * pipeline amortizes it: the index is materialized to the lake once
+  * per corpus snapshot and every retrieval / hard-negative / dedup-gate
+  * batch after that pays only the probe-side cost. Measured at 1M
+  * vectors (recordings/ann_index_r18.jsonl): the direct operator
+  * re-pays ~the full corpus cost per batch, the indexed probe pays
+  * seconds.
+  *
+  * Two layouts, mirroring the two probe disciplines:
+  *
+  *   - LSH (`lshIndexWrite` / `lshTopKIndexed`): `sigs/` holds the
+  *     SLIM exploded signature table (t, b, neighbor_id) — 16 bytes a
+  *     row instead of the in-flight frame's vector-carrying rows, so
+  *     the T-fold signature expansion costs T×16B/vector on disk, not
+  *     T×|vector| — with the hot-bucket census ([[BucketCap.dropHot]])
+  *     already applied at build time; `vectors/` holds each surviving
+  *     vector ONCE. A probe is: broadcast query probe keys → bucket
+  *     join on (t, b) → distinct slim pairs → shuffle-hash join back
+  *     to `vectors/` → map-side cosine against the broadcast query
+  *     vectors → per-query top-k. Cosine is deterministic per pair, so
+  *     scoring after the distinct is result-identical to the in-flight
+  *     operator's score-then-distinct (AnnIndexSpec pins frame
+  *     equality).
+  *   - IVF (`ivfIndexWrite` / `ivfTopKIndexed`): `lists/` is
+  *     PARTITIONED BY the assigned centroid list, so a query batch
+  *     that probes P of L lists reads ~P/L of the corpus bytes from
+  *     disk — genuine IO pruning (the spec asserts the PartitionFilters
+  *     reach the scan), where the in-flight operator always rescans and
+  *     reassigns the whole corpus. Partition values are fixed-width
+  *     strings (`L%019d`) so Hive-style type inference can never flip
+  *     the partition column's type between corpora whose list ids do or
+  *     don't exceed Int range (list ids are corpus vector ids).
+  *
+  * Both indexes carry a one-row `meta/` table (kind, shape, dim, seed,
+  * corpus count) — the probe side reconstructs the EXACT plane set /
+  * probe discipline from it, so an index built at one derived shape is
+  * never probed at another. Reading an index of the wrong kind fails
+  * fast.
+  */
+object AnnIndex {
+
+  /** LSH index shape descriptor, persisted at `meta/`. */
+  final case class LshMeta(tables: Int, bits: Int, dim: Int, seed: Long,
+      maxBucket: Int, n: Long)
+
+  /** IVF index shape descriptor, persisted at `meta/`. */
+  final case class IvfMeta(lists: Int, nProbe: Int, dim: Int, n: Long)
+
+  private val KindLsh = "lsh"
+  private val KindIvf = "ivf"
+
+  /** Fixed-width, type-inference-proof partition value for an IVF list
+    * id (see class doc).
+    */
+  private def listPart(c: org.apache.spark.sql.Column) =
+    format_string("L%019d", c)
+
+  // ------------------------------------------------------------------
+  // LSH
+  // ------------------------------------------------------------------
+
+  /** Build and persist the LSH index for `corpus` under `path`
+    * (`sigs/`, `vectors/`, `meta/`). Shape derivation is byte-identical
+    * to the adaptive [[Similarity.lshTopK]]: derived signature width
+    * ([[Dedup.adaptiveLshBits]]), coupled table count
+    * ([[Dedup.multiprobeTables]]), prefix-stable planes, zero-norm
+    * corpus vectors excluded, buckets above `maxBucket` dropped.
+    * Returns the persisted meta.
+    */
+  def lshIndexWrite(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      seed: Long = 42L,
+      dim: Int = 64,
+      maxBucket: Int = 100000,
+      n: Long = -1L
+  ): LshMeta = {
+    val spark = corpus.sparkSession
+    val nn = Dedup.corpusCount(corpus, n, "lshIndexWrite")
+    val bits = Dedup.adaptiveLshBits(nn)
+    val tables = Dedup.multiprobeTables(bits)
+    val planes = Similarity.hyperplanesPrefix(tables, bits, dim, seed)
+    val base = corpus
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .filter(VectorOps.norm(col("cv")) > 0)
+    BucketCap.dropHot(
+      base.select(col("neighbor_id"),
+        posexplode(AnnExprs.lshBuckets(col("cv"), planes)).as(Seq("t", "b"))),
+      Seq("t", "b"), maxBucket)
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    base.write.mode("overwrite").parquet(s"$path/vectors")
+    val meta = LshMeta(tables, bits, dim, seed, maxBucket, nn)
+    writeMeta(spark, path, KindLsh,
+      Seq("tables" -> meta.tables.toLong, "bits" -> meta.bits.toLong,
+        "dim" -> meta.dim.toLong, "seed" -> meta.seed,
+        "maxBucket" -> meta.maxBucket.toLong, "n" -> meta.n))
+    meta
+  }
+
+  /** Load the persisted LSH meta (fails fast on a non-LSH index). */
+  def lshMeta(spark: SparkSession, path: String): LshMeta = {
+    val m = readMeta(spark, path, KindLsh)
+    LshMeta(m("tables").toInt, m("bits").toInt, m("dim").toInt, m("seed"),
+      m("maxBucket").toInt, m("n"))
+  }
+
+  /** Approximate top-k against a persisted LSH index — the amortized
+    * probe side of [[Similarity.lshTopK]]'s adaptive shape (flat deep
+    * query-directed probing, [[Similarity.TopKProbeBudget]]:
+    * [[Similarity.TopKProbeDepth]] unless overridden). Result frame is
+    * identical to running the in-flight operator over the same corpus
+    * (AnnIndexSpec pins it): same planes, same capped buckets, same
+    * probe keys, same rounded cosine, same (score, neighbor_id)
+    * tie-break.
+    */
+  def lshTopKIndexed(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      probeBudget: Int = 0,
+      probeDepth: Int = 0
+  ): DataFrame = {
+    val meta = lshMeta(spark, path)
+    val planes = Similarity.hyperplanesPrefix(meta.tables, meta.bits, meta.dim, meta.seed)
+    val budget = if (probeBudget > 0) probeBudget else Similarity.TopKProbeBudget
+    val depth = if (probeDepth > 0) probeDepth else Similarity.TopKProbeDepth
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(VectorOps.norm(col("qv")) > 0)
+    val q = broadcast(
+      qBase.select(col("query_id"),
+        posexplode(AnnExprs.lshProbeKeys(col("qv"), planes, budget, depth))
+          .as(Seq("t", "bs")))
+        .select(col("query_id"), col("t"), explode(col("bs")).as("b")))
+    // candidate ids stay SLIM through the bucket join and the distinct
+    // (~16 B rows — the candidate stream is the T×probe-fold expansion,
+    // never carry vectors through it: the r15 refine lesson), then one
+    // shuffle-hash join rehydrates the surviving pairs from `vectors/`
+    // and the broadcast query set supplies qv for the map-side cosine.
+    val cand = spark.read.parquet(s"$path/sigs")
+      .join(q, Seq("t", "b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(spark.read.parquet(s"$path/vectors").hint("shuffle_hash"), Seq("neighbor_id"))
+      .join(broadcast(qBase), Seq("query_id"))
+      .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
+      .select("query_id", "neighbor_id", "cos")
+    Similarity.rankedTopK(scored, "cos", scoreDesc = true, k)
+  }
+
+  // ------------------------------------------------------------------
+  // IVF
+  // ------------------------------------------------------------------
+
+  /** Build and persist the IVF index for `corpus` under `path`
+    * (`lists/` partitioned by assigned list, `centroids/`, `meta/`).
+    * Defaults mirror the adaptive [[Similarity.ivfTopK]]: derived list
+    * count ([[Similarity.adaptiveIvfLists]]), coupled probe count
+    * ([[Similarity.adaptiveIvfProbes]]), hash-picked seed centroids —
+    * pass `trainedCentroids` (e.g. [[Similarity.kmeansCentroids]]) to
+    * persist refined lists instead. Returns the persisted meta.
+    */
+  def ivfIndexWrite(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      numCentroids: Int = 0,
+      nProbe: Int = 0,
+      trainedCentroids: Option[Seq[(Long, Array[Double])]] = None,
+      n: Long = -1L
+  ): IvfMeta = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nn = Dedup.corpusCount(corpus, n, "ivfIndexWrite")
+    val lists =
+      if (numCentroids > 0) numCentroids
+      else trainedCentroids.map(_.size).getOrElse(Similarity.adaptiveIvfLists(nn))
+    val probeCount = if (nProbe > 0) nProbe else Similarity.adaptiveIvfProbes(lists)
+    val cents = trainedCentroids.getOrElse(
+      Similarity.seedCentroids(corpus, idCol, vecCol, lists))
+    cents.toDF("list", "centv").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    corpus
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      // zero-norm corpus rows never become candidates (matches
+      // ivfTopK's assignment filter; seeding above stays raw — l2-only)
+      .filter(VectorOps.norm(col("cv")) > 0)
+      .withColumn("listp", listPart(AnnExprs.nearestCentroid(
+        col("cv"), cents.map(_._1).toArray, cents.map(_._2).toArray)))
+      .write.mode("overwrite").partitionBy("listp").parquet(s"$path/lists")
+    val meta = IvfMeta(lists, probeCount,
+      cents.headOption.map(_._2.length).getOrElse(64), nn)
+    writeMeta(spark, path, KindIvf,
+      Seq("lists" -> meta.lists.toLong, "nProbe" -> meta.nProbe.toLong,
+        "dim" -> meta.dim.toLong, "n" -> meta.n))
+    meta
+  }
+
+  /** Load the persisted IVF meta (fails fast on a non-IVF index). */
+  def ivfMeta(spark: SparkSession, path: String): IvfMeta = {
+    val m = readMeta(spark, path, KindIvf)
+    IvfMeta(m("lists").toInt, m("nProbe").toInt, m("dim").toInt, m("n"))
+  }
+
+  /** Approximate top-k against a persisted IVF index. The probed-list
+    * choice is [[Similarity.ivfQueryProbes]] — the exact helper the
+    * in-flight operator runs — and the batch's probed-list union
+    * becomes a PARTITION FILTER on `lists/`, so the scan reads only
+    * the probed lists' bytes (~nProbe/lists of the corpus for a
+    * focused batch). Result frame is identical to the in-flight
+    * operator over the same centroids (AnnIndexSpec pins it).
+    */
+  def ivfTopKIndexed(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 0
+  ): DataFrame = {
+    val meta = ivfMeta(spark, path)
+    val probeCount = if (nProbe > 0) nProbe else meta.nProbe
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val probes = Similarity.ivfQueryProbes(queries, idCol, vecCol, centroids, probeCount)
+      .withColumn("listp", listPart(col("list")))
+    // the probed-list union is bounded by the list count (IVF contract:
+    // centroids are driver-small), so collecting it for the partition
+    // filter is O(lists), never O(corpus)
+    val probed = probes.select("listp").distinct()
+      .collect().map(_.getString(0)).sorted
+    val assigned = spark.read.parquet(s"$path/lists")
+      .filter(col("listp").isin(probed: _*))
+    Similarity.rankedTopK(
+      assigned.join(broadcast(probes.drop("list")), Seq("listp"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
+        .select("query_id", "neighbor_id", "cos"),
+      "cos", scoreDesc = true, k)
+  }
+
+  // ------------------------------------------------------------------
+  // meta plumbing
+  // ------------------------------------------------------------------
+
+  private def writeMeta(spark: SparkSession, path: String, kind: String,
+      fields: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    fields.map { case (f, v) => (kind, f, v) }
+      .toDF("kind", "field", "value").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def readMeta(spark: SparkSession, path: String,
+      expectKind: String): Map[String, Long] = {
+    val rows = spark.read.parquet(s"$path/meta").collect()
+    val kinds = rows.map(_.getString(0)).distinct
+    require(kinds.sameElements(Array(expectKind)),
+      s"ANN index at $path is kind ${kinds.mkString(",")}, expected $expectKind")
+    rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+  }
+}

@@ -93,13 +93,18 @@ object Decontaminate {
   ): DataFrame = {
     import graft.functions.DotProductExpr.dot
     import org.apache.spark.sql.expressions.Window
+    // zero-norm rows are excluded on both sides: they can never clear a
+    // positive τ, and under ANSI their cosine is a runtime
+    // divide-by-zero (same exclusion the whole cosine family applies)
     val c = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(corpusId).as("train_id"), col(corpusVec).cast("array<double>").as("tv"))
       .withColumn("tn", sqrt(dot(col("tv"), col("tv"))))
+      .filter(col("tn") > 0)
     val e = broadcast(evalSet
       .select(col(evalId).as("eval_id"), col(evalVec).cast("array<double>").as("ev"))
-      .withColumn("en", sqrt(dot(col("ev"), col("ev")))))
+      .withColumn("en", sqrt(dot(col("ev"), col("ev"))))
+      .filter(col("en") > 0))
     val w = Window.partitionBy("train_id")
       .orderBy(col("cos").desc, col("eval_id").asc)
     (if (excludeSelfPairs) c.join(e, col("train_id") =!= col("eval_id"))

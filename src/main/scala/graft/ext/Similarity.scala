@@ -40,7 +40,7 @@ object Similarity {
     * tiebreaker, so the cut set and the ranks are total-order exact —
     * identical output to the window-only spelling.
     */
-  private def rankedTopK(df: DataFrame, scoreCol: String, scoreDesc: Boolean, k: Int): DataFrame = {
+  private[ext] def rankedTopK(df: DataFrame, scoreCol: String, scoreDesc: Boolean, k: Int): DataFrame = {
     val cut = graft.plans.TopKPerKey(
       df, Seq("query_id"), Seq((scoreCol, scoreDesc), ("neighbor_id", false)), k)
     val score = if (scoreDesc) col(scoreCol).desc else col(scoreCol).asc
@@ -60,11 +60,16 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    // zero-norm rows are excluded on both sides — the ANN family
+    // contract (matches lshTopK; a zero vector has no direction, and
+    // under ANSI its cosine is a runtime divide-by-zero)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(VectorOps.norm(col("qv")) > 0))
     // broadcast-join parallelism follows the stream side's partition
     // count; a small parquet corpus arrives as one split — spread it
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .filter(VectorOps.norm(col("cv")) > 0)
     rankedTopK(
       c.join(q, col("query_id") =!= col("neighbor_id"))
         .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4)),
@@ -91,9 +96,12 @@ object Similarity {
       k: Int,
       tauPos: Double
   ): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    // zero-norm exclusion: same ANN-family contract as bruteTopK
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(VectorOps.norm(col("qv")) > 0))
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .filter(VectorOps.norm(col("cv")) > 0)
     rankedTopK(
       c.join(q, col("query_id") =!= col("neighbor_id"))
         .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
@@ -572,11 +580,36 @@ object Similarity {
         floor(col("p") * 1e4 + 0.5).cast("long").as("p_e4"))
   }
 
+  /** The nProbe nearest centroid lists per query — shared by [[ivfTopK]]
+    * and [[AnnIndex.ivfTopKIndexed]] so the probed-list choice (its l2
+    * ordering and smaller-list tie-break) cannot drift between the
+    * in-flight and the persisted-index paths. `centroids` must carry
+    * (list, centv) and be small enough to broadcast (the IVF contract).
+    */
+  private[ext] def ivfQueryProbes(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      probeCount: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("list").asc)
+    // zero-norm queries are excluded here (the ANN family contract),
+    // so BOTH callers inherit it and a zero query yields no rows
+    // instead of an ANSI divide-by-zero at the cosine
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(VectorOps.norm(col("qv")) > 0)
+      .join(centroids, col("query_id") =!= lit(-1))
+      .withColumn("d", VectorOps.l2sq(col("qv"), col("centv")))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= probeCount)
+      .select("query_id", "qv", "list")
+  }
+
   /** The hash-picked seeds shared by [[ivfTopK]] and [[kmeansCentroids]]:
     * a TakeOrdered over the portable md5 key hash (per-partition top-K +
     * K-row driver merge — O(K×dim) on the driver at any corpus size).
     */
-  private def seedCentroids(
+  private[ext] def seedCentroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
@@ -643,18 +676,16 @@ object Similarity {
     // the old rank-1 window, which shuffled the whole corpus)
     val assigned = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      // zero-norm corpus rows never become candidates (ANN family
+      // contract; the centroid SEED pick above stays on the raw
+      // corpus — seeding is l2-only and needs no direction)
+      .filter(VectorOps.norm(col("cv")) > 0)
       .withColumn("list",
         graft.functions.AnnExprs.nearestCentroid(col("cv"), cents.map(_._1), cents.map(_._2)))
       .select("list", "neighbor_id", "cv")
 
     // query side: nProbe nearest lists
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("list").asc)
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(centroids, col("query_id") =!= lit(-1))
-      .withColumn("d", VectorOps.l2sq(col("qv"), col("centv")))
-      .withColumn("r", row_number().over(wProbe))
-      .filter(col("r") <= probeCount)
-      .select("query_id", "qv", "list")
+    val probes = ivfQueryProbes(queries, idCol, vecCol, centroids, probeCount)
 
     rankedTopK(
       assigned.join(broadcast(probes), Seq("list"))
@@ -703,8 +734,12 @@ object Similarity {
     val reps = assigned
       .join(broadcast(repMin.select(col("rep_id"))), col("vec_id") === col("rep_id"))
       .select(col("list"), col("vec_id").as("rep_id"), col("v").as("rep_v"))
+    // cosineSafe, NOT a row filter: semdedup's output must cover EVERY
+    // input id (keep is a total verdict) — a zero-norm member scores
+    // 0.0 vs its rep (below any positive τ ⇒ kept), instead of an ANSI
+    // divide-by-zero killing the job
     assigned.join(broadcast(reps), Seq("list"))
-      .withColumn("cos_rep", round(VectorOps.cosine(col("v"), col("rep_v")), 4))
+      .withColumn("cos_rep", round(VectorOps.cosineSafe(col("v"), col("rep_v")), 4))
       .select(col("vec_id"), col("list"), col("rep_id"), col("cos_rep"),
         (col("vec_id") === col("rep_id") || col("cos_rep") < tau).as("keep"))
   }
@@ -765,7 +800,9 @@ object Similarity {
     val b = salted.select(col("list"), col("_salt"), col("vec_id").as("id_b"), col("v").as("vb"))
     val pruned = a.join(b, Seq("list", "_salt"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(VectorOps.cosine(col("va"), col("vb")), 4))
+      // total verdict per id ⇒ cosineSafe (see semDedup): a zero-norm
+      // member is τ-similar to nothing and stays kept
+      .withColumn("cos", round(VectorOps.cosineSafe(col("va"), col("vb")), 4))
       .filter(col("cos") >= tau)
       .groupBy("list", "id_b").agg(min("id_a").as("pruned_by"))
     assigned

@@ -22,10 +22,27 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null/zero-norm inputs yield null/NaN untouched —
-    * callers filter.
+  /** Cosine similarity. NOT total: under ANSI mode (the Spark 4
+    * default) a zero-norm input is a runtime DIVIDE_BY_ZERO error, so
+    * callers must exclude zero-norm rows first (the LSH/ANN operators'
+    * contract) or use [[cosineSafe]] when the operator's output must
+    * still cover such rows.
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine that is TOTAL on zero-norm inputs: 0.0 instead of an ANSI
+    * divide-by-zero. A zero vector has no direction — scoring it
+    * orthogonal-by-convention keeps τ-threshold comparisons false and
+    * rank positions last instead of killing the job (or, pre-ANSI,
+    * producing a NaN that sorts ABOVE every real score). The division
+    * sits in the `otherwise` branch, so codegen never executes it on
+    * the guarded rows. DuckDB oracle spelling: `COALESCE(cos, 0.0)`
+    * (DuckDB's x/0 is NULL).
+    */
+  def cosineSafe(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === lit(0.0), lit(0.0)).otherwise(dot(a, b) / d)
+  }
 
   /** Squared L2 distance (cheaper than cosine when vectors are
     * pre-normalized: monotone-equivalent ranking).

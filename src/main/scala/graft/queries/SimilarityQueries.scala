@@ -21,6 +21,16 @@ object SimilarityQueries extends QueryGroup {
   private val Dim = 64
   private val ProjDim = 16
 
+  /** Fixed staging dir for the persisted-index queries, wiped before
+    * each build — same single-process assumption as the gate replays.
+    */
+  private def stagingDir(s: SparkSession, name: String): String = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"), name).getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    root
+  }
+
   /** JL-projection oracle: one SELECT-list term per output dim, each
     * the UNROLLED left-associative sum `v[1]*m1 + v[2]*m2 + ...` —
     * the same accumulation order MatVecExpr runs, so every double is
@@ -47,6 +57,16 @@ ORDER BY vec_id, pos"""
   /** Cosine in the oracle's spelling: double-precision sequential fold,
     * same as DotProductExpr.
     */
+  /** Positive-norm predicate in the oracle's spelling — the SQL mirror
+    * of the family-wide zero-norm exclusion (VectorOps.cosine doc).
+    * DuckDB's x/0 is NULL, so thresholds/rank would usually hide a zero
+    * vector anyway; the explicit predicate makes the exclusion
+    * structural, matching the Spark side's input filters.
+    */
+  private def normPosSql(a: String): String =
+    s"""list_sum(list_transform(generate_series(1, $Dim),
+      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE))) > 0"""
+
   private[queries] def cosSql(q: String, c: String): String =
     s"""round(
       list_sum(list_transform(generate_series(1, $Dim),
@@ -117,6 +137,39 @@ ORDER BY vec_id, pos"""
         emb, "vec_id", "embedding", numCentroids = 20, iters = KmIters)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K,
         numCentroids = 20, nProbe = 3, trainedCentroids = Some(trained))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Persisted-index LSH top-5: build the index once under a staging
+    // dir (slim sigs + vectors + meta), then answer the SAME adaptive
+    // contract from the index alone — the build-once/query-many split
+    // a production retrieval pipeline amortizes over every batch
+    // (graft.ext.AnnIndex class doc). The oracle is ann_topk_lsh's
+    // verbatim: the indexed probe is pair- and score-identical to the
+    // in-flight operator by construction (AnnIndexSpec pins it).
+    "ann_topk_lsh_indexed" -> ((s, dir) => {
+      import graft.ext.AnnIndex
+      val emb = Tables.embeddings(s, dir)
+      val root = stagingDir(s, "graft_ann_lsh_index")
+      AnnIndex.lshIndexWrite(emb, "vec_id", "embedding", root, n = emb.count())
+      AnnIndex.lshTopKIndexed(s, root, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", K)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Persisted-index IVF top-5: lists/ is PARTITIONED BY assigned
+    // list, so the query batch's probed-list union becomes a partition
+    // filter and the scan reads ~nProbe/lists of the corpus bytes —
+    // the IO pruning the in-flight operator (which reassigns the whole
+    // corpus per call) cannot have. Same adaptive shape and oracle as
+    // ann_topk_ivf.
+    "ann_topk_ivf_indexed" -> ((s, dir) => {
+      import graft.ext.AnnIndex
+      val emb = Tables.embeddings(s, dir)
+      val root = stagingDir(s, "graft_ann_ivf_index")
+      AnnIndex.ivfIndexWrite(emb, "vec_id", "embedding", root, n = emb.count())
+      AnnIndex.ivfTopKIndexed(s, root, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", K)
         .orderBy("query_id", "rank")
     }),
 
@@ -262,13 +315,15 @@ assigned AS (
     SELECT ct.list, c.vec_id AS neighbor_id,
       row_number() OVER (PARTITION BY c.vec_id
         ORDER BY ${l2sqSql("c", "ct")} ASC, ct.list ASC) AS r
-    FROM embeddings c CROSS JOIN centroids ct) t WHERE r = 1),
+    FROM embeddings c CROSS JOIN centroids ct
+    WHERE ${normPosSql("c")}) t WHERE r = 1),
 probes AS (
   SELECT query_id, list FROM (
     SELECT q.vec_id AS query_id, ct.list,
       row_number() OVER (PARTITION BY q.vec_id
         ORDER BY ${l2sqSql("q", "ct")} ASC, ct.list ASC) AS r
-    FROM embeddings q CROSS JOIN centroids ct WHERE q.vec_id < 10) t, psel WHERE r <= P),
+    FROM embeddings q CROSS JOIN centroids ct
+    WHERE q.vec_id < 10 AND ${normPosSql("q")}) t, psel WHERE r <= P),
 pairs AS (
   SELECT p.query_id, a.neighbor_id, ${cosSql("q", "c")} AS cos
   FROM probes p JOIN assigned a USING (list)
@@ -342,13 +397,15 @@ assigned AS (
     SELECT ct.list, c.vec_id AS neighbor_id,
       row_number() OVER (PARTITION BY c.vec_id
         ORDER BY ${l2sqToCv("c", "ct")} ASC, ct.list ASC) AS r
-    FROM embeddings c CROSS JOIN c$KmIters ct) t WHERE r = 1),
+    FROM embeddings c CROSS JOIN c$KmIters ct
+    WHERE ${normPosSql("c")}) t WHERE r = 1),
 probes AS (
   SELECT query_id, list FROM (
     SELECT q.vec_id AS query_id, ct.list,
       row_number() OVER (PARTITION BY q.vec_id
         ORDER BY ${l2sqToCv("q", "ct")} ASC, ct.list ASC) AS r
-    FROM embeddings q CROSS JOIN c$KmIters ct WHERE q.vec_id < 10) t WHERE r <= 3),
+    FROM embeddings q CROSS JOIN c$KmIters ct
+    WHERE q.vec_id < 10 AND ${normPosSql("q")}) t WHERE r <= 3),
 pairs AS (
   SELECT p.query_id, a.neighbor_id, ${cosSql("q", "c")} AS cos
   FROM probes p JOIN assigned a USING (list)
@@ -487,7 +544,8 @@ WHERE rank <= $K ORDER BY query_id, rank"""
     "ann_topk_brute" ->
       s"""WITH pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q", "c")} AS cos
-  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+    AND ${normPosSql("q")} AND ${normPosSql("c")}),
 ranked AS (
   SELECT query_id, neighbor_id, cos,
     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -497,7 +555,8 @@ WHERE rank <= $K ORDER BY query_id, rank""",
     "hard_negatives" ->
       s"""WITH pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cosSql("q", "c")} AS cos
-  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+    AND ${normPosSql("q")} AND ${normPosSql("c")}),
 ranked AS (
   SELECT query_id, neighbor_id, cos,
     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -537,6 +596,11 @@ ORDER BY vec_id, comp.pos""",
     "ann_topk_lsh" -> lshSql,
     "ann_topk_ivf" -> ivfSql,
     "ann_topk_ivf_kmeans" -> ivfKmeansSql,
+    // the persisted-index variants answer the in-flight operators'
+    // contracts exactly (same planes/buckets/probes; AnnIndexSpec pins
+    // frame equality), so they reuse the same oracle SQL verbatim
+    "ann_topk_lsh_indexed" -> lshSql,
+    "ann_topk_ivf_indexed" -> ivfSql,
 
     "semdedup" ->
       s"""WITH $kmTrainCtes,
@@ -548,7 +612,8 @@ assigned AS (
     FROM embeddings e CROSS JOIN c$KmIters ct) t WHERE r = 1),
 reps AS (SELECT list, min(vec_id) AS rep_id FROM assigned GROUP BY 1),
 scored AS (
-  SELECT a.vec_id, a.list, r.rep_id, ${cosSql("e", "re")} AS cos_rep
+  SELECT a.vec_id, a.list, r.rep_id,
+    COALESCE(${cosSql("e", "re")}, 0.0) AS cos_rep
   FROM assigned a JOIN reps r USING (list)
        JOIN embeddings e ON e.vec_id = a.vec_id
        JOIN embeddings re ON re.vec_id = r.rep_id)
@@ -570,7 +635,7 @@ pruned AS (
        ON a1.list = a2.list AND a1.vec_id < a2.vec_id
        JOIN embeddings ea ON ea.vec_id = a1.vec_id
        JOIN embeddings eb ON eb.vec_id = a2.vec_id
-  WHERE ${cosSql("ea", "eb")} >= $SemTau
+  WHERE COALESCE(${cosSql("ea", "eb")}, 0.0) >= $SemTau
   GROUP BY 1, 2)
 SELECT s.vec_id, s.list, p.pruned_by, (p.pruned_by IS NULL) AS keep
 FROM assigned s LEFT JOIN pruned p

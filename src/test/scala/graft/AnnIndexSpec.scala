@@ -1,0 +1,97 @@
+package graft
+
+import graft.ext.{AnnIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Contracts of the persisted ANN indexes (graft.ext.AnnIndex): the
+  * indexed probe must answer the in-flight operator's contract
+  * EXACTLY (same planes/buckets/probes ⇒ same pairs, scores, ranks),
+  * the IVF layout must push the probed-list union down to the scan as
+  * a partition filter, and the meta must round-trip and fail fast on a
+  * kind mismatch.
+  */
+class AnnIndexSpec extends SparkSuite {
+
+  private val K = 5
+
+  /** 300 seeded 64-dim vectors (ids 0..299) + one zero-norm row (id
+    * 999) — large enough for real bucket structure, small enough to
+    * run in seconds; the zero vector pins the build-time exclusion.
+    */
+  private lazy val emb = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))
+    } :+ (999L, Array.fill(64)(0.0f))
+    rows.toDF("vec_id", "embedding").coalesce(2)
+  }
+
+  private lazy val queries = emb.filter(col("vec_id") < 8)
+
+  private def collectTopK(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] =
+    df.select("query_id", "rank", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("lshTopKIndexed answers the in-flight adaptive lshTopK exactly") {
+    val dir = tempDir("ann-lsh-index")
+    val n = emb.count()
+    val meta = AnnIndex.lshIndexWrite(emb, "vec_id", "embedding", dir, n = n)
+    // meta round-trips
+    assert(AnnIndex.lshMeta(spark, dir) == meta)
+    val direct = collectTopK(
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", K, n = n))
+    val indexed = collectTopK(
+      AnnIndex.lshTopKIndexed(spark, dir, queries, "vec_id", "embedding", K))
+    assert(indexed.nonEmpty && indexed == direct)
+    // the zero-norm row was excluded at build: not in vectors/, never a
+    // neighbor
+    val vecIds = spark.read.parquet(s"$dir/vectors")
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!vecIds.contains(999L) && vecIds.size == 300)
+    assert(!indexed.exists(_._3 == 999L))
+  }
+
+  test("ivfTopKIndexed answers the in-flight adaptive ivfTopK exactly") {
+    val dir = tempDir("ann-ivf-index")
+    val n = emb.count()
+    val meta = AnnIndex.ivfIndexWrite(emb, "vec_id", "embedding", dir, n = n)
+    assert(AnnIndex.ivfMeta(spark, dir) == meta)
+    assert(meta.lists == Similarity.adaptiveIvfLists(n) &&
+      meta.nProbe == Similarity.adaptiveIvfProbes(meta.lists))
+    val direct = collectTopK(
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", K, n = n))
+    val indexed = collectTopK(
+      AnnIndex.ivfTopKIndexed(spark, dir, queries, "vec_id", "embedding", K))
+    assert(indexed.nonEmpty && indexed == direct)
+  }
+
+  test("ivf probe pushes the probed-list union down as a partition filter") {
+    val dir = tempDir("ann-ivf-prune")
+    AnnIndex.ivfIndexWrite(emb, "vec_id", "embedding", dir, n = emb.count())
+    // a single-query batch probes nProbe of the lists — the scan must
+    // carry a partition filter on listp, not read the full layout
+    val one = AnnIndex.ivfTopKIndexed(spark, dir, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", K)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("listp"),
+      plan.take(1200))
+    // the layout on disk has far more list partitions than a
+    // single-query batch probes — pruning is real, not vacuous
+    val meta = AnnIndex.ivfMeta(spark, dir)
+    val dirs = new java.io.File(s"$dir/lists").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("listp="))
+    assert(dirs > meta.nProbe, s"layout has $dirs list partitions, " +
+      s"single-query probe should read only ${meta.nProbe}")
+  }
+
+  test("reading an index of the wrong kind fails fast") {
+    val dir = tempDir("ann-kind-mismatch")
+    AnnIndex.lshIndexWrite(emb, "vec_id", "embedding", dir, n = emb.count())
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.ivfMeta(spark, dir)
+    }
+    assert(e.getMessage.contains("kind"))
+  }
+}

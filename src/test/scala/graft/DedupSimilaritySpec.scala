@@ -275,6 +275,60 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(zq.isEmpty, s"zero-norm query must yield no neighbors, got ${zq.length}")
   }
 
+  test("zero-norm hardening holds across the WHOLE cosine family (ANSI divide-by-zero)") {
+    // Under Spark 4's default ANSI mode an unguarded cosine on a
+    // zero-norm vector is a runtime DIVIDE_BY_ZERO that kills the job
+    // (pre-ANSI it was a NaN that sorted rank-1). r16/r17 hardened the
+    // LSH tiers; this pins the rest of the family: ANN tiers EXCLUDE
+    // zero-norm rows on both sides, total-verdict operators
+    // (semdedup) score them 0.0 via cosineSafe and keep them.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val zeroRow = Row(99L, Seq.fill(8)(0.0f))
+    val withZero = vecs.union(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(zeroRow)),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))))
+    val qs = withZero.filter(col("vec_id") < 3 || col("vec_id") === 99L)
+
+    // bruteTopK: never crashes, never surfaces 99, zero query → no rows
+    val brute = Similarity.bruteTopK(withZero, qs, "vec_id", "embedding", 4).collect()
+    assert(brute.nonEmpty && !brute.exists(r =>
+      r.getAs[Long]("neighbor_id") == 99L || r.getAs[Long]("query_id") == 99L))
+
+    // hardNegatives: same exclusion
+    val hn = Similarity.hardNegatives(withZero, qs, "vec_id", "embedding", 4, tauPos = 0.99)
+      .collect()
+    assert(hn.nonEmpty && !hn.exists(r =>
+      r.getAs[Long]("neighbor_id") == 99L || r.getAs[Long]("query_id") == 99L))
+
+    // ivfTopK (adaptive): same exclusion
+    val ivf = Similarity.ivfTopK(withZero, qs, "vec_id", "embedding", 4, n = 51L).collect()
+    assert(ivf.nonEmpty && !ivf.exists(r =>
+      r.getAs[Long]("neighbor_id") == 99L || r.getAs[Long]("query_id") == 99L))
+
+    // semDedup / semDedupFull: TOTAL verdicts — id 99 stays in the
+    // output, scored 0.0 vs its rep (orthogonal by convention), kept
+    val sd = Similarity.semDedup(withZero, "vec_id", "embedding",
+      numCentroids = 4, iters = 1, tau = 0.2).collect()
+    assert(sd.length == 51)
+    val z = sd.find(_.getAs[Long]("vec_id") == 99L).get
+    assert(z.getAs[Boolean]("keep"),
+      "zero-norm member must be kept (cosineSafe scores it 0.0 < tau)")
+    val sdf = Similarity.semDedupFull(withZero, "vec_id", "embedding",
+      numCentroids = 4, iters = 1, tau = 0.2).collect()
+    assert(sdf.length == 51 &&
+      sdf.find(_.getAs[Long]("vec_id") == 99L).get.getAs[Boolean]("keep"))
+
+    // embeddingContamination: zero rows on either side never report
+    val cont = graft.ext.Decontaminate.embeddingContamination(
+      withZero, "vec_id", "embedding",
+      withZero.filter(col("vec_id") === 99L || col("vec_id") === 0L),
+      "vec_id", "embedding", tau = 0.5).collect()
+    assert(!cont.exists(r =>
+      r.getAs[Long]("train_id") == 99L || r.getAs[Long]("eval_id") == 99L))
+  }
+
   test("embeddingCosinePairsLsh: subset of exact pairs, high recall, no all-pairs join") {
     val exact = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
