@@ -49,12 +49,21 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  /** LSH index shape descriptor, persisted at `meta/`. */
+  /** LSH index shape descriptor, persisted at `meta/`. `n` is the
+    * corpus size the SHAPE was derived from (pinned at build — size it
+    * for the target corpus when building ahead of appends); `rows` is
+    * the currently stored vector count, maintained by
+    * [[lshIndexAppend]]. Rebuild when `rows` outgrows `n` by a decade:
+    * the derived signature width assumes occupancy ~4 at `n`.
+    */
   final case class LshMeta(tables: Int, bits: Int, dim: Int, seed: Long,
-      maxBucket: Int, n: Long)
+      maxBucket: Int, n: Long, rows: Long)
 
-  /** IVF index shape descriptor, persisted at `meta/`. */
-  final case class IvfMeta(lists: Int, nProbe: Int, dim: Int, n: Long)
+  /** IVF index shape descriptor, persisted at `meta/`. `n`/`rows` as
+    * in [[LshMeta]]: list count pinned at build, `rows` maintained by
+    * [[ivfIndexAppend]].
+    */
+  final case class IvfMeta(lists: Int, nProbe: Int, dim: Int, n: Long, rows: Long)
 
   private val KindLsh = "lsh"
   private val KindIvf = "ivf"
@@ -96,25 +105,83 @@ object AnnIndex {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .filter(VectorOps.norm(col("cv")) > 0)
-    BucketCap.dropHot(
-      base.select(col("neighbor_id"),
-        posexplode(AnnExprs.lshBuckets(col("cv"), planes)).as(Seq("t", "b"))),
-      Seq("t", "b"), maxBucket)
+    // sigs are stored UNCAPPED; the hot-bucket census lives in its own
+    // small `hot/` blocklist so [[lshIndexAppend]] can maintain it
+    // without rewriting the signature table (a bucket crossing the cap
+    // only AFTER an append must still drop — a pre-capped store could
+    // never resurrect the rows it already threw away)
+    base.select(col("neighbor_id"),
+      posexplode(AnnExprs.lshBuckets(col("cv"), planes)).as(Seq("t", "b")))
       .write.mode("overwrite").parquet(s"$path/sigs")
     base.write.mode("overwrite").parquet(s"$path/vectors")
-    val meta = LshMeta(tables, bits, dim, seed, maxBucket, nn)
+    refreshLshHot(spark, path, maxBucket)
+    val stored = spark.read.parquet(s"$path/vectors").count()
+    val meta = LshMeta(tables, bits, dim, seed, maxBucket, nn, stored)
+    writeLshMeta(spark, path, meta)
+    meta
+  }
+
+  /** Recompute the hot-bucket blocklist from the slim signature table —
+    * one map-side-partial count over 16-byte rows, never touching
+    * vectors. Pigeonhole-bounded output (≤ rows·tables/cap buckets), so
+    * the probe side can broadcast it.
+    */
+  private def refreshLshHot(spark: SparkSession, path: String, maxBucket: Int): Unit = {
+    val hot = spark.read.parquet(s"$path/sigs")
+      .groupBy("t", "b").agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > maxBucket)
+      .select("t", "b")
+    // stage-then-move: hot/ is an input of the census's own read path
+    // on a future refresh only via sigs/, so a direct overwrite is
+    // safe; keep it one atomic parquet write
+    hot.write.mode("overwrite").parquet(s"$path/hot")
+  }
+
+  private def writeLshMeta(spark: SparkSession, path: String, meta: LshMeta): Unit =
     writeMeta(spark, path, KindLsh,
       Seq("tables" -> meta.tables.toLong, "bits" -> meta.bits.toLong,
         "dim" -> meta.dim.toLong, "seed" -> meta.seed,
-        "maxBucket" -> meta.maxBucket.toLong, "n" -> meta.n))
-    meta
+        "maxBucket" -> meta.maxBucket.toLong, "n" -> meta.n,
+        "rows" -> meta.rows))
+
+  /** Append a batch of new vectors to a persisted LSH index WITHOUT
+    * re-hashing the existing corpus — the daily-batch maintenance path:
+    * hash only the batch with the index's pinned planes, append its
+    * slim sigs and vectors, then recompute the hot-bucket blocklist
+    * from the signature table (slim scan; see [[refreshLshHot]]).
+    * Batch ids must be disjoint from the stored ids (caller contract,
+    * same as any corpus union). The SHAPE stays pinned at the build's
+    * `n` — build with `n` sized for the target corpus, and rebuild
+    * when `rows` outgrows it by a decade. Returns the updated meta.
+    */
+  def lshIndexAppend(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): LshMeta = {
+    val meta = lshMeta(spark, path)
+    val planes = Similarity.hyperplanesPrefix(meta.tables, meta.bits, meta.dim, meta.seed)
+    val base = batch
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .filter(VectorOps.norm(col("cv")) > 0)
+    base.select(col("neighbor_id"),
+      posexplode(AnnExprs.lshBuckets(col("cv"), planes)).as(Seq("t", "b")))
+      .write.mode("append").parquet(s"$path/sigs")
+    base.write.mode("append").parquet(s"$path/vectors")
+    refreshLshHot(spark, path, meta.maxBucket)
+    val updated = meta.copy(rows = spark.read.parquet(s"$path/vectors").count())
+    writeLshMeta(spark, path, updated)
+    updated
   }
 
   /** Load the persisted LSH meta (fails fast on a non-LSH index). */
   def lshMeta(spark: SparkSession, path: String): LshMeta = {
     val m = readMeta(spark, path, KindLsh)
     LshMeta(m("tables").toInt, m("bits").toInt, m("dim").toInt, m("seed"),
-      m("maxBucket").toInt, m("n"))
+      m("maxBucket").toInt, m("n"), m("rows"))
   }
 
   /** Approximate top-k against a persisted LSH index — the amortized
@@ -152,7 +219,11 @@ object AnnIndex {
     // never carry vectors through it: the r15 refine lesson), then one
     // shuffle-hash join rehydrates the surviving pairs from `vectors/`
     // and the broadcast query set supplies qv for the map-side cosine.
+    // the hot blocklist is applied at probe time (broadcast anti-join,
+    // map-side) — row-identical to a pre-capped store, and it stays
+    // correct across appends (see lshIndexWrite)
     val cand = spark.read.parquet(s"$path/sigs")
+      .join(broadcast(spark.read.parquet(s"$path/hot")), Seq("t", "b"), "left_anti")
       .join(q, Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
@@ -206,18 +277,59 @@ object AnnIndex {
       .withColumn("listp", listPart(AnnExprs.nearestCentroid(
         col("cv"), cents.map(_._1).toArray, cents.map(_._2).toArray)))
       .write.mode("overwrite").partitionBy("listp").parquet(s"$path/lists")
+    val stored = spark.read.parquet(s"$path/lists").count()
     val meta = IvfMeta(lists, probeCount,
-      cents.headOption.map(_._2.length).getOrElse(64), nn)
-    writeMeta(spark, path, KindIvf,
-      Seq("lists" -> meta.lists.toLong, "nProbe" -> meta.nProbe.toLong,
-        "dim" -> meta.dim.toLong, "n" -> meta.n))
+      cents.headOption.map(_._2.length).getOrElse(64), nn, stored)
+    writeIvfMeta(spark, path, meta)
     meta
   }
+
+  private def writeIvfMeta(spark: SparkSession, path: String, meta: IvfMeta): Unit =
+    writeMeta(spark, path, KindIvf,
+      Seq("lists" -> meta.lists.toLong, "nProbe" -> meta.nProbe.toLong,
+        "dim" -> meta.dim.toLong, "n" -> meta.n, "rows" -> meta.rows))
 
   /** Load the persisted IVF meta (fails fast on a non-IVF index). */
   def ivfMeta(spark: SparkSession, path: String): IvfMeta = {
     val m = readMeta(spark, path, KindIvf)
-    IvfMeta(m("lists").toInt, m("nProbe").toInt, m("dim").toInt, m("n"))
+    IvfMeta(m("lists").toInt, m("nProbe").toInt, m("dim").toInt, m("n"), m("rows"))
+  }
+
+  /** The persisted centroids, in (list, centv) driver form — bounded by
+    * the IVF contract (centroids are driver-small).
+    */
+  def ivfCentroids(spark: SparkSession, path: String): Seq[(Long, Array[Double])] =
+    spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** Append a batch to a persisted IVF index: assign only the batch
+    * against the PINNED centroids and append its rows into the list
+    * partitions — no reassignment of the stored corpus, no centroid
+    * drift (retrain + rebuild when the corpus outgrows the build's
+    * `n`). Batch ids must be disjoint from the stored ids. Returns the
+    * updated meta.
+    */
+  def ivfIndexAppend(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): IvfMeta = {
+    val meta = ivfMeta(spark, path)
+    val cents = ivfCentroids(spark, path)
+    batch
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .filter(VectorOps.norm(col("cv")) > 0)
+      .withColumn("listp", listPart(AnnExprs.nearestCentroid(
+        col("cv"), cents.map(_._1).toArray, cents.map(_._2).toArray)))
+      .write.mode("append").partitionBy("listp").parquet(s"$path/lists")
+    val updated = meta.copy(rows = spark.read.parquet(s"$path/lists").count())
+    writeIvfMeta(spark, path, updated)
+    updated
   }
 
   /** Approximate top-k against a persisted IVF index. The probed-list

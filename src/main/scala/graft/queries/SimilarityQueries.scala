@@ -157,6 +157,27 @@ ORDER BY vec_id, pos"""
         .orderBy("query_id", "rank")
     }),
 
+    // Incremental index maintenance: build on the even half with the
+    // shape PINNED TO THE FULL corpus size (production posture — size
+    // the index for the target corpus), append the odd half WITHOUT
+    // re-hashing the stored rows, then answer the same contract. The
+    // hot-bucket blocklist is recomputed from the slim sigs on append,
+    // so the final index is row-identical to a from-scratch build over
+    // the union — the oracle is ann_topk_lsh's verbatim.
+    "ann_topk_lsh_index_append" -> ((s, dir) => {
+      import graft.ext.AnnIndex
+      val emb = Tables.embeddings(s, dir)
+      val n = emb.count()
+      val root = stagingDir(s, "graft_ann_lsh_index_append")
+      AnnIndex.lshIndexWrite(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", root, n = n)
+      AnnIndex.lshIndexAppend(s, root, emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+      AnnIndex.lshTopKIndexed(s, root, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", K)
+        .orderBy("query_id", "rank")
+    }),
+
     // Persisted-index IVF top-5: lists/ is PARTITIONED BY assigned
     // list, so the query batch's probed-list union becomes a partition
     // filter and the scan reads ~nProbe/lists of the corpus bytes —
@@ -600,6 +621,7 @@ ORDER BY vec_id, comp.pos""",
     // contracts exactly (same planes/buckets/probes; AnnIndexSpec pins
     // frame equality), so they reuse the same oracle SQL verbatim
     "ann_topk_lsh_indexed" -> lshSql,
+    "ann_topk_lsh_index_append" -> lshSql,
     "ann_topk_ivf_indexed" -> ivfSql,
 
     "semdedup" ->

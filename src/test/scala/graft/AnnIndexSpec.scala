@@ -86,6 +86,60 @@ class AnnIndexSpec extends SparkSuite {
       s"single-query probe should read only ${meta.nProbe}")
   }
 
+  test("lshIndexAppend: parity with a from-scratch build, hot cap crosses on append") {
+    import spark.implicits._
+    // base: ids 0..199 random + FIVE copies of one direction D
+    // (ids 500..504); batch: ids 200..299 random + SIX more copies of D
+    // (ids 505..510). cap 8 ⇒ D's bucket holds 5 ≤ 8 at build but 11
+    // > 8 after the append — only a census over the UNION can know.
+    val rnd = new scala.util.Random(11L)
+    def rv() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val d = rv()
+    val base = ((0 until 200).map(i => (i.toLong, rv())) ++
+      (500 until 505).map(i => (i.toLong, d.clone()))).toDF("vec_id", "embedding")
+    val batch = ((200 until 300).map(i => (i.toLong, rv())) ++
+      (505 until 511).map(i => (i.toLong, d.clone()))).toDF("vec_id", "embedding")
+    val union = base.union(batch)
+    val nFull = 311L
+
+    val dir = tempDir("ann-lsh-append")
+    // shape pinned to the TARGET corpus size at build
+    val built = AnnIndex.lshIndexWrite(base, "vec_id", "embedding", dir,
+      maxBucket = 8, n = nFull)
+    assert(built.rows == 205L)
+    // no bucket is hot yet (randoms spread thin; D has only 5 members)
+    assert(spark.read.parquet(s"$dir/hot").count() == 0L)
+
+    val appended = AnnIndex.lshIndexAppend(spark, dir, batch, "vec_id", "embedding")
+    assert(appended.rows == 311L && appended.n == nFull)
+    // D's bucket (all 11 copies share every table's bucket) is now hot
+    assert(spark.read.parquet(s"$dir/hot").count() >= built.tables.toLong)
+
+    val qs = union.filter(col("vec_id") < 8)
+    val direct = collectTopK(Similarity.lshTopK(union, qs, "vec_id", "embedding", K,
+      maxBucket = 8, n = nFull))
+    val indexed = collectTopK(
+      AnnIndex.lshTopKIndexed(spark, dir, qs, "vec_id", "embedding", K))
+    assert(indexed.nonEmpty && indexed == direct)
+  }
+
+  test("ivfIndexAppend: parity with the in-flight operator on the pinned centroids") {
+    val dir = tempDir("ann-ivf-append")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 =!= 0)
+    val n = emb.count()
+    val built = AnnIndex.ivfIndexWrite(base, "vec_id", "embedding", dir, n = n)
+    val appended = AnnIndex.ivfIndexAppend(spark, dir, batch, "vec_id", "embedding")
+    assert(appended.rows == 300L && appended.lists == built.lists)
+    val cents = AnnIndex.ivfCentroids(spark, dir)
+    assert(cents.size == built.lists)
+    val direct = collectTopK(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", K,
+      nProbe = built.nProbe, trainedCentroids = Some(cents)))
+    val indexed = collectTopK(
+      AnnIndex.ivfTopKIndexed(spark, dir, queries, "vec_id", "embedding", K))
+    assert(indexed.nonEmpty && indexed == direct)
+  }
+
   test("reading an index of the wrong kind fails fast") {
     val dir = tempDir("ann-kind-mismatch")
     AnnIndex.lshIndexWrite(emb, "vec_id", "embedding", dir, n = emb.count())
