@@ -71,13 +71,17 @@ object AnnIndexProbe {
         100.0 * truth.intersect(got).size / truth.size
 
       val (lshDirect, lshDirectSecs) = timed(
-        pairsOf(Similarity.lshTopK(emb, qs, "vec_id", "embedding", k, n = n)))
+        pairsOf(Similarity.lshTopK(emb, qs, "vec_id", "embedding", k, n = n,
+          queriesCount = qcount)))
       val (lshProbe, lshProbeSecs) = timed(
-        pairsOf(AnnIndex.lshTopKIndexed(spark, s"$idxRoot/lsh", qs, "vec_id", "embedding", k)))
+        pairsOf(AnnIndex.lshTopKIndexed(spark, s"$idxRoot/lsh", qs, "vec_id", "embedding", k,
+          queriesCount = qcount)))
       val (ivfDirect, ivfDirectSecs) = timed(
-        pairsOf(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k, n = n)))
+        pairsOf(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k, n = n,
+          queriesCount = qcount)))
       val (ivfProbe, ivfProbeSecs) = timed(
-        pairsOf(AnnIndex.ivfTopKIndexed(spark, s"$idxRoot/ivf", qs, "vec_id", "embedding", k)))
+        pairsOf(AnnIndex.ivfTopKIndexed(spark, s"$idxRoot/ivf", qs, "vec_id", "embedding", k,
+          queriesCount = qcount)))
 
       println(s"""{"probe":"ann_index","dir":"$dir","n":$n,"k":$k,"queries":$qcount,""" +
         s""""brute":{"secs":${fmt(bruteSecs)}},""" +

@@ -201,7 +201,9 @@ object AnnIndex {
       vecCol: String,
       k: Int,
       probeBudget: Int = 0,
-      probeDepth: Int = 0
+      probeDepth: Int = 0,
+      queriesCount: Long = -1L,
+      probeBroadcastMax: Long = Similarity.ProbeBroadcastMaxBytes
   ): DataFrame = {
     val meta = lshMeta(spark, path)
     val planes = Similarity.hyperplanesPrefix(meta.tables, meta.bits, meta.dim, meta.seed)
@@ -209,11 +211,17 @@ object AnnIndex {
     val depth = if (probeDepth > 0) probeDepth else Similarity.TopKProbeDepth
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .filter(VectorOps.norm(col("qv")) > 0)
-    val q = broadcast(
-      qBase.select(col("query_id"),
+    val qx = qBase.select(col("query_id"),
         posexplode(AnnExprs.lshProbeKeys(col("qv"), planes, budget, depth))
           .as(Seq("t", "bs")))
-        .select(col("query_id"), col("t"), explode(col("bs")).as("b")))
+      .select(col("query_id"), col("t"), explode(col("bs")).as("b"))
+    // same probe-side broadcast-vs-shuffle tier switch as lshTopK
+    // (slim ~40 B rows here — the indexed probe affords ~7× more
+    // queries per broadcast byte than the in-flight operator)
+    val keys = Similarity.probeKeysPerTable(meta.bits, budget, depth)
+    val maxQ = probeBroadcastMax / math.max(1L, meta.tables.toLong * keys * 40L)
+    val qn = if (queriesCount >= 0L) queriesCount
+             else qBase.limit(math.min(maxQ + 1L, Int.MaxValue.toLong).toInt).count()
     // candidate ids stay SLIM through the bucket join and the distinct
     // (~16 B rows — the candidate stream is the T×probe-fold expansion,
     // never carry vectors through it: the r15 refine lesson), then one
@@ -222,14 +230,18 @@ object AnnIndex {
     // the hot blocklist is applied at probe time (broadcast anti-join,
     // map-side) — row-identical to a pre-capped store, and it stays
     // correct across appends (see lshIndexWrite)
-    val cand = spark.read.parquet(s"$path/sigs")
+    val sigs = spark.read.parquet(s"$path/sigs")
       .join(broadcast(spark.read.parquet(s"$path/hot")), Seq("t", "b"), "left_anti")
-      .join(q, Seq("t", "b"))
+    val cand = (if (qn <= maxQ) sigs.join(broadcast(qx), Seq("t", "b"))
+                else sigs.join(qx.hint("shuffle_hash"), Seq("t", "b")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
+    val qvSide =
+      if (qn * 304L <= probeBroadcastMax) broadcast(qBase)
+      else qBase.hint("shuffle_hash")
     val scored = cand
       .join(spark.read.parquet(s"$path/vectors").hint("shuffle_hash"), Seq("neighbor_id"))
-      .join(broadcast(qBase), Seq("query_id"))
+      .join(qvSide, Seq("query_id"))
       .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
       .select("query_id", "neighbor_id", "cos")
     Similarity.rankedTopK(scored, "cos", scoreDesc = true, k)
@@ -276,6 +288,11 @@ object AnnIndex {
       .filter(VectorOps.norm(col("cv")) > 0)
       .withColumn("listp", listPart(AnnExprs.nearestCentroid(
         col("cv"), cents.map(_._1).toArray, cents.map(_._2).toArray)))
+      // pre-shuffle by the partition column: without this, every writer
+      // task fans out across every list dir (tasks × lists small files
+      // — 32k at 1 M vectors/1024 lists); clustered, each dir gets one
+      // file per shuffle partition that holds it (~1)
+      .repartition(col("listp"))
       .write.mode("overwrite").partitionBy("listp").parquet(s"$path/lists")
     val stored = spark.read.parquet(s"$path/lists").count()
     val meta = IvfMeta(lists, probeCount,
@@ -326,6 +343,7 @@ object AnnIndex {
       .filter(VectorOps.norm(col("cv")) > 0)
       .withColumn("listp", listPart(AnnExprs.nearestCentroid(
         col("cv"), cents.map(_._1).toArray, cents.map(_._2).toArray)))
+      .repartition(col("listp")) // one file per touched dir, not tasks×lists
       .write.mode("append").partitionBy("listp").parquet(s"$path/lists")
     val updated = meta.copy(rows = spark.read.parquet(s"$path/lists").count())
     writeIvfMeta(spark, path, updated)
@@ -347,7 +365,9 @@ object AnnIndex {
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int = 0
+      nProbe: Int = 0,
+      queriesCount: Long = -1L,
+      probeBroadcastMax: Long = Similarity.ProbeBroadcastMaxBytes
   ): DataFrame = {
     val meta = ivfMeta(spark, path)
     val probeCount = if (nProbe > 0) nProbe else meta.nProbe
@@ -361,8 +381,15 @@ object AnnIndex {
       .collect().map(_.getString(0)).sorted
     val assigned = spark.read.parquet(s"$path/lists")
       .filter(col("listp").isin(probed: _*))
+    // same probe-side broadcast-vs-shuffle tier switch as ivfTopK
+    val maxQ = probeBroadcastMax / math.max(1L, probeCount.toLong * 304L)
+    val qn = if (queriesCount >= 0L) queriesCount
+             else queries.limit(math.min(maxQ + 1L, Int.MaxValue.toLong).toInt).count()
+    val probeSide =
+      if (qn <= maxQ) broadcast(probes.drop("list"))
+      else probes.drop("list").hint("shuffle_hash")
     Similarity.rankedTopK(
-      assigned.join(broadcast(probes.drop("list")), Seq("listp"))
+      assigned.join(probeSide, Seq("listp"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
         .select("query_id", "neighbor_id", "cos"),

@@ -167,7 +167,9 @@ object Similarity {
       maxBucket: Int = 100000,
       probeDepth: Int = 0,
       probeBudget: Int = 0,
-      n: Long = -1L
+      n: Long = -1L,
+      queriesCount: Long = -1L,
+      probeBroadcastMax: Long = ProbeBroadcastMaxBytes
   ): DataFrame = {
     // bits <= 0 ⇒ the CORPUS-ADAPTIVE default: derived signature
     // width (occupancy ~4 at any n — the r12 fixed-width cliff), the
@@ -205,15 +207,32 @@ object Similarity {
       Seq("t", "b"), maxBucket)
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .filter(VectorOps.norm(col("qv")) > 0)
-    val q = broadcast(
-      if (adaptive) {
-        val budget = if (probeBudget > 0) probeBudget else TopKProbeBudget
-        val depth = if (probeDepth > 0) probeDepth else TopKProbeDepth
+    val budget = if (probeBudget > 0) probeBudget else TopKProbeBudget
+    val depth = if (probeDepth > 0) probeDepth else TopKProbeDepth
+    val qx =
+      if (adaptive)
         qBase.select(col("query_id"), col("qv"),
           posexplode(graft.functions.AnnExprs.lshProbeKeys(col("qv"), planes, budget, depth))
             .as(Seq("t", "bs")))
           .select(col("query_id"), col("qv"), col("t"), explode(col("bs")).as("b"))
-      } else withBuckets(qBase, "query_id", "qv", planes))
+      else withBuckets(qBase, "query_id", "qv", planes)
+    // The probe side multiplies each query by tables × probe keys —
+    // ~9.6k rows per query for the derived 32t qd:12:3 shape — so a
+    // large query batch OVERFLOWS a broadcast (measured: torrent
+    // broadcast death at 2 000 queries × 1 M corpus). Estimate the
+    // exploded bytes from the batch size and switch to a shuffle-hash
+    // join (query side = build side) past the cap; pair output is
+    // identical (AnnIndexSpec pins broadcast/shuffle parity).
+    val keys = if (adaptive) probeKeysPerTable(b, budget, depth) else 1L
+    val maxQ = probeBroadcastMax / math.max(1L, tabs * keys * (40L + 4L * dim))
+    // deciding needs only "more than maxQ queries or not" — a LIMITed
+    // count bounds the decision cost even on a huge query set (no
+    // hidden full-scan count; pass queriesCount to skip the probe job)
+    val qn = if (queriesCount >= 0L) queriesCount
+             else qBase.limit(math.min(maxQ + 1L, Int.MaxValue.toLong).toInt).count()
+    val joined =
+      if (qn <= maxQ) c.join(broadcast(qx), Seq("t", "b"))
+      else c.join(qx.hint("shuffle_hash"), Seq("t", "b"))
 
     // Cosine is computed MAP-SIDE, before the cross-table dedup — the
     // distinct then shuffles (query_id, neighbor_id, cos) rows (~50 B)
@@ -221,11 +240,32 @@ object Similarity {
     // deterministic per pair, so deduping after scoring is
     // result-identical and the re-rank sees the same set.
     rankedTopK(
-      c.join(q, Seq("t", "b"))
+      joined
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
         .select("query_id", "neighbor_id", "cos").distinct(),
       "cos", scoreDesc = true, k)
+  }
+
+  /** Estimated probe-side bytes above which [[lshTopK]] /
+    * [[AnnIndex.lshTopKIndexed]] / [[ivfTopK]] switch the candidate
+    * join from broadcast-hash to shuffle-hash. The probe explosion is
+    * queries × tables × keys rows; past ~256 MB the torrent broadcast
+    * is the thing that dies first (measured at 1 M corpus × 2 000
+    * queries under the 32t qd:12:3 shape, ~5.7 GB estimated — the
+    * shuffle-hash tier runs it fine).
+    */
+  val ProbeBroadcastMaxBytes: Long = 256L << 20
+
+  /** Probe keys [[graft.functions.AnnExprs.lshProbeKeys]] emits per
+    * table: the exact key plus every ≤`depth`-subset of the
+    * min(budget, bits) lowest-|margin| bits — Σ_{i=0..depth} C(m, i).
+    */
+  private[ext] def probeKeysPerTable(bits: Int, budget: Int, depth: Int): Long = {
+    val m = math.min(bits, budget)
+    def choose(n: Int, k: Int): Long =
+      (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
+    (0 to math.min(depth, m)).map(choose(m, _)).sum
   }
 
   /** Flat query-side probe shape for the adaptive [[lshTopK]]: budget
@@ -653,7 +693,9 @@ object Similarity {
       numCentroids: Int = 0,
       nProbe: Int = 0,
       trainedCentroids: Option[Seq[(Long, Array[Double])]] = None,
-      n: Long = -1L
+      n: Long = -1L,
+      queriesCount: Long = -1L,
+      probeBroadcastMax: Long = ProbeBroadcastMaxBytes
   ): DataFrame = {
     // numCentroids <= 0 ⇒ derive the list count from the corpus size
     // ([[adaptiveIvfLists]]) and the probe count from the list count
@@ -684,11 +726,20 @@ object Similarity {
         graft.functions.AnnExprs.nearestCentroid(col("cv"), cents.map(_._1), cents.map(_._2)))
       .select("list", "neighbor_id", "cv")
 
-    // query side: nProbe nearest lists
+    // query side: nProbe nearest lists; past the broadcast cap the
+    // probe frame (queries × nProbe rows, each carrying qv) joins
+    // shuffle-hash instead — same tier switch as lshTopK, identical
+    // pair output
     val probes = ivfQueryProbes(queries, idCol, vecCol, centroids, probeCount)
+    val maxQ = probeBroadcastMax / math.max(1L, probeCount.toLong * 304L)
+    val qn = if (queriesCount >= 0L) queriesCount
+             else queries.limit(math.min(maxQ + 1L, Int.MaxValue.toLong).toInt).count()
+    val joined =
+      if (qn <= maxQ) assigned.join(broadcast(probes), Seq("list"))
+      else assigned.join(probes.hint("shuffle_hash"), Seq("list"))
 
     rankedTopK(
-      assigned.join(broadcast(probes), Seq("list"))
+      joined
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4)),
       "cos", scoreDesc = true, k)

@@ -140,6 +140,44 @@ class AnnIndexSpec extends SparkSuite {
     assert(indexed.nonEmpty && indexed == direct)
   }
 
+  test("probe-side broadcast/shuffle tiers produce identical answers (forced cap)") {
+    // the probe explosion (queries × tables × keys) overflows a
+    // broadcast past ~256 MB — measured torrent-broadcast death at 1 M
+    // corpus × 2 000 queries. probeBroadcastMax = 1 forces the
+    // shuffle-hash tier here; answers must be frame-identical and the
+    // plans must actually differ.
+    val n = emb.count()
+    val dflt = Similarity.lshTopK(emb, queries, "vec_id", "embedding", K, n = n)
+    val forced = Similarity.lshTopK(emb, queries, "vec_id", "embedding", K, n = n,
+      probeBroadcastMax = 1L)
+    assert(collectTopK(forced) == collectTopK(dflt))
+    assert(dflt.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(forced.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      forced.queryExecution.executedPlan.toString.take(1200))
+
+    val ivfD = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", K, n = n)
+    val ivfF = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", K, n = n,
+      probeBroadcastMax = 1L)
+    assert(collectTopK(ivfF) == collectTopK(ivfD))
+    assert(ivfF.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+
+    val dir = tempDir("ann-tier-parity")
+    AnnIndex.lshIndexWrite(emb, "vec_id", "embedding", dir, n = n)
+    val idxD = AnnIndex.lshTopKIndexed(spark, dir, queries, "vec_id", "embedding", K)
+    val idxF = AnnIndex.lshTopKIndexed(spark, dir, queries, "vec_id", "embedding", K,
+      probeBroadcastMax = 1L)
+    assert(collectTopK(idxF) == collectTopK(idxD))
+    assert(idxF.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+
+    val dirI = tempDir("ann-tier-parity-ivf")
+    AnnIndex.ivfIndexWrite(emb, "vec_id", "embedding", dirI, n = n)
+    val ivfIdxD = AnnIndex.ivfTopKIndexed(spark, dirI, queries, "vec_id", "embedding", K)
+    val ivfIdxF = AnnIndex.ivfTopKIndexed(spark, dirI, queries, "vec_id", "embedding", K,
+      probeBroadcastMax = 1L)
+    assert(collectTopK(ivfIdxF) == collectTopK(ivfIdxD))
+    assert(ivfIdxF.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+  }
+
   test("reading an index of the wrong kind fails fast") {
     val dir = tempDir("ann-kind-mismatch")
     AnnIndex.lshIndexWrite(emb, "vec_id", "embedding", dir, n = emb.count())
