@@ -232,13 +232,17 @@ object AnnIndex {
     // correct across appends (see lshIndexWrite)
     val sigs = spark.read.parquet(s"$path/sigs")
       .join(broadcast(spark.read.parquet(s"$path/hot")), Seq("t", "b"), "left_anti")
+    // beyond the cap the join stays UNHINTED: AQE picks shuffle-hash
+    // while the slim probe build fits executor memory and a spillable
+    // sort-merge beyond (a forced shuffle_hash measured an unspillable
+    // hash-map OOM on the in-flight operator's vector-carrying frame)
     val cand = (if (qn <= maxQ) sigs.join(broadcast(qx), Seq("t", "b"))
-                else sigs.join(qx.hint("shuffle_hash"), Seq("t", "b")))
+                else sigs.join(qx, Seq("t", "b")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     val qvSide =
       if (qn * 304L <= probeBroadcastMax) broadcast(qBase)
-      else qBase.hint("shuffle_hash")
+      else qBase
     val scored = cand
       .join(spark.read.parquet(s"$path/vectors").hint("shuffle_hash"), Seq("neighbor_id"))
       .join(qvSide, Seq("query_id"))
@@ -385,9 +389,11 @@ object AnnIndex {
     val maxQ = probeBroadcastMax / math.max(1L, probeCount.toLong * 304L)
     val qn = if (queriesCount >= 0L) queriesCount
              else queries.limit(math.min(maxQ + 1L, Int.MaxValue.toLong).toInt).count()
+    // unhinted beyond the cap — AQE picks shuffle-hash vs spillable
+    // sort-merge from actual sizes (see lshTopKIndexed)
     val probeSide =
       if (qn <= maxQ) broadcast(probes.drop("list"))
-      else probes.drop("list").hint("shuffle_hash")
+      else probes.drop("list")
     Similarity.rankedTopK(
       assigned.join(probeSide, Seq("listp"))
         .filter(col("query_id") =!= col("neighbor_id"))

@@ -209,20 +209,27 @@ object Similarity {
       .filter(VectorOps.norm(col("qv")) > 0)
     val budget = if (probeBudget > 0) probeBudget else TopKProbeBudget
     val depth = if (probeDepth > 0) probeDepth else TopKProbeDepth
-    val qx =
+    def probeKeys(withQv: Boolean) = {
+      val cols0 = if (withQv) Seq(col("query_id"), col("qv")) else Seq(col("query_id"))
       if (adaptive)
-        qBase.select(col("query_id"), col("qv"),
+        qBase.select(cols0 :+
           posexplode(graft.functions.AnnExprs.lshProbeKeys(col("qv"), planes, budget, depth))
-            .as(Seq("t", "bs")))
-          .select(col("query_id"), col("qv"), col("t"), explode(col("bs")).as("b"))
+            .as(Seq("t", "bs")): _*)
+          .select(cols0 ++ Seq(col("t"), explode(col("bs")).as("b")): _*)
       else withBuckets(qBase, "query_id", "qv", planes)
+        .select(cols0 ++ Seq(col("t"), col("b")): _*)
+    }
     // The probe side multiplies each query by tables × probe keys —
     // ~9.6k rows per query for the derived 32t qd:12:3 shape — so a
     // large query batch OVERFLOWS a broadcast (measured: torrent
-    // broadcast death at 2 000 queries × 1 M corpus). Estimate the
-    // exploded bytes from the batch size and switch to a shuffle-hash
-    // join (query side = build side) past the cap; pair output is
-    // identical (AnnIndexSpec pins broadcast/shuffle parity).
+    // broadcast death at 2 000 queries × 1 M corpus). Past the cap the
+    // probe frame goes SLIM (no qv — a vector-carrying shuffle-hash
+    // build side measured an unspillable hash-map OOM at the same
+    // point), the candidate join is left unhinted (AQE picks
+    // shuffle-hash while the slim build fits, spillable sort-merge
+    // beyond), and the surviving distinct pairs rehydrate both vector
+    // sides. Pair output is identical across tiers (AnnIndexSpec pins
+    // it).
     val keys = if (adaptive) probeKeysPerTable(b, budget, depth) else 1L
     val maxQ = probeBroadcastMax / math.max(1L, tabs * keys * (40L + 4L * dim))
     // deciding needs only "more than maxQ queries or not" — a LIMITed
@@ -230,21 +237,40 @@ object Similarity {
     // hidden full-scan count; pass queriesCount to skip the probe job)
     val qn = if (queriesCount >= 0L) queriesCount
              else qBase.limit(math.min(maxQ + 1L, Int.MaxValue.toLong).toInt).count()
-    val joined =
-      if (qn <= maxQ) c.join(broadcast(qx), Seq("t", "b"))
-      else c.join(qx.hint("shuffle_hash"), Seq("t", "b"))
 
     // Cosine is computed MAP-SIDE, before the cross-table dedup — the
     // distinct then shuffles (query_id, neighbor_id, cos) rows (~50 B)
     // instead of rows carrying both full vectors (~1.1 kB); cosine is
     // deterministic per pair, so deduping after scoring is
     // result-identical and the re-rank sees the same set.
-    rankedTopK(
-      joined
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
-        .select("query_id", "neighbor_id", "cos").distinct(),
-      "cos", scoreDesc = true, k)
+    val scored =
+      if (qn <= maxQ)
+        c.join(broadcast(probeKeys(withQv = true)), Seq("t", "b"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
+          .select("query_id", "neighbor_id", "cos").distinct()
+      else {
+        // slim tier: candidates are (query_id, neighbor_id) only; the
+        // distinct cuts the probe-fold expansion BEFORE any vector
+        // bytes move, then one shuffle-hash rehydrate per side
+        // (cosine after the distinct is result-identical — it is
+        // deterministic per pair)
+        val cand = c.select("t", "b", "neighbor_id")
+          .join(probeKeys(withQv = false), Seq("t", "b"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select("query_id", "neighbor_id").distinct()
+        val cvecs = corpus
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+          .filter(VectorOps.norm(col("cv")) > 0)
+        val qvecs =
+          if (qn * (40L + 4L * dim) <= probeBroadcastMax) broadcast(qBase)
+          else qBase.hint("shuffle_hash")
+        cand.join(cvecs.hint("shuffle_hash"), Seq("neighbor_id"))
+          .join(qvecs, Seq("query_id"))
+          .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
+          .select("query_id", "neighbor_id", "cos")
+      }
+    rankedTopK(scored, "cos", scoreDesc = true, k)
   }
 
   /** Estimated probe-side bytes above which [[lshTopK]] /
@@ -736,7 +762,8 @@ object Similarity {
              else queries.limit(math.min(maxQ + 1L, Int.MaxValue.toLong).toInt).count()
     val joined =
       if (qn <= maxQ) assigned.join(broadcast(probes), Seq("list"))
-      else assigned.join(probes.hint("shuffle_hash"), Seq("list"))
+      // unhinted: AQE picks shuffle-hash vs spillable sort-merge
+      else assigned.join(probes, Seq("list"))
 
     rankedTopK(
       joined
