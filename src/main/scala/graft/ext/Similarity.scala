@@ -298,10 +298,12 @@ object Similarity {
     * 12 (capped at the derived signature width inside the probe
     * expression), depth 3. The dedup pair operator's budget coupling
     * ([[Dedup.multiprobeBudget]]) must stay tight because every probe
-    * key multiplies a CORPUS-sized join side; the top-k query side is
-    * a broadcast of the (small) query set, so the deep shape costs
+    * key multiplies a CORPUS-sized join side; the top-k query side
+    * multiplies only the query batch, so the deep shape costs
     * probes × queries — not probes × corpus — and buys the measured
-    * recall jump in the scaladoc above.
+    * recall jump in the scaladoc above. (The probe frame broadcasts
+    * below [[ProbeBroadcastMaxBytes]] and goes slim + shuffled beyond
+    * it — see lshTopK's tier note.)
     */
   val TopKProbeBudget = 12
   val TopKProbeDepth = 3
