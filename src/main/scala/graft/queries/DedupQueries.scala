@@ -280,6 +280,35 @@ object DedupQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // The INDEXED embedding gate under the oracle — same pinned shape
+    // and verdict semantics as streaming_embedding_gate_replay, but the
+    // per-batch probe runs against the PERSISTED slim signature store
+    // (graft.streaming.IndexedEmbeddingGate: no store-wide re-hashing
+    // per batch — the r18 AnnIndex amortization carried into the
+    // streaming lifecycle). Staged as FOUR batches (vec_id % 4) with a
+    // compaction of both store tables mid-stream, so the cell is a
+    // distinct derivation from the in-flight gate's: three signature
+    // appends gate against partitions written by earlier batches, and
+    // the compaction must not move a verdict.
+    "streaming_indexed_gate_replay" -> ((s, dir) => {
+      import graft.streaming.IndexedEmbeddingGate
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_idx_gate_replay").getAbsolutePath
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val emb = Tables.embeddings(s, dir)
+      for (b <- 0L to 3L) {
+        IndexedEmbeddingGate.gateAndIngest(
+          emb.filter(col("vec_id") % 4 === b), "vec_id", "embedding",
+          s"$root/store", s"$root/verdicts", threshold = 0.45, batchId = b)
+        if (b == 2L) IndexedEmbeddingGate.compactStore(s, s"$root/store", upToBatch = 1L)
+      }
+      s.read.parquet(s"$root/verdicts")
+        .select("doc_id", "exact_dup_id", "near_dup_id", "near_cos", "is_new")
+        .orderBy("doc_id")
+    }),
+
     // Train/eval decontamination: docs sharing >= 5 distinct 3-gram
     // hashes with the held-out "benchmark" slice (doc_id % 20 = 0 —
     // deterministic split; the corpus's built-in near-dups straddle it,
@@ -757,11 +786,18 @@ ORDER BY t"""
     * Spark's NaN ordering). Store compaction must not appear in the
     * result at all.
     */
-  private def embGateReplaySql: String =
+  private def embGateReplaySql: String = embGateReplaySqlFor(3)
+
+  /** Same analytical statement with the batch split parameterized —
+    * the indexed gate's replay stages `% 4` so its oracle cell is a
+    * distinct derivation (4 appends + a compaction), not a re-run of
+    * the in-flight gate's cell.
+    */
+  private def embGateReplaySqlFor(mod: Int): String =
     s"""WITH planes(t, bit, plane) AS (VALUES
 ${embLshPlanesPrefix(8, 8)}),
 margins AS (
-  SELECT e.vec_id, e.vec_id % 3 AS batch, p.t, p.bit,
+  SELECT e.vec_id, e.vec_id % $mod AS batch, p.t, p.bit,
     list_sum(list_transform(generate_series(1, 64),
       i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) AS mg
   FROM embeddings e CROSS JOIN planes p),
@@ -800,7 +836,7 @@ best AS (
 ex AS (
   SELECT b.vec_id AS doc_id, min(h.vec_id) AS exact_dup_id
   FROM embeddings b JOIN embeddings h
-    ON h.vec_id % 3 < b.vec_id % 3 AND h.embedding = b.embedding
+    ON h.vec_id % $mod < b.vec_id % $mod AND h.embedding = b.embedding
   GROUP BY 1)
 SELECT e.vec_id AS doc_id, ex.exact_dup_id, bs.near_dup_id, bs.near_cos,
   (ex.exact_dup_id IS NULL AND bs.near_dup_id IS NULL) AS is_new
@@ -864,6 +900,7 @@ FROM documents GROUP BY text ORDER BY canonical_id""",
     "dedup_incremental" -> incrementalSql,
     "streaming_dedup_gate_replay" -> gateReplaySql,
     "streaming_embedding_gate_replay" -> embGateReplaySql,
+    "streaming_indexed_gate_replay" -> embGateReplaySqlFor(4),
     "decontaminate_ngram" -> decontaminateSql,
     "decontaminate_embedding" ->
       """WITH scored AS (

@@ -1,0 +1,185 @@
+package graft.streaming
+
+import graft.ext.Similarity
+import graft.functions.{AnnExprs, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Embedding ingest gate over a PERSISTED signature index — the
+  * at-scale sibling of [[EmbeddingDedupGate]], carrying the r18
+  * build-once/probe-many lesson ([[graft.ext.AnnIndex]], measured in
+  * SCALE_MEASURED_r18.json) into the streaming lifecycle.
+  *
+  * [[EmbeddingDedupGate]] re-derives the LSH bucket keys over the WHOLE
+  * accumulated store on every micro-batch — tables × bits hyperplane
+  * dot products per stored vector per batch (its class doc argues the
+  * re-derivation is cheaper than persisting exploded keys, which is
+  * true while the store is batch-sized). Once the store is
+  * corpus-sized the trade inverts — the per-batch gate cost must be
+  * probe-sized, not store-sized — so this gate persists the exploded
+  * signature rows ONCE, at the ingest of the batch that created them:
+  *
+  *   - `storeDir/vectors`: (hid, hv) — every ingested vector once,
+  *     zero-norm rows INCLUDED (the exact tier matches bit-identical
+  *     vectors, and a zero vector can still exact-match).
+  *   - `storeDir/sigs`: (hid, t, b) — the tables-fold SLIM key rows
+  *     (~16 B each, the [[graft.ext.AnnIndex]] layout), zero-norm rows
+  *     EXCLUDED (a zero vector never near-matches: its cosine is 0/0;
+  *     dropping its keys at write time is verdict-identical to
+  *     [[graft.ext.Dedup.incrementalEmbeddingDups]]'s norm filter at
+  *     refine time).
+  *
+  * A gate is then: broadcast the batch's multiprobe keys → equi-join
+  * the slim signature table → distinct (doc_id, hid) → rehydrate ONLY
+  * surviving candidates from `vectors/` → cosine refine → top-1.
+  * Cosine is deterministic per pair, so scoring after the distinct is
+  * verdict-identical to the in-flight operator's score-then-distinct
+  * (IndexedEmbeddingGateSpec pins frame equality against
+  * [[EmbeddingDedupGate]] batch by batch). Per-batch work touching the
+  * store: one 16 B/row column-pruned sigs scan (map-side, against a
+  * broadcast) and a candidate-proportional vector rehydrate — no
+  * store-wide hashing, no vector bytes through the key fold.
+  *
+  * Both sinks and the two store tables run [[BatchTable]]'s lifecycle:
+  * partitioned by the foreachBatch batchId with dynamic overwrite
+  * (replay overwrites, never duplicates), history reads exclude the
+  * replaying batch's own partition, and [[compactStore]] folds
+  * committed batches of BOTH tables into the −1 partition without
+  * moving a verdict. The LSH shape is PINNED (not corpus-derived): the
+  * persisted keys ARE the geometry, so re-shaping means re-ingest —
+  * the same contract as the in-flight gate, now load-bearing on disk.
+  */
+object IndexedEmbeddingGate {
+
+  /** Partition column keying all four tables by micro-batch. */
+  val BatchCol: String = BatchTable.BatchCol
+
+  /** The foreachBatch body, usable directly in batch code: gate
+    * `batch` against the persisted signature index at `storeDir`
+    * (absent/empty ⇒ everything is new — day 1), write verdicts to
+    * `verdictDir`, then append the batch's slim signature rows and
+    * vectors so the NEXT batch probes them. Verdicts are
+    * frame-identical to [[EmbeddingDedupGate.gateAndIngest]] under the
+    * same pinned shape.
+    */
+  def gateAndIngest(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      storeDir: String,
+      verdictDir: String,
+      threshold: Double,
+      // no default — every caller must key its batch (see
+      // StreamingDedupGate.gateAndIngest)
+      batchId: Long,
+      tables: Int = 8,
+      bits: Int = 8,
+      budget: Int = 3,
+      depth: Int = 2,
+      seed: Long = 42L,
+      dim: Int = 64
+  ): Unit = {
+    import graft.functions.DotProductExpr.dot
+    val spark = batch.sparkSession
+    val planes = Similarity.hyperplanesPrefix(tables, bits, dim, seed)
+    // cast ONCE at ingest: the store holds array<double> so no later
+    // batch re-casts history (float->double is exact, so the exact
+    // tier's array equality is unchanged); persisted: the batch feeds
+    // the gate AND both store appends
+    val b = batch.select(col(idCol).as("doc_id"), col(vecCol).cast("array<double>").as("bv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val verdicts =
+        if (BatchTable.hasData(spark, s"$storeDir/vectors")) {
+          val hVec = BatchTable.readExcluding(spark, s"$storeDir/vectors", batchId)
+          val hSigs = BatchTable.readExcluding(spark, s"$storeDir/sigs", batchId)
+          // EXACT tier: bit-identical vector, min earlier id (duplicate
+          // store rows from a compaction crash-window can't change a min)
+          val exactM = hVec.join(broadcast(b), col("hv") === col("bv"))
+            .groupBy("doc_id").agg(min("hid").as("exact_dup_id"))
+          // NEAR tier, probe side: the batch's query-directed multiprobe
+          // keys, SLIM (no vectors through the fold), broadcast; a
+          // zero-norm batch vector never near-matches, so its probe rows
+          // are dropped here rather than at refine — verdict-identical
+          val bKeys = b.filter(VectorOps.norm(col("bv")) > 0)
+            .select(col("doc_id"),
+              posexplode(AnnExprs.lshProbeKeys(col("bv"), planes, budget, depth))
+                .as(Seq("t", "bs")))
+            .select(col("doc_id"), col("t"), explode(col("bs")).as("b"))
+          // one map-side pass over the 16 B/row signature table — the
+          // store-sized hashing EmbeddingDedupGate re-pays per batch is
+          // already on disk
+          val cand = hSigs.join(broadcast(bKeys), Seq("t", "b"))
+            .select("doc_id", "hid").distinct()
+          // rehydrate ONLY surviving candidates; deterministic per-pair
+          // cosine makes score-after-distinct == score-then-distinct
+          val scored = cand
+            .join(hVec.hint("shuffle_hash"), Seq("hid"))
+            .join(broadcast(b), Seq("doc_id"))
+            .withColumn("bn", sqrt(dot(col("bv"), col("bv"))))
+            .withColumn("hn", sqrt(dot(col("hv"), col("hv"))))
+            // zero-norm guard kept even though sigs exclude such rows:
+            // 0/0 = NaN and NaN >= tau is TRUE under Spark's ordering
+            .filter(col("bn") > 0 && col("hn") > 0)
+            .withColumn("cos", round(dot(col("bv"), col("hv")) / (col("bn") * col("hn")), 4))
+            .filter(col("cos") >= threshold)
+            .select("doc_id", "hid", "cos")
+          val w = Window.partitionBy("doc_id").orderBy(col("cos").desc, col("hid").asc)
+          val best = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+            .select(col("doc_id"), col("hid").as("near_dup_id"), col("cos").as("near_cos"))
+          b.select("doc_id")
+            .join(broadcast(exactM), Seq("doc_id"), "left")
+            .join(broadcast(best), Seq("doc_id"), "left")
+            .withColumn("is_new", col("exact_dup_id").isNull && col("near_dup_id").isNull)
+        } else
+          // day 1: no history — same schema, everything new
+          b.select(col("doc_id"))
+            .withColumn("exact_dup_id", lit(null).cast(LongType))
+            .withColumn("near_dup_id", lit(null).cast(LongType))
+            .withColumn("near_cos", lit(null).cast(DoubleType))
+            .withColumn("is_new", lit(true))
+      BatchTable.writeBatchPartition(verdicts, batchId, verdictDir)
+      BatchTable.writeBatchPartition(
+        b.select(col("doc_id").as("hid"), col("bv").as("hv")),
+        batchId, s"$storeDir/vectors")
+      BatchTable.writeBatchPartition(
+        b.filter(VectorOps.norm(col("bv")) > 0)
+          .select(col("doc_id").as("hid"),
+            posexplode(AnnExprs.lshBuckets(col("bv"), planes)).as(Seq("t", "b"))),
+        batchId, s"$storeDir/sigs")
+    } finally b.unpersist()
+  }
+
+  /** Fold committed batches of BOTH store tables into the −1 partition
+    * ([[BatchTable.compact]]); must be invisible to every later verdict
+    * (spec-asserted).
+    */
+  def compactStore(spark: SparkSession, storeDir: String, upToBatch: Long): Unit = {
+    BatchTable.compact(spark, s"$storeDir/vectors", upToBatch)
+    BatchTable.compact(spark, s"$storeDir/sigs", upToBatch)
+  }
+
+  /** Wire the gate onto a stream: one [[gateAndIngest]] per
+    * micro-batch, AvailableNow + checkpoint so each batch gates exactly
+    * once across restarts; the engine-supplied batchId keys all sinks.
+    */
+  def start(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      storeDir: String,
+      verdictDir: String,
+      checkpointDir: String,
+      threshold: Double
+  ): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        gateAndIngest(b, idCol, vecCol, storeDir, verdictDir, threshold, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
