@@ -403,6 +403,209 @@ object AnnIndex {
   }
 
   // ------------------------------------------------------------------
+  // IVF-PQ
+  // ------------------------------------------------------------------
+
+  /** IVF-PQ index shape descriptor, persisted at `meta/`. */
+  final case class IvfPqMeta(lists: Int, nProbe: Int, m: Int, ks: Int,
+      dim: Int, n: Long, rows: Long)
+
+  private val KindIvfPq = "ivfpq"
+
+  /** Build and persist the IVF-PQ index for `corpus` under `path` —
+    * the compressed completion of the index trio, and the layout that
+    * actually matters at 10⁹ vectors: `codes/` holds `m` small codes
+    * per vector instead of the raw floats (64 float dims → 8 codes, a
+    * 32× cut — the full-precision vectors never need to be hot), and
+    * is PARTITIONED BY the assigned IVF list like [[ivfIndexWrite]]'s
+    * `lists/`, so a probe reads ~nProbe/lists of the already-compressed
+    * bytes. `centroids/` and `codebooks/` (m × ks codewords) persist
+    * the pinned geometry. Derivations are byte-identical to the
+    * in-flight [[Similarity.ivfPqTopK]] (adaptive lists/probes,
+    * hash-seeded codebooks), so the indexed probe is answer-identical
+    * (AnnIndexSpec pins it). Returns the persisted meta.
+    */
+  def ivfPqIndexWrite(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      numCentroids: Int = 0,
+      nProbe: Int = 0,
+      m: Int = 8,
+      ks: Int = 16,
+      dim: Int = 64,
+      n: Long = -1L
+  ): IvfPqMeta = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nn = Dedup.corpusCount(corpus, n, "ivfPqIndexWrite")
+    val lists = if (numCentroids > 0) numCentroids else Similarity.adaptiveIvfLists(nn)
+    val probeCount = if (nProbe > 0) nProbe else Similarity.adaptiveIvfProbes(lists)
+    val cents = Similarity.seedCentroids(corpus, idCol, vecCol, lists)
+    cents.toDF("list", "centv").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    // hash-seeded PQ codewords, the in-flight derivation verbatim
+    // (production would k-means each subspace; the pinned store makes
+    // either choice durable)
+    val keyHash = expr(
+      s"cast(conv(substr(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
+    val seeds: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"), keyHash.as("h"),
+        col(idCol).cast("long").as("id"))
+      .orderBy(col("h"), col("id")).limit(ks)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(mi => seeds.map(s => s.slice(mi * sub, (mi + 1) * sub)))
+    val codeIds = Array.tabulate(ks)(_ + 1L)
+    (for (mi <- 0 until m; ci <- 0 until ks)
+      yield (mi, codeIds(ci), codebooks(mi)(ci).toSeq))
+      .toDF("mi", "code", "cw").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    // ONE corpus pass: list + m codes, all row-local argmins; clustered
+    // write (see ivfIndexWrite — without the pre-shuffle every task
+    // fans across every list dir)
+    val vd = col(vecCol).cast("array<double>")
+    corpus
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), vd.as("v"))
+      .select(col("neighbor_id") +:
+        listPart(graft.functions.AnnExprs.nearestCentroid(
+          col("v"), cents.map(_._1).toArray, cents.map(_._2).toArray)).as("listp") +:
+        (0 until m).map(mi =>
+          graft.functions.AnnExprs.nearestCentroid(
+            slice(col("v"), mi * sub + 1, sub), codeIds, codebooks(mi)).as(s"code_$mi")): _*)
+      .repartition(col("listp"))
+      .write.mode("overwrite").partitionBy("listp").parquet(s"$path/codes")
+    val stored = spark.read.parquet(s"$path/codes").count()
+    val meta = IvfPqMeta(lists, probeCount, m, ks, dim, nn, stored)
+    writeMeta(spark, path, KindIvfPq,
+      Seq("lists" -> meta.lists.toLong, "nProbe" -> meta.nProbe.toLong,
+        "m" -> meta.m.toLong, "ks" -> meta.ks.toLong, "dim" -> meta.dim.toLong,
+        "n" -> meta.n, "rows" -> meta.rows))
+    meta
+  }
+
+  /** Load the persisted IVF-PQ meta (fails fast on a non-IVF-PQ index). */
+  def ivfPqMeta(spark: SparkSession, path: String): IvfPqMeta = {
+    val mm = readMeta(spark, path, KindIvfPq)
+    IvfPqMeta(mm("lists").toInt, mm("nProbe").toInt, mm("m").toInt,
+      mm("ks").toInt, mm("dim").toInt, mm("n"), mm("rows"))
+  }
+
+  /** Append a batch to a persisted IVF-PQ index: assign + encode ONLY
+    * the batch against the pinned centroids and codebooks, append into
+    * the list partitions. Batch ids must be disjoint from the stored
+    * ids; rebuild (retrain) when the corpus outgrows the build's `n`.
+    */
+  def ivfPqIndexAppend(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): IvfPqMeta = {
+    val meta = ivfPqMeta(spark, path)
+    val sub = meta.dim / meta.m
+    val cents = ivfCentroids(spark, path)
+    val codebooks = readCodebooks(spark, path, meta)
+    val codeIds = Array.tabulate(meta.ks)(_ + 1L)
+    val vd = col(vecCol).cast("array<double>")
+    batch
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), vd.as("v"))
+      .select(col("neighbor_id") +:
+        listPart(graft.functions.AnnExprs.nearestCentroid(
+          col("v"), cents.map(_._1).toArray, cents.map(_._2).toArray)).as("listp") +:
+        (0 until meta.m).map(mi =>
+          graft.functions.AnnExprs.nearestCentroid(
+            slice(col("v"), mi * sub + 1, sub), codeIds, codebooks(mi)).as(s"code_$mi")): _*)
+      .repartition(col("listp"))
+      .write.mode("append").partitionBy("listp").parquet(s"$path/codes")
+    val updated = meta.copy(rows = spark.read.parquet(s"$path/codes").count())
+    writeMeta(spark, path, KindIvfPq,
+      Seq("lists" -> updated.lists.toLong, "nProbe" -> updated.nProbe.toLong,
+        "m" -> updated.m.toLong, "ks" -> updated.ks.toLong,
+        "dim" -> updated.dim.toLong, "n" -> updated.n, "rows" -> updated.rows))
+    updated
+  }
+
+  /** The persisted codebooks in driver form — m × ks × (dim/m)
+    * doubles, bounded by the PQ contract (codebooks are tiny).
+    */
+  def ivfPqCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] =
+    readCodebooks(spark, path, ivfPqMeta(spark, path))
+
+  private def readCodebooks(spark: SparkSession, path: String,
+      meta: IvfPqMeta): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    Array.tabulate(meta.m)(mi =>
+      rows.filter(_._1 == mi).sortBy(_._2).map(_._3))
+  }
+
+  /** Approximate top-k against a persisted IVF-PQ index: probed-list
+    * partition filter on the COMPRESSED `codes/` (the scan reads
+    * ~nProbe/lists of m-codes-per-vector bytes — raw vectors are never
+    * touched), query-side ADC distance tables from the pinned
+    * codebooks, per-pair cost `m` lookups. Answer-identical to the
+    * in-flight [[Similarity.ivfPqTopK]] over the same corpus
+    * (AnnIndexSpec pins it).
+    */
+  def ivfPqTopKIndexed(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 0,
+      queriesCount: Long = -1L,
+      probeBroadcastMax: Long = Similarity.ProbeBroadcastMaxBytes
+  ): DataFrame = {
+    val meta = ivfPqMeta(spark, path)
+    val sub = meta.dim / meta.m
+    val probeCount = if (nProbe > 0) nProbe else meta.nProbe
+    val codebooks = readCodebooks(spark, path, meta)
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val probes = Similarity.pqQueryProbes(queries, idCol, vecCol, centroids, probeCount)
+      .withColumn("listp", listPart(col("list")))
+    val probed = probes.select("listp").distinct()
+      .collect().map(_.getString(0)).sorted
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("listp").isin(probed: _*))
+    val vd = col(vecCol).cast("array<double>")
+    val dtables = queries
+      .select(col(idCol).as("query_id") +: (0 until meta.m).map(mi =>
+        slice(vd, mi * sub + 1, sub).as(s"sub_$mi")): _*)
+      .select(col("query_id") +: (0 until meta.m).map { mi =>
+        val cbLit = typedlit(codebooks(mi).map(_.toSeq).toSeq)
+        transform(cbLit, cw =>
+          aggregate(zip_with(col(s"sub_$mi"), cw, (x, c) => (x - c) * (x - c)),
+            lit(0.0), (acc, v) => acc + v)).as(s"dt_$mi")
+      }: _*)
+    // probe rows carry the m distance tables (~m*ks*8 B each), so the
+    // broadcast affords fewer queries per byte than the raw-IVF probe;
+    // unhinted beyond the cap (AQE shuffle-hash vs spillable sort-merge)
+    val rowBytes = probeCount.toLong * (meta.m.toLong * meta.ks * 8L + 64L)
+    val maxQ = probeBroadcastMax / math.max(1L, rowBytes)
+    val qn = if (queriesCount >= 0L) queriesCount
+             else queries.limit(math.min(maxQ + 1L, Int.MaxValue.toLong).toInt).count()
+    val probeSide0 = probes.drop("list").join(dtables, Seq("query_id"))
+    val probeSide = if (qn <= maxQ) broadcast(probeSide0) else probeSide0
+    val adist = (0 until meta.m).map(mi =>
+      element_at(col(s"dt_$mi"), col(s"code_$mi").cast("int"))).reduce(_ + _)
+    Similarity.rankedTopK(
+      codes.join(probeSide, Seq("listp"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adist", round(adist, 4))
+        .select("query_id", "neighbor_id", "adist"),
+      "adist", scoreDesc = false, k)
+  }
+
+  // ------------------------------------------------------------------
   // meta plumbing
   // ------------------------------------------------------------------
 

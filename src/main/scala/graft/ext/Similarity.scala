@@ -462,6 +462,11 @@ object Similarity {
     * shuffle); the probe side joins each query's nProbe lists with its
     * distance tables and broadcasts. Everything is hash-seeded, so the
     * oracle replays lists, codes, and the m-ordered fold bit-exactly.
+    * Pass `trainedCentroids` / `trainedCodebooks` (e.g. read back from
+    * a persisted [[AnnIndex]] store, or k-means-refined) to pin the
+    * geometry instead of re-deriving it from `corpus` — the same
+    * injection seam [[ivfTopK]] has, which is what lets
+    * AnnIndexSpec prove the append path against this operator.
     */
   def ivfPqTopK(
       corpus: DataFrame,
@@ -474,7 +479,9 @@ object Similarity {
       m: Int = 8,
       ks: Int = 16,
       dim: Int = 64,
-      n: Long = -1L
+      n: Long = -1L,
+      trainedCentroids: Option[Seq[(Long, Array[Double])]] = None,
+      trainedCodebooks: Option[Array[Array[Array[Double]]]] = None
   ): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
@@ -487,18 +494,22 @@ object Similarity {
     // compression-accuracy trade, not an occupancy one.
     val lists =
       if (numCentroids > 0) numCentroids
-      else adaptiveIvfLists(Dedup.corpusCount(corpus, n, "ivfPqTopK"))
+      else trainedCentroids.map(_.size).getOrElse(
+        adaptiveIvfLists(Dedup.corpusCount(corpus, n, "ivfPqTopK")))
     val probeCount = if (nProbe > 0) nProbe else adaptiveIvfProbes(lists)
-    val cents = seedCentroids(corpus, idCol, vecCol, lists).toArray
+    val cents = trainedCentroids.getOrElse(
+      seedCentroids(corpus, idCol, vecCol, lists)).toArray
     val keyHash = expr(
       s"cast(conv(substr(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
-    val seeds: Array[Array[Double]] = corpus
+    def hashSeeds(): Array[Array[Double]] = corpus
       .select(col(vecCol).cast("array<double>").as("v"), keyHash.as("h"),
         col(idCol).cast("long").as("id"))
       .orderBy(col("h"), col("id")).limit(ks)
       .collect().map(_.getSeq[Double](0).toArray)
-    val codebooks: Array[Array[Array[Double]]] =
+    val codebooks: Array[Array[Array[Double]]] = trainedCodebooks.getOrElse {
+      val seeds = hashSeeds()
       Array.tabulate(m)(mi => seeds.map(s => s.slice(mi * sub, (mi + 1) * sub)))
+    }
     val codeIds = Array.tabulate(ks)(_ + 1L)
 
     val vd = col(vecCol).cast("array<double>")
@@ -513,13 +524,7 @@ object Similarity {
             slice(col("v"), mi * sub + 1, sub), codeIds, codebooks(mi)).as(s"code_$mi")): _*)
 
     val centroids = broadcast(cents.toSeq.toDF("list", "centv"))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("list").asc)
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(centroids, col("query_id") =!= lit(-1))
-      .withColumn("d", VectorOps.l2sq(col("qv"), col("centv")))
-      .withColumn("r", row_number().over(wProbe))
-      .filter(col("r") <= probeCount)
-      .select("query_id", "list")
+    val probes = pqQueryProbes(queries, idCol, vecCol, centroids, probeCount)
 
     val dtables = queries
       .select(col(idCol).as("query_id") +: (0 until m).map(mi =>
@@ -671,6 +676,30 @@ object Similarity {
       .withColumn("r", row_number().over(wProbe))
       .filter(col("r") <= probeCount)
       .select("query_id", "qv", "list")
+  }
+
+  /** The nProbe nearest centroid lists per query for the PQ tier —
+    * like [[ivfQueryProbes]] but WITHOUT the zero-norm query exclusion
+    * (PQ ranks by plain L² through the ADC tables, no cosine divide,
+    * so a zero query is legal and must rank like any other) and
+    * without carrying `qv` (ADC distances come from the code lookup,
+    * never the raw query vector). Shared by [[ivfPqTopK]] and
+    * [[AnnIndex.ivfPqTopKIndexed]] so the probed-list choice cannot
+    * drift between the in-flight and persisted-index paths.
+    */
+  private[ext] def pqQueryProbes(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      probeCount: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("list").asc)
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(centroids, col("query_id") =!= lit(-1))
+      .withColumn("d", VectorOps.l2sq(col("qv"), col("centv")))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= probeCount)
+      .select("query_id", "list")
   }
 
   /** The hash-picked seeds shared by [[ivfTopK]] and [[kmeansCentroids]]:

@@ -241,6 +241,26 @@ ORDER BY vec_id, pos"""
         .orderBy("query_id", "rank")
     }),
 
+    // Persisted-index IVF-PQ top-5 — the compressed completion of the
+    // index trio and the layout that matters at 10^9 vectors: codes/
+    // holds m=8 codes per vector (32x smaller than the raw floats, and
+    // the raw vectors are never read at probe time) partitioned by the
+    // assigned list, so the probed-list partition filter prunes
+    // already-compressed bytes. Build = one corpus pass (list + m
+    // codes, row-local argmins) plus the pinned centroids/codebooks;
+    // append = assign+encode only the batch. Same adaptive shape and
+    // oracle as ann_topk_ivfpq (answers are identical by construction;
+    // AnnIndexSpec pins it, incl. a build-half/append-half parity).
+    "ann_topk_ivfpq_indexed" -> ((s, dir) => {
+      import graft.ext.AnnIndex
+      val emb = Tables.embeddings(s, dir)
+      val root = stagingDir(s, "graft_ann_ivfpq_index")
+      AnnIndex.ivfPqIndexWrite(emb, "vec_id", "embedding", root, n = emb.count())
+      AnnIndex.ivfPqTopKIndexed(s, root, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", K)
+        .orderBy("query_id", "rank")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means clusters + within-cluster
     // cosine prune vs the min-id representative — paraphrase dedup at
     // LINEAR cost (one argmin + one cosine per vector; the all-pairs
@@ -664,6 +684,7 @@ FROM assigned s LEFT JOIN pruned p
      ON p.list = s.list AND p.vec_id = s.vec_id
 ORDER BY s.vec_id""",
     "ann_topk_pq" -> pqSql,
-    "ann_topk_ivfpq" -> ivfPqSql
+    "ann_topk_ivfpq" -> ivfPqSql,
+    "ann_topk_ivfpq_indexed" -> ivfPqSql
   )
 }

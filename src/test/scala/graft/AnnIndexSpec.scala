@@ -140,6 +140,62 @@ class AnnIndexSpec extends SparkSuite {
     assert(indexed.nonEmpty && indexed == direct)
   }
 
+  private def collectTopKBy(df: org.apache.spark.sql.DataFrame,
+      scoreCol: String): Seq[(Long, Int, Long, Double)] =
+    df.select("query_id", "rank", "neighbor_id", scoreCol).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("ivfPqTopKIndexed answers the in-flight adaptive ivfPqTopK exactly") {
+    val dir = tempDir("ann-ivfpq-index")
+    val n = emb.count()
+    val meta = AnnIndex.ivfPqIndexWrite(emb, "vec_id", "embedding", dir, n = n)
+    assert(AnnIndex.ivfPqMeta(spark, dir) == meta)
+    assert(meta.lists == Similarity.adaptiveIvfLists(n) &&
+      meta.nProbe == Similarity.adaptiveIvfProbes(meta.lists) &&
+      meta.m == 8 && meta.ks == 16 && meta.rows == 301L)
+    val direct = collectTopKBy(
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", K, n = n), "adist")
+    val indexed = collectTopKBy(
+      AnnIndex.ivfPqTopKIndexed(spark, dir, queries, "vec_id", "embedding", K), "adist")
+    assert(indexed.nonEmpty && indexed == direct)
+    // the probed-list union reaches the compressed scan as a partition
+    // filter, like the raw-IVF index
+    val one = AnnIndex.ivfPqTopKIndexed(spark, dir, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", K)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("listp"), plan.take(1200))
+    // codes/ carries only the id + m codes — never the raw vectors
+    val codeCols = spark.read.parquet(s"$dir/codes").columns.toSet
+    assert(codeCols == (Set("neighbor_id", "listp") ++ (0 until 8).map(i => s"code_$i")),
+      codeCols.mkString(","))
+  }
+
+  test("ivfPqIndexAppend: parity with the in-flight operator on the pinned geometry") {
+    val dir = tempDir("ann-ivfpq-append")
+    val n = emb.count()
+    // geometry (centroids + codebooks) pins at build time from the
+    // build half; the append encodes only the batch against it. The
+    // in-flight operator replays the SAME geometry via its injection
+    // seam, so the answers must be frame-identical over the union.
+    val built = AnnIndex.ivfPqIndexWrite(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", dir, n = n)
+    val appended = AnnIndex.ivfPqIndexAppend(spark, dir,
+      emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+    assert(appended.rows == 301L && appended.lists == built.lists)
+    val cents = AnnIndex.ivfCentroids(spark, dir)
+    val books = AnnIndex.ivfPqCodebooks(spark, dir)
+    val direct = collectTopKBy(
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", K,
+        nProbe = built.nProbe, trainedCentroids = Some(cents),
+        trainedCodebooks = Some(books)), "adist")
+    val indexed = collectTopKBy(
+      AnnIndex.ivfPqTopKIndexed(spark, dir, queries, "vec_id", "embedding", K), "adist")
+    assert(indexed.nonEmpty && indexed == direct)
+    // appended rows are probe-visible: a batch-half id can be a neighbor
+    assert(indexed.exists(t => t._3 % 2 != 0), indexed.take(10).toString)
+  }
+
   test("probe-side broadcast/shuffle tiers produce identical answers (forced cap)") {
     // the probe explosion (queries × tables × keys) overflows a
     // broadcast past ~256 MB — measured torrent-broadcast death at 1 M
