@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Margin-based bitext candidate mining (Artetxe & Schwenk, ACL 2019
+  * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+  * Embeddings" — the LASER/CCMatrix recipe): a cross-corpus pair
+  * (src, tgt) is a translation candidate when its cosine stands out
+  * FROM EACH SIDE'S NEIGHBORHOOD, not merely when it is high — raw
+  * cosine thresholds fail under hubness (some vectors are near
+  * everything). The ratio margin rescales each pair's cosine by the
+  * mean cosine of both endpoints' k nearest neighbors:
+  *
+  *   margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+  *
+  * and pairs with margin > ~1 (better than both neighborhoods'
+  * average) are mined, best-first.
+  *
+  * Spark shape: two ranked top-k lists (forward src→tgt, backward
+  * tgt→src) are the ONLY corpus-scale work — here the exact
+  * [[Similarity.bruteTopK]] so the DuckDB oracle can replay every
+  * rank; at 100 TB swap the list maker for any approximate tier
+  * ([[Similarity.lshTopK]], or a persisted [[AnnIndex]] probe) via
+  * [[marginFromLists]], which takes the lists as data. Everything
+  * after the lists is rank-scale, not corpus-scale: two k-row-per-
+  * anchor aggregates (the neighborhood sums), one join of the forward
+  * pairs onto the two sum tables, and a row-local integer margin.
+  *
+  * Determinism contract: cosines are the family's 4-decimal rounding,
+  * discretized to integer e4 units row-locally; neighborhood sums are
+  * then EXACT integer sums (order-independent under any partitioning)
+  * and the margin is one integer multiply-divide —
+  * `margin_micro = 2·cos_e4·cntA·cntB·10⁶ div (sumA·cntB + sumB·cntA)`
+  * (the cnt cross-multiplication is the avg-of-avgs in integer space;
+  * cnt < k at the corpus edge must divide exactly like the oracle).
+  * No libm, no float accumulation — the driver hashes bit-exact.
+  *
+  * Side ids must be disjoint across the two corpora (the usual
+  * cross-lingual setting; [[Similarity.bruteTopK]]'s self-pair
+  * exclusion compares ids, so a collision would silently drop a
+  * legitimate cross-side pair).
+  */
+object Bitext {
+
+  /** Mine margin-scored candidates with exact top-k lists (oracle
+    * path). Returns one row per forward top-k pair passing
+    * `minMarginMicro`: (src_id, tgt_id, cos_e4, margin_micro),
+    * strongest margin first per src. k is the neighborhood size (the
+    * paper uses 4).
+    */
+  def marginMine(
+      src: DataFrame,
+      tgt: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 4,
+      minMarginMicro: Long = 1000000L
+  ): DataFrame = {
+    val fwd = Similarity.bruteTopK(tgt, src, idCol, vecCol, k)
+    val bwd = Similarity.bruteTopK(src, tgt, idCol, vecCol, k)
+    marginFromLists(fwd, bwd, minMarginMicro)
+  }
+
+  /** The margin computation over ANY pair of ranked lists — the
+    * production seam: feed forward/backward lists from an approximate
+    * tier (LSH, IVF, a persisted index probe) and the margin math is
+    * unchanged. Lists must carry (query_id, neighbor_id, cos) with
+    * the family's 4-decimal cosine; the forward list's pairs are the
+    * candidates, both lists define the neighborhoods.
+    */
+  def marginFromLists(
+      fwd: DataFrame,
+      bwd: DataFrame,
+      minMarginMicro: Long
+  ): DataFrame = {
+    def e4(df: DataFrame) = df.select(
+      col("query_id"), col("neighbor_id"),
+      floor(col("cos") * 1e4 + 0.5).cast("long").as("cos_e4"))
+    val f = e4(fwd)
+    val b = e4(bwd)
+    // neighborhood sums: exact integer, order-independent; cnt kept
+    // for the corpus edge (an anchor with fewer than k neighbors)
+    val nnA = f.groupBy(col("query_id").as("src_id"))
+      .agg(sum("cos_e4").as("sum_a"), count(lit(1)).as("cnt_a"))
+    val nnB = b.groupBy(col("query_id").as("tgt_id"))
+      .agg(sum("cos_e4").as("sum_b"), count(lit(1)).as("cnt_b"))
+    f.select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"), col("cos_e4"))
+      .join(nnA, Seq("src_id"))
+      .join(nnB, Seq("tgt_id"))
+      // avg-of-avgs in integer space: 2·cos/(sumA/cntA + sumB/cntB)
+      .withColumn("denom", col("sum_a") * col("cnt_b") + col("sum_b") * col("cnt_a"))
+      // a non-positive neighborhood denominator means the margin ratio
+      // is meaningless (hostile all-negative neighborhoods) — excluded
+      .filter(col("denom") > 0)
+      .withColumn("margin_micro",
+        expr("2 * cos_e4 * cnt_a * cnt_b * 1000000 div denom"))
+      .filter(col("margin_micro") >= minMarginMicro)
+      .select("src_id", "tgt_id", "cos_e4", "margin_micro")
+  }
+}

@@ -261,6 +261,24 @@ ORDER BY vec_id, pos"""
         .orderBy("query_id", "rank")
     }),
 
+    // Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    // LASER/CCMatrix recipe): cross-corpus pairs whose cosine stands
+    // out from BOTH endpoints' k-NN neighborhood average — the hubness
+    // correction a raw cosine threshold lacks. Sides = the parity
+    // split of the embeddings table (disjoint ids); k = 4 (the
+    // paper's); margin floor 1.2 keeps only pairs 20% above their
+    // neighborhoods (39/36/48 rows at the three dev SFs — swept
+    // non-vacuous). Integer e4/micro margin math — no float
+    // accumulation anywhere (see ext/Bitext determinism contract).
+    "bitext_margin_mine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ext.Bitext.marginMine(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, minMarginMicro = 1200000L)
+        .orderBy("src_id", "tgt_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means clusters + within-cluster
     // cosine prune vs the min-id representative — paraphrase dedup at
     // LINEAR cost (one argmin + one cosine per vector; the all-pairs
@@ -685,6 +703,31 @@ FROM assigned s LEFT JOIN pruned p
 ORDER BY s.vec_id""",
     "ann_topk_pq" -> pqSql,
     "ann_topk_ivfpq" -> ivfPqSql,
-    "ann_topk_ivfpq_indexed" -> ivfPqSql
+    "ann_topk_ivfpq_indexed" -> ivfPqSql,
+
+    // states the margin semantics directly: both directions' exact
+    // brute rankings, neighborhood sums in integer e4 units, the
+    // avg-of-avgs margin as one integer multiply-divide (Spark `div`
+    // and DuckDB `//` agree on the positive values that can pass the
+    // floor)
+    "bitext_margin_mine" ->
+      s"""WITH pairs AS (
+  SELECT s.vec_id AS sid, t.vec_id AS tid, ${cosSql("s", "t")} AS cos
+  FROM embeddings s JOIN embeddings t ON s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+  WHERE ${normPosSql("s")} AND ${normPosSql("t")}),
+fwd AS (SELECT sid, tid, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS cos_e4,
+  row_number() OVER (PARTITION BY sid ORDER BY cos DESC, tid ASC) AS r FROM pairs),
+bwd AS (SELECT tid, sid, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS cos_e4,
+  row_number() OVER (PARTITION BY tid ORDER BY cos DESC, sid ASC) AS r FROM pairs),
+nna AS (SELECT sid, sum(cos_e4) AS sum_a, count(*) AS cnt_a FROM fwd WHERE r <= 4 GROUP BY 1),
+nnb AS (SELECT tid, sum(cos_e4) AS sum_b, count(*) AS cnt_b FROM bwd WHERE r <= 4 GROUP BY 1),
+cand AS (
+  SELECT f.sid, f.tid, f.cos_e4,
+    2*f.cos_e4*cnt_a*cnt_b*1000000 // (sum_a*cnt_b + sum_b*cnt_a) AS margin_micro
+  FROM fwd f JOIN nna USING (sid) JOIN nnb USING (tid)
+  WHERE f.r <= 4 AND (sum_a*cnt_b + sum_b*cnt_a) > 0)
+SELECT sid AS src_id, tid AS tgt_id, cos_e4, CAST(margin_micro AS BIGINT) AS margin_micro
+FROM cand WHERE margin_micro >= 1200000
+ORDER BY src_id, tgt_id"""
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ext.Bitext
+import org.apache.spark.sql.DataFrame
+
+/** Hand-computed pins for the margin-based bitext miner
+  * ([[graft.ext.Bitext]]): the 4-dim fixture has exact rational
+  * cosines, so every neighborhood sum and integer margin is derivable
+  * on paper — including the hubness behavior the operator exists for
+  * (a pair's raw cosine can be high while its margin is below 1
+  * because the endpoints' neighborhoods are themselves high).
+  */
+class BitextSpec extends SparkSuite {
+
+  // src ids even, tgt ids odd (disjoint — the operator contract).
+  // cosines: s0·t1 = 1.0, s0·t3 = 0.6, s0·t5 = 0;
+  //          s2·t1 = 0,   s2·t3 = 0.8, s2·t5 = 0.
+  private def srcDf: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+  }
+  private def tgtDf: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      // zero-norm row: excluded from both ranked lists (ANN family
+      // contract), so it appears in no neighborhood and no candidate
+      (7L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("margins match the hand computation; hubness demotes a high-cosine pair") {
+    // k=2 neighborhoods (e4 integer sums):
+    //   fwd s0: t1 (10000) + t3 (6000)            -> sum 16000, cnt 2
+    //   fwd s2: t3 (8000) + t1 (0, id-asc tiebreak)-> sum  8000, cnt 2
+    //   bwd t1: s0 (10000) + s2 (0)               -> sum 10000, cnt 2
+    //   bwd t3: s2 (8000) + s0 (6000)             -> sum 14000, cnt 2
+    // margins (2*cos*cntA*cntB*1e6 div (sumA*cntB + sumB*cntA)):
+    //   (0,1): 2*10000*4e6 div 52000 = 1538461
+    //   (0,3): 2* 6000*4e6 div 60000 =  800000  <- cos 0.6 but BELOW
+    //          its neighborhoods: the hubness cut
+    //   (2,3): 2* 8000*4e6 div 44000 = 1454545
+    //   (2,1): cos 0 -> 0
+    val rows = Bitext.marginMine(srcDf, tgtDf, "vec_id", "embedding",
+      k = 2, minMarginMicro = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set(
+      (0L, 1L, 10000L, 1538461L),
+      (2L, 3L, 8000L, 1454545L)), rows.toString)
+    // the demoted pair IS present below the floor, with the pinned margin
+    val all = Bitext.marginMine(srcDf, tgtDf, "vec_id", "embedding",
+      k = 2, minMarginMicro = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(all((0L, 3L)) == 800000L, all.toString)
+    assert(!all.keySet.exists(_._2 == 7L), "zero-norm target never a candidate")
+  }
+
+  test("corpus edge: cnt < k cross-multiplies exactly") {
+    // k=5 > |tgt|: fwd neighborhoods hold all 3 non-zero targets
+    // (sum s0 = 16000, cnt 3; sum s2 = 8000, cnt 3), bwd unchanged
+    // (cnt 2). (0,1): 2*10000*3*2*1e6 div (16000*2 + 10000*3) =
+    // 120e9 div 62000 = 1935483
+    val all = Bitext.marginMine(srcDf, tgtDf, "vec_id", "embedding",
+      k = 5, minMarginMicro = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(all((0L, 1L)) == 1935483L, all.toString)
+  }
+}
