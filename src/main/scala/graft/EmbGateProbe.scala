@@ -24,7 +24,14 @@ import org.apache.spark.sql.functions._
   * probe re-records IndexedEmbeddingGateSpec's identity pin at corpus
   * scale).
   *
-  * Usage: runMain graft.EmbGateProbe <sfDir> [batchRows=5000] [nBatches=3]
+  * Usage: runMain graft.EmbGateProbe <sfDir|synth:N:D> [batchRows=5000] [nBatches=3]
+  *
+  * `synth:N:D` swaps the corpus for N deterministic D-dim vectors
+  * (every 10th row a perturbation of the row 9 before it, so near-dup
+  * verdicts stay non-vacuous) — the HIGH-DIM regime the 64-dim
+  * testdata cannot reach: production text embeddings are 768-4096
+  * dims, where a slim sig row (tables × 16 B) is 1-2 orders below the
+  * vector row it replaces and the two gates should finally separate.
   */
 object EmbGateProbe {
   def main(args: Array[String]): Unit = {
@@ -46,8 +53,40 @@ object EmbGateProbe {
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
+    // a gate that cannot run the point at all (the r18 high-dim
+    // finding: the pre-fix in-flight gate's vector-carrying probe fold
+    // died on maxResultSize at 1024 dims) records -1, not a crash
+    def timedSafe(f: => Unit): Double =
+      try timed(f)._2 catch {
+        case e: Throwable =>
+          System.err.println(s"[emb-gate-probe] gate failed: ${e.getMessage}")
+          -1.0
+      }
 
-    val emb = Tables.embeddings(spark, dir)
+    val synth = "^synth:(\\d+):(\\d+)$".r
+    val (emb, dimUsed) = dir match {
+      case synth(nStr, dStr) =>
+        val nn = nStr.toLong; val d = dStr.toInt
+        // deterministic pseudo-random components via murmur3 hash —
+        // NOT sin(linear arg): correlated margins concentrate LSH
+        // buckets and the probe measures the fixture's skew, not the
+        // gate (the multimodal cal-fixture lesson). Every 10th row of
+        // the TOP half perturbs its bottom-half mirror, so tail
+        // batches carry genuine near-dups of STORED rows (a same-batch
+        // near never fires — the gate excludes its own partition).
+        // Timing fixture only, not an oracle surface.
+        def comps(idExpr: String) = s"transform(sequence(1, $d), " +
+          s"i -> cast((hash($idExpr, i) % 1000) / 1000.0 as float))"
+        val base = spark.range(nn).select(col("id").as("vec_id"),
+          expr(comps("vec_id")).as("embedding"))
+        val half = nn / 2
+        val near = expr(s"transform(sequence(1, $d), " +
+          s"i -> cast((hash(vec_id - $half, i) % 1000) / 1000.0 + 0.001 * cos(i) as float))")
+        (base.withColumn("embedding",
+          when(col("vec_id") % 10 === 9 && col("vec_id") >= half, near)
+            .otherwise(col("embedding"))), d)
+      case _ => (Tables.embeddings(spark, dir), 64)
+    }
     val n = emb.count()
     // vec_ids are NOT contiguous in the replicated corpora — rank the
     // ids once so the day-0/batch split is by position, not value
@@ -65,7 +104,7 @@ object EmbGateProbe {
     val depth = Dedup.multiprobeDepth(bits)
     val threshold = 0.45
     println(s"""{"probe":"emb_gate_shape","dir":"$dir","n":$n,""" +
-      s""""shape":"${tables}t x ${bits}b qd:$budget:$depth","batch_rows":$batchRows,""" +
+      s""""shape":"${tables}t x ${bits}b qd:$budget:$depth","dim":$dimUsed,"batch_rows":$batchRows,""" +
       s""""n_batches":$nBatches}""")
 
     val root = new java.io.File(
@@ -83,11 +122,11 @@ object EmbGateProbe {
     val (_, d0In) = timed(EmbeddingDedupGate.gateAndIngest(
       day0, "vec_id", "embedding", s"$inflight/store", s"$inflight/verdicts",
       threshold, batchId = 0L, tables = tables, bits = bits,
-      budget = budget, depth = depth))
+      budget = budget, depth = depth, dim = dimUsed))
     val (_, d0Ix) = timed(IndexedEmbeddingGate.gateAndIngest(
       day0, "vec_id", "embedding", s"$indexed/store", s"$indexed/verdicts",
       threshold, batchId = 0L, tables = tables, bits = bits,
-      budget = budget, depth = depth))
+      budget = budget, depth = depth, dim = dimUsed))
     println(s"""{"probe":"emb_gate_day0","dir":"$dir","store_rows":${n - batchRows * nBatches},""" +
       s""""inflight_secs":${fmt(d0In)},"indexed_secs":${fmt(d0Ix)}}""")
 
@@ -96,20 +135,22 @@ object EmbGateProbe {
       val (lo, hi) = batchCut(i)
       val batch = emb.filter(col("vec_id") >= lo && col("vec_id") <= hi)
       val bid = i + 1L
-      val (_, tIn) = timed(EmbeddingDedupGate.gateAndIngest(
+      val tIn = timedSafe(EmbeddingDedupGate.gateAndIngest(
         batch, "vec_id", "embedding", s"$inflight/store", s"$inflight/verdicts",
         threshold, batchId = bid, tables = tables, bits = bits,
-        budget = budget, depth = depth))
-      val (_, tIx) = timed(IndexedEmbeddingGate.gateAndIngest(
+        budget = budget, depth = depth, dim = dimUsed))
+      val tIx = timedSafe(IndexedEmbeddingGate.gateAndIngest(
         batch, "vec_id", "embedding", s"$indexed/store", s"$indexed/verdicts",
         threshold, batchId = bid, tables = tables, bits = bits,
-        budget = budget, depth = depth))
+        budget = budget, depth = depth, dim = dimUsed))
       def v(base: String) = spark.read.parquet(s"$base/verdicts")
         .filter(col(BatchTable.BatchCol) === bid)
         .select(verdictCols.map(col): _*)
-      val diff = v(inflight).exceptAll(v(indexed)).count() +
-        v(indexed).exceptAll(v(inflight)).count()
-      val dups = v(indexed).filter(!col("is_new")).count()
+      val diff =
+        if (tIn < 0 || tIx < 0) -1L
+        else v(inflight).exceptAll(v(indexed)).count() +
+          v(indexed).exceptAll(v(inflight)).count()
+      val dups = if (tIx < 0) -1L else v(indexed).filter(!col("is_new")).count()
       println(s"""{"probe":"emb_gate_batch","dir":"$dir","batch":$bid,""" +
         s""""rows":${batch.count()},"inflight_secs":${fmt(tIn)},""" +
         s""""indexed_secs":${fmt(tIx)},"dup_verdicts":$dups,"identical":${diff == 0}}""")

@@ -684,11 +684,18 @@ object Dedup {
 
     val hKeys = h.select(col("hid"), col("hv"),
       posexplode(graft.functions.AnnExprs.lshBuckets(col("hv"), planes)).as(Seq("t", "b")))
-    val bKeys = b.select(col("doc_id"), col("bv"),
+    // the broadcast probe fold is SLIM — the batch vector must not
+    // ride the tables × probe-keys expansion (measured: at 1024 dims a
+    // 5 k batch's vector-carrying fold serialized 6.3 GiB and died on
+    // spark.driver.maxResultSize before any task ran — EmbGateProbe
+    // synth:200000:1024); bv re-attaches map-side from the one-row-per-
+    // doc batch broadcast AFTER the bucket join
+    val bKeys = b.select(col("doc_id"),
       posexplode(graft.functions.AnnExprs.lshProbeKeys(col("bv"), planes, budget, depth))
         .as(Seq("t", "bs")))
-      .select(col("doc_id"), col("bv"), col("t"), explode(col("bs")).as("b"))
+      .select(col("doc_id"), col("t"), explode(col("bs")).as("b"))
     val scored = hKeys.join(broadcast(bKeys), Seq("t", "b"))
+      .join(broadcast(b), Seq("doc_id"))
       .withColumn("bn", sqrt(dot(col("bv"), col("bv"))))
       .withColumn("hn", sqrt(dot(col("hv"), col("hv"))))
       // zero-norm guard: 0/0 = NaN and NaN >= tau is TRUE under

@@ -43,6 +43,22 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * broadcast) and a candidate-proportional vector rehydrate — no
   * store-wide hashing, no vector bytes through the key fold.
   *
+  * MEASURED trade vs the (fixed) in-flight gate (EmbGateProbe at
+  * 200 k / 1 M × 64-dim and 200 k × 1024-dim stores —
+  * recordings/emb_gate_r18.jsonl): NOT the topK probes' 7.5× — the
+  * gate has no hot-bucket census to amortize. At dim 64 the in-flight
+  * gate wins (~11-13 s vs 15-19 s per 5 k batch at 1 M: one fused
+  * map-side pass beats sigs-scan + candidate rehydrate when a sig row
+  * costs as much as the 64-dim vector row it replaces); at 1024 dims
+  * the two are within local-mode noise. This gate's structural edge —
+  * fold bytes fixed at 16 B/row while the in-flight fold's payload
+  * grows ∝ dim (32 × 8.2 KB/row at 1024 dims) — is a
+  * scan/shuffle-bytes argument local NVMe hides; on a real cluster
+  * pick by dim × batch size. (The probe's bigger catch was in the
+  * in-flight operator itself: its pre-fix probe fold broadcast the
+  * batch VECTORS through the tables × keys expansion and died on
+  * maxResultSize at 1024 dims — see Dedup.incrementalEmbeddingDups.)
+  *
   * Both sinks and the two store tables run [[BatchTable]]'s lifecycle:
   * partitioned by the foreachBatch batchId with dynamic overwrite
   * (replay overwrites, never duplicates), history reads exclude the
@@ -115,9 +131,13 @@ object IndexedEmbeddingGate {
           val cand = hSigs.join(broadcast(bKeys), Seq("t", "b"))
             .select("doc_id", "hid").distinct()
           // rehydrate ONLY surviving candidates; deterministic per-pair
-          // cosine makes score-after-distinct == score-then-distinct
+          // cosine makes score-after-distinct == score-then-distinct.
+          // UNHINTED: when the candidate set fits a broadcast (the
+          // common small-batch case) AQE keeps the store map-side; a
+          // forced shuffle_hash measured a full store exchange on
+          // every batch (EmbGateProbe, 1M store)
           val scored = cand
-            .join(hVec.hint("shuffle_hash"), Seq("hid"))
+            .join(hVec, Seq("hid"))
             .join(broadcast(b), Seq("doc_id"))
             .withColumn("bn", sqrt(dot(col("bv"), col("bv"))))
             .withColumn("hn", sqrt(dot(col("hv"), col("hv"))))
