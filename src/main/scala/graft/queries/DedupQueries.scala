@@ -563,7 +563,7 @@ ORDER BY id_a, id_b"""
     * bits) so every parameterization of the operator gets the same
     * oracle rigor.
     */
-  private def embLshPlanes(tables: Int, bits: Int): String =
+  private[queries] def embLshPlanes(tables: Int, bits: Int): String =
     graft.ext.Similarity.hyperplanes(tables, bits, dim = 64, seed = 42L)
       .zipWithIndex.flatMap { case (table, t) =>
         table.zipWithIndex.map { case (p, bit) =>

@@ -279,6 +279,25 @@ ORDER BY vec_id, pos"""
         .orderBy("src_id", "tgt_id")
     }),
 
+    // The production seam under the oracle: the SAME margin math over
+    // APPROXIMATE ranked lists — pinned 8x8 exact-collision lshTopK on
+    // each side (cross-side bucket candidates, exact cosine re-rank) —
+    // proving Bitext.marginFromLists composes with an ANN tier without
+    // touching the margin contract. The oracle replays the per-side
+    // bucket tables from the same sequential-plane literals, takes
+    // cross-side collisions, and runs the identical integer margin.
+    // (BucketCap's 100k hot-bucket drop is a no-op at every dev SF —
+    // side tables top out at 2k rows.)
+    "bitext_margin_mine_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val tgt = emb.filter(col("vec_id") % 2 === 1)
+      val fwd = Similarity.lshTopK(tgt, src, "vec_id", "embedding", 4, tables = 8, bits = 8)
+      val bwd = Similarity.lshTopK(src, tgt, "vec_id", "embedding", 4, tables = 8, bits = 8)
+      graft.ext.Bitext.marginFromLists(fwd, bwd, minMarginMicro = 1200000L)
+        .orderBy("src_id", "tgt_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means clusters + within-cluster
     // cosine prune vs the min-id representative — paraphrase dedup at
     // LINEAR cost (one argmin + one cosine per vector; the all-pairs
@@ -719,6 +738,43 @@ fwd AS (SELECT sid, tid, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS cos_e4,
   row_number() OVER (PARTITION BY sid ORDER BY cos DESC, tid ASC) AS r FROM pairs),
 bwd AS (SELECT tid, sid, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS cos_e4,
   row_number() OVER (PARTITION BY tid ORDER BY cos DESC, sid ASC) AS r FROM pairs),
+nna AS (SELECT sid, sum(cos_e4) AS sum_a, count(*) AS cnt_a FROM fwd WHERE r <= 4 GROUP BY 1),
+nnb AS (SELECT tid, sum(cos_e4) AS sum_b, count(*) AS cnt_b FROM bwd WHERE r <= 4 GROUP BY 1),
+cand AS (
+  SELECT f.sid, f.tid, f.cos_e4,
+    2*f.cos_e4*cnt_a*cnt_b*1000000 // (sum_a*cnt_b + sum_b*cnt_a) AS margin_micro
+  FROM fwd f JOIN nna USING (sid) JOIN nnb USING (tid)
+  WHERE f.r <= 4 AND (sum_a*cnt_b + sum_b*cnt_a) > 0)
+SELECT sid AS src_id, tid AS tgt_id, cos_e4, CAST(margin_micro AS BIGINT) AS margin_micro
+FROM cand WHERE margin_micro >= 1200000
+ORDER BY src_id, tgt_id""",
+
+    // the approximate seam: per-side 8x8 sequential-plane bucket
+    // tables, cross-side collisions as the candidate lists, then the
+    // identical integer margin over the LSH-ranked top-4
+    "bitext_margin_mine_lsh" ->
+      s"""WITH planes(t, bit, plane) AS (VALUES
+${DedupQueries.embLshPlanes(8, 8)}),
+buckets AS (
+  SELECT e.vec_id, e.vec_id % 2 AS side, p.t,
+    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, $Dim),
+        i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) >= 0
+      THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS b
+  FROM embeddings e CROSS JOIN planes p
+  WHERE ${normPosSql("e")}
+  GROUP BY 1, 2, 3),
+coll AS (
+  SELECT DISTINCT s.vec_id AS sid, t2.vec_id AS tid
+  FROM buckets s JOIN buckets t2 ON s.t = t2.t AND s.b = t2.b
+    AND s.side = 0 AND t2.side = 1),
+scored AS (
+  SELECT sid, tid, ${cosSql("a", "b")} AS cos
+  FROM coll JOIN embeddings a ON a.vec_id = sid
+            JOIN embeddings b ON b.vec_id = tid),
+fwd AS (SELECT sid, tid, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS cos_e4,
+  row_number() OVER (PARTITION BY sid ORDER BY cos DESC, tid ASC) AS r FROM scored),
+bwd AS (SELECT tid, sid, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS cos_e4,
+  row_number() OVER (PARTITION BY tid ORDER BY cos DESC, sid ASC) AS r FROM scored),
 nna AS (SELECT sid, sum(cos_e4) AS sum_a, count(*) AS cnt_a FROM fwd WHERE r <= 4 GROUP BY 1),
 nnb AS (SELECT tid, sum(cos_e4) AS sum_b, count(*) AS cnt_b FROM bwd WHERE r <= 4 GROUP BY 1),
 cand AS (
