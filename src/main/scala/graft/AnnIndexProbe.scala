@@ -59,9 +59,12 @@ object AnnIndexProbe {
       AnnIndex.lshIndexWrite(emb, "vec_id", "embedding", s"$idxRoot/lsh", n = n))
     val (ivfMeta, ivfBuild) = timed(
       AnnIndex.ivfIndexWrite(emb, "vec_id", "embedding", s"$idxRoot/ivf", n = n))
+    val (pqMeta, pqBuild) = timed(
+      AnnIndex.ivfPqIndexWrite(emb, "vec_id", "embedding", s"$idxRoot/ivfpq", n = n))
     println(s"""{"probe":"ann_index_build","dir":"$dir","n":$n,""" +
       s""""lsh_build_secs":${fmt(lshBuild)},"lsh_shape":"${lshMeta.tables}t x ${lshMeta.bits}b",""" +
-      s""""ivf_build_secs":${fmt(ivfBuild)},"ivf_shape":"${ivfMeta.lists}L x ${ivfMeta.nProbe}P"}""")
+      s""""ivf_build_secs":${fmt(ivfBuild)},"ivf_shape":"${ivfMeta.lists}L x ${ivfMeta.nProbe}P",""" +
+      s""""ivfpq_build_secs":${fmt(pqBuild)},"ivfpq_shape":"${pqMeta.lists}L x ${pqMeta.nProbe}P x m${pqMeta.m}"}""")
 
     qcounts.foreach { qcount =>
       val qs = emb.filter(col("vec_id") < qcount)
@@ -82,13 +85,20 @@ object AnnIndexProbe {
       val (ivfProbe, ivfProbeSecs) = timed(
         pairsOf(AnnIndex.ivfTopKIndexed(spark, s"$idxRoot/ivf", qs, "vec_id", "embedding", k,
           queriesCount = qcount)))
+      val (pqDirect, pqDirectSecs) = timed(
+        pairsOf(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, n = n)))
+      val (pqProbe, pqProbeSecs) = timed(
+        pairsOf(AnnIndex.ivfPqTopKIndexed(spark, s"$idxRoot/ivfpq", qs, "vec_id", "embedding", k,
+          queriesCount = qcount)))
 
       println(s"""{"probe":"ann_index","dir":"$dir","n":$n,"k":$k,"queries":$qcount,""" +
         s""""brute":{"secs":${fmt(bruteSecs)}},""" +
         s""""lsh_direct":{"secs":${fmt(lshDirectSecs)},"recall_pct":${fmt(recall(lshDirect))}},""" +
         s""""lsh_probe":{"secs":${fmt(lshProbeSecs)},"recall_pct":${fmt(recall(lshProbe))},"identical_to_direct":${lshProbe == lshDirect}},""" +
         s""""ivf_direct":{"secs":${fmt(ivfDirectSecs)},"recall_pct":${fmt(recall(ivfDirect))}},""" +
-        s""""ivf_probe":{"secs":${fmt(ivfProbeSecs)},"recall_pct":${fmt(recall(ivfProbe))},"identical_to_direct":${ivfProbe == ivfDirect}}}""")
+        s""""ivf_probe":{"secs":${fmt(ivfProbeSecs)},"recall_pct":${fmt(recall(ivfProbe))},"identical_to_direct":${ivfProbe == ivfDirect}},""" +
+        s""""ivfpq_direct":{"secs":${fmt(pqDirectSecs)},"recall_pct":${fmt(recall(pqDirect))}},""" +
+        s""""ivfpq_probe":{"secs":${fmt(pqProbeSecs)},"recall_pct":${fmt(recall(pqProbe))},"identical_to_direct":${pqProbe == pqDirect}}}""")
     }
     spark.stop()
   }

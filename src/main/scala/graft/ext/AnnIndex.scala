@@ -426,7 +426,7 @@ object AnnIndex {
     * (AnnIndexSpec pins it). Returns the persisted meta.
     */
   def ivfPqIndexWrite(
-      corpus: DataFrame,
+      corpus0: DataFrame,
       idCol: String,
       vecCol: String,
       path: String,
@@ -439,6 +439,11 @@ object AnnIndex {
   ): IvfPqMeta = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
+    // L2-normalized like the in-flight tier (Similarity.normalizedSide
+    // — L2 monotone in cosine on unit vectors; zero-norm rows out), so
+    // the persisted codes can never disagree with the in-flight
+    // encoding
+    val corpus = Similarity.normalizedSide(corpus0, idCol, vecCol)
     val spark = corpus.sparkSession
     import spark.implicits._
     val nn = Dedup.corpusCount(corpus, n, "ivfPqIndexWrite")
@@ -503,7 +508,7 @@ object AnnIndex {
   def ivfPqIndexAppend(
       spark: SparkSession,
       path: String,
-      batch: DataFrame,
+      batch0: DataFrame,
       idCol: String,
       vecCol: String
   ): IvfPqMeta = {
@@ -512,6 +517,7 @@ object AnnIndex {
     val cents = ivfCentroids(spark, path)
     val codebooks = readCodebooks(spark, path, meta)
     val codeIds = Array.tabulate(meta.ks)(_ + 1L)
+    val batch = Similarity.normalizedSide(batch0, idCol, vecCol)
     val vd = col(vecCol).cast("array<double>")
     batch
       .repartition(spark.sparkContext.defaultParallelism)
@@ -557,16 +563,26 @@ object AnnIndex {
   def ivfPqTopKIndexed(
       spark: SparkSession,
       path: String,
-      queries: DataFrame,
+      queries0: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
       nProbe: Int = 0,
       queriesCount: Long = -1L,
-      probeBroadcastMax: Long = Similarity.ProbeBroadcastMaxBytes
+      probeBroadcastMax: Long = Similarity.ProbeBroadcastMaxBytes,
+      // the FAISS-style refine layer: ADC ranks a rerank×k shortlist,
+      // then exact cosine over `rerankFrom` (the COLD raw-vector
+      // table — the index deliberately stores only codes; the re-rank
+      // reads raw vectors for the shortlist only, point-lookup-sized)
+      rerank: Int = 0,
+      rerankFrom: Option[DataFrame] = None
   ): DataFrame = {
+    require(rerank <= 0 || rerankFrom.nonEmpty,
+      "rerank needs rerankFrom: the IVF-PQ index stores codes only — " +
+        "pass the raw-vector table the shortlist rehydrates from")
     val meta = ivfPqMeta(spark, path)
     val sub = meta.dim / meta.m
+    val queries = Similarity.normalizedSide(queries0, idCol, vecCol)
     val probeCount = if (nProbe > 0) nProbe else meta.nProbe
     val codebooks = readCodebooks(spark, path, meta)
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
@@ -597,12 +613,16 @@ object AnnIndex {
     val probeSide = if (qn <= maxQ) broadcast(probeSide0) else probeSide0
     val adist = (0 until meta.m).map(mi =>
       element_at(col(s"dt_$mi"), col(s"code_$mi").cast("int"))).reduce(_ + _)
-    Similarity.rankedTopK(
+    val adc = Similarity.rankedTopK(
       codes.join(probeSide, Seq("listp"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("adist", round(adist, 4))
         .select("query_id", "neighbor_id", "adist"),
-      "adist", scoreDesc = false, k)
+      "adist", scoreDesc = false, if (rerank > 0) rerank * k else k)
+    if (rerank <= 0) adc
+    else Similarity.rerankShortlist(adc,
+      Similarity.normalizedSide(rerankFrom.get, idCol, vecCol),
+      queries, idCol, vecCol, k)
   }
 
   // ------------------------------------------------------------------

@@ -44,6 +44,19 @@ object VectorOps {
     when(d === lit(0.0), lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Row-local L2 normalization to a unit `array<double>` — the step
+    * that makes L2 ranking monotone in cosine (‖a−b‖² = 2 − 2·cos on
+    * unit vectors), i.e. what lets the PQ tier answer the ANN family's
+    * COSINE contract through its L2 ADC tables. Division and sqrt are
+    * IEEE-exact, so the oracle's `x / sqrt(Σx²)` spelling is
+    * bit-identical. NOT total: exclude zero-norm rows first (ANSI
+    * divide-by-zero — the ANN family contract).
+    */
+  def l2normalize(a: Column): Column = {
+    val n = norm(a)
+    transform(a.cast("array<double>"), x => x / n)
+  }
+
   /** Squared L2 distance (cheaper than cosine when vectors are
     * pre-normalized: monotone-equivalent ranking).
     */

@@ -279,6 +279,23 @@ ORDER BY vec_id, pos"""
         .orderBy("src_id", "tgt_id")
     }),
 
+    // IVF-PQ with the exact-cosine RE-RANK layer (FAISS's IVFPQR
+    // refine) — the recall recovery the pure-ADC tier measurably
+    // needs: on the i.i.d.-random fixture (PQ's worst case — no
+    // correlation structure to exploit) pure ADC@ks=16 recalls 1.6 %
+    // of the cosine top-5 at 200 k vectors (recordings/
+    // ann_index_r18.jsonl) because quantization noise ties thousands
+    // of candidates; ADC ranks a 100×k shortlist instead and exact
+    // cosine re-ranks it, recovering recall toward the IVF nProbe
+    // ceiling at shortlist-proportional raw-vector IO. ks=64 here so
+    // the certified branch is the production-leaning codebook size.
+    "ann_topk_ivfpq_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K,
+        ks = 64, n = emb.count(), rerank = 100)
+        .orderBy("query_id", "rank")
+    }),
+
     // The production seam under the oracle: the SAME margin math over
     // APPROXIMATE ranked lists — pinned 8x8 exact-collision lshTopK on
     // each side (cross-side bucket candidates, exact cosine re-rank) —
@@ -508,15 +525,33 @@ WHERE rank <= $K ORDER BY query_id, rank"""
   /** l2sq between subspace `m` of a raw vector row alias and a codeword
     * list alias, folded in index order.
     */
+  /** ADC sub-distance over the NORMALIZED view's `nv` components (the
+    * operator L2-normalizes both sides before the subspace split —
+    * L2 on unit vectors is monotone in cosine, the family contract).
+    */
   private def pqSubDist(vec: String): String =
     s"""list_sum(list_transform(generate_series(1, $PqSub),
-      i -> (CAST($vec.embedding[cb.m * $PqSub + i] AS DOUBLE) - cb.cw[i])
-         * (CAST($vec.embedding[cb.m * $PqSub + i] AS DOUBLE) - cb.cw[i])))"""
+      i -> ($vec.nv[cb.m * $PqSub + i] - cb.cw[i])
+         * ($vec.nv[cb.m * $PqSub + i] - cb.cw[i])))"""
+
+  /** The PQ tier's input view: zero-norm rows out, components divided
+    * by the row norm — IEEE-exact division, bit-identical to
+    * Similarity.normalizedSide.
+    */
+  private val nembCte =
+    s"""nemb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)
+    / sqrt(list_sum(list_transform(embedding,
+        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+  FROM embeddings
+  WHERE list_sum(list_transform(embedding,
+        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0)"""
 
   private val pqSql =
-    s"""WITH seedv AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+    s"""WITH $nembCte,
+seedv AS (
+  SELECT vec_id, nv AS v
+  FROM nemb
   ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
   LIMIT $PqKs),
 seeds AS (
@@ -531,10 +566,10 @@ enc AS (
     SELECT e.vec_id, cb.m, cb.k,
       row_number() OVER (PARTITION BY e.vec_id, cb.m
         ORDER BY ${pqSubDist("e")} ASC, cb.k ASC) AS r
-    FROM embeddings e CROSS JOIN cb) t WHERE r = 1),
+    FROM nemb e CROSS JOIN cb) t WHERE r = 1),
 dt AS (
   SELECT q.vec_id AS query_id, cb.m, cb.k, ${pqSubDist("q")} AS d
-  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10),
+  FROM nemb q CROSS JOIN cb WHERE q.vec_id < 10),
 pd AS (
   SELECT dt.query_id, enc.vec_id AS neighbor_id, enc.m, dt.d
   FROM enc JOIN dt ON dt.m = enc.m AND dt.k = enc.code
@@ -554,33 +589,47 @@ WHERE rank <= $K ORDER BY query_id, rank"""
     * pqSql's codebook/encode/distance-table CTEs — candidates come from
     * probed lists, distances from code lookups, both replayed exactly.
     */
-  private val ivfPqSql =
-    s"""WITH nrows AS (SELECT count(*) AS n FROM embeddings),
+  /** l2sq between two normalized-view aliases (both carry `nv`). */
+  private def l2sqNSql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, $Dim),
+      i -> ($a.nv[i] - $b.nv[i]) * ($a.nv[i] - $b.nv[i])))"""
+
+  private val ivfPqSql = ivfPqSqlFor(PqKs, 0)
+
+  /** Parameterized IVF-PQ oracle: codebook size `ks` and the optional
+    * exact-cosine RE-RANK tail (rerankMult > 0 ⇒ the ADC ranking
+    * becomes a shortlist of rerankMult×K, re-ranked by exact cosine
+    * over the normalized view — the FAISS-style refine layer the
+    * operator's `rerank` arg runs).
+    */
+  private def ivfPqSqlFor(ks: Int, rerankMult: Int): String =
+    s"""WITH $nembCte,
+nrows AS (SELECT count(*) AS n FROM embeddings),
 lsel AS (SELECT COALESCE(min(CAST(1 AS BIGINT) << p), 65536) AS L
          FROM generate_series(4, 16) g(p), nrows
          WHERE (CAST(1 AS BIGINT) << p) * (CAST(1 AS BIGINT) << p) >= n),
 psel AS (SELECT GREATEST(3, L // 8) AS P FROM lsel),
 centroids AS (
-  SELECT list, embedding FROM (
-    SELECT vec_id AS list, embedding,
+  SELECT list, nv FROM (
+    SELECT vec_id AS list, nv,
       row_number() OVER (ORDER BY
         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS r
-    FROM embeddings), lsel WHERE r <= L),
+    FROM nemb), lsel WHERE r <= L),
 assigned AS (
   SELECT list, neighbor_id FROM (
     SELECT ct.list, c.vec_id AS neighbor_id,
       row_number() OVER (PARTITION BY c.vec_id
-        ORDER BY ${l2sqSql("c", "ct")} ASC, ct.list ASC) AS r
-    FROM embeddings c CROSS JOIN centroids ct) t WHERE r = 1),
+        ORDER BY ${l2sqNSql("c", "ct")} ASC, ct.list ASC) AS r
+    FROM nemb c CROSS JOIN centroids ct) t WHERE r = 1),
 probes AS (
   SELECT query_id, list FROM (
     SELECT q.vec_id AS query_id, ct.list,
       row_number() OVER (PARTITION BY q.vec_id
-        ORDER BY ${l2sqSql("q", "ct")} ASC, ct.list ASC) AS r
-    FROM embeddings q CROSS JOIN centroids ct WHERE q.vec_id < 10) t, psel WHERE r <= P),
+        ORDER BY ${l2sqNSql("q", "ct")} ASC, ct.list ASC) AS r
+    FROM nemb q CROSS JOIN centroids ct WHERE q.vec_id < 10) t, psel WHERE r <= P),
 seedv AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  SELECT vec_id, nv AS v
+  FROM nemb
   ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
   LIMIT $PqKs),
 seeds AS (
@@ -595,10 +644,10 @@ enc AS (
     SELECT e.vec_id, cb.m, cb.k,
       row_number() OVER (PARTITION BY e.vec_id, cb.m
         ORDER BY ${pqSubDist("e")} ASC, cb.k ASC) AS r
-    FROM embeddings e CROSS JOIN cb) t WHERE r = 1),
+    FROM nemb e CROSS JOIN cb) t WHERE r = 1),
 dt AS (
   SELECT q.vec_id AS query_id, cb.m, cb.k, ${pqSubDist("q")} AS d
-  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10),
+  FROM nemb q CROSS JOIN cb WHERE q.vec_id < 10),
 cand AS (
   SELECT p.query_id, a.neighbor_id
   FROM probes p JOIN assigned a USING (list)
@@ -614,9 +663,23 @@ ad AS (
 ranked AS (
   SELECT query_id, neighbor_id, adist,
     row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
-  FROM ad)
+  FROM ad)${if (rerankMult <= 0) s"""
 SELECT query_id, rank, neighbor_id, adist FROM ranked
-WHERE rank <= $K ORDER BY query_id, rank"""
+WHERE rank <= $K ORDER BY query_id, rank""" else s""",
+short AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= ${K * rerankMult}),
+rr AS (
+  SELECT s.query_id, s.neighbor_id,
+    round(list_sum(list_transform(generate_series(1, $Dim), i -> q.nv[i] * c.nv[i]))
+      / (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.nv[i] * q.nv[i])))
+       * sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> c.nv[i] * c.nv[i])))), 4) AS cos
+  FROM short s JOIN nemb q ON q.vec_id = s.query_id
+               JOIN nemb c ON c.vec_id = s.neighbor_id),
+ranked2 AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM rr)
+SELECT query_id, rank, neighbor_id, cos FROM ranked2
+WHERE rank <= $K ORDER BY query_id, rank"""}"""
 
   val oracleSql: Map[String, String] = Map(
     "ann_topk_brute" ->
@@ -723,6 +786,7 @@ ORDER BY s.vec_id""",
     "ann_topk_pq" -> pqSql,
     "ann_topk_ivfpq" -> ivfPqSql,
     "ann_topk_ivfpq_indexed" -> ivfPqSql,
+    "ann_topk_ivfpq_rerank" -> ivfPqSqlFor(64, 100),
 
     // states the margin semantics directly: both directions' exact
     // brute rankings, neighborhood sums in integer e4 units, the

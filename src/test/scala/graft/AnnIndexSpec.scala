@@ -153,7 +153,7 @@ class AnnIndexSpec extends SparkSuite {
     assert(AnnIndex.ivfPqMeta(spark, dir) == meta)
     assert(meta.lists == Similarity.adaptiveIvfLists(n) &&
       meta.nProbe == Similarity.adaptiveIvfProbes(meta.lists) &&
-      meta.m == 8 && meta.ks == 16 && meta.rows == 301L)
+      meta.m == 8 && meta.ks == 16 && meta.rows == 300L)  // zero-norm row excluded
     val direct = collectTopKBy(
       Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", K, n = n), "adist")
     val indexed = collectTopKBy(
@@ -171,6 +171,28 @@ class AnnIndexSpec extends SparkSuite {
       codeCols.mkString(","))
   }
 
+  test("ivfPq rerank: indexed refine answers the in-flight refine exactly; cos contract") {
+    val dir = tempDir("ann-ivfpq-rerank")
+    val n = emb.count()
+    AnnIndex.ivfPqIndexWrite(emb, "vec_id", "embedding", dir, n = n)
+    val direct = collectTopK(
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", K, n = n, rerank = 10))
+    val indexed = collectTopK(
+      AnnIndex.ivfPqTopKIndexed(spark, dir, queries, "vec_id", "embedding", K,
+        rerank = 10, rerankFrom = Some(emb)))
+    assert(indexed.nonEmpty && indexed == direct)
+    // the refined output speaks the family's cosine contract (desc,
+    // in [-1, 1]) — not ADC distance
+    assert(direct.forall(t => t._4 <= 1.0001 && t._4 >= -1.0001))
+    assert(direct.groupBy(_._1).values.forall(g =>
+      g.sortBy(_._2).map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1))))
+    // rerank without a raw-vector table fails fast
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.ivfPqTopKIndexed(spark, dir, queries, "vec_id", "embedding", K, rerank = 10)
+    }
+    assert(e.getMessage.contains("rerankFrom"))
+  }
+
   test("ivfPqIndexAppend: parity with the in-flight operator on the pinned geometry") {
     val dir = tempDir("ann-ivfpq-append")
     val n = emb.count()
@@ -182,7 +204,7 @@ class AnnIndexSpec extends SparkSuite {
       "vec_id", "embedding", dir, n = n)
     val appended = AnnIndex.ivfPqIndexAppend(spark, dir,
       emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
-    assert(appended.rows == 301L && appended.lists == built.lists)
+    assert(appended.rows == 300L && appended.lists == built.lists)
     val cents = AnnIndex.ivfCentroids(spark, dir)
     val books = AnnIndex.ivfPqCodebooks(spark, dir)
     val direct = collectTopKBy(
