@@ -240,8 +240,15 @@ object AnnIndex {
                 else sigs.join(qx, Seq("t", "b")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
+    // the qv rehydrate has its own (much larger) broadcast bound; qn
+    // above is truncated at the slim-tier maxQ+1, so it must NOT gate
+    // this decision — a truncated count passes for any set size and
+    // broadcasts unconditionally (r18 review catch)
+    val maxQv = probeBroadcastMax / 304L
+    val qvn = if (queriesCount >= 0L) queriesCount
+              else qBase.limit(math.min(maxQv + 1L, Int.MaxValue.toLong).toInt).count()
     val qvSide =
-      if (qn * 304L <= probeBroadcastMax) broadcast(qBase)
+      if (qvn <= maxQv) broadcast(qBase)
       else qBase
     val scored = cand
       .join(spark.read.parquet(s"$path/vectors").hint("shuffle_hash"), Seq("neighbor_id"))
@@ -464,8 +471,13 @@ object AnnIndex {
       .collect().map(_.getSeq[Double](0).toArray)
     val codebooks: Array[Array[Array[Double]]] =
       Array.tabulate(m)(mi => seeds.map(s => s.slice(mi * sub, (mi + 1) * sub)))
-    val codeIds = Array.tabulate(ks)(_ + 1L)
-    (for (mi <- 0 until m; ci <- 0 until ks)
+    // effective ks: a corpus smaller than ks yields fewer seed rows —
+    // persist (and record in meta) the codebook actually built, like
+    // the in-flight operator (r18 review catch: the 0-until-ks loop
+    // indexed past a short codebook)
+    val ksEff = seeds.length
+    val codeIds = Array.tabulate(ksEff)(_ + 1L)
+    (for (mi <- 0 until m; ci <- 0 until ksEff)
       yield (mi, codeIds(ci), codebooks(mi)(ci).toSeq))
       .toDF("mi", "code", "cw").repartition(1)
       .write.mode("overwrite").parquet(s"$path/codebooks")
@@ -485,13 +497,16 @@ object AnnIndex {
       .repartition(col("listp"))
       .write.mode("overwrite").partitionBy("listp").parquet(s"$path/codes")
     val stored = spark.read.parquet(s"$path/codes").count()
-    val meta = IvfPqMeta(lists, probeCount, m, ks, dim, nn, stored)
+    val meta = IvfPqMeta(lists, probeCount, m, ksEff, dim, nn, stored)
+    writeIvfPqMeta(spark, path, meta)
+    meta
+  }
+
+  private def writeIvfPqMeta(spark: SparkSession, path: String, meta: IvfPqMeta): Unit =
     writeMeta(spark, path, KindIvfPq,
       Seq("lists" -> meta.lists.toLong, "nProbe" -> meta.nProbe.toLong,
         "m" -> meta.m.toLong, "ks" -> meta.ks.toLong, "dim" -> meta.dim.toLong,
         "n" -> meta.n, "rows" -> meta.rows))
-    meta
-  }
 
   /** Load the persisted IVF-PQ meta (fails fast on a non-IVF-PQ index). */
   def ivfPqMeta(spark: SparkSession, path: String): IvfPqMeta = {
@@ -531,10 +546,7 @@ object AnnIndex {
       .repartition(col("listp"))
       .write.mode("append").partitionBy("listp").parquet(s"$path/codes")
     val updated = meta.copy(rows = spark.read.parquet(s"$path/codes").count())
-    writeMeta(spark, path, KindIvfPq,
-      Seq("lists" -> updated.lists.toLong, "nProbe" -> updated.nProbe.toLong,
-        "m" -> updated.m.toLong, "ks" -> updated.ks.toLong,
-        "dim" -> updated.dim.toLong, "n" -> updated.n, "rows" -> updated.rows))
+    writeIvfPqMeta(spark, path, updated)
     updated
   }
 

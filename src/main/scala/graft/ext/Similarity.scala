@@ -262,8 +262,16 @@ object Similarity {
         val cvecs = corpus
           .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
           .filter(VectorOps.norm(col("cv")) > 0)
+        // the rehydrate broadcast has its OWN (much larger) bound than
+        // the probe-fold's, so it needs its OWN LIMITed decision count:
+        // qn above is truncated at maxQ+1 — reusing it here would pass
+        // the test for ANY query set size and broadcast unconditionally
+        // (r18 review catch)
+        val maxQv = probeBroadcastMax / (40L + 4L * dim)
+        val qvn = if (queriesCount >= 0L) queriesCount
+                  else qBase.limit(math.min(maxQv + 1L, Int.MaxValue.toLong).toInt).count()
         val qvecs =
-          if (qn * (40L + 4L * dim) <= probeBroadcastMax) broadcast(qBase)
+          if (qvn <= maxQv) broadcast(qBase)
           else qBase.hint("shuffle_hash")
         cand.join(cvecs.hint("shuffle_hash"), Seq("neighbor_id"))
           .join(qvecs, Seq("query_id"))
@@ -432,7 +440,9 @@ object Similarity {
       .collect().map(_.getSeq[Double](0).toArray)
     val codebooks: Array[Array[Array[Double]]] =
       Array.tabulate(m)(mi => seeds.map(s => s.slice(mi * sub, (mi + 1) * sub)))
-    val codeIds = Array.tabulate(ks)(_ + 1L)
+    // effective ks: a corpus smaller than ks yields fewer seed rows,
+    // and the code-id table must match the codebook it indexes
+    val codeIds = Array.tabulate(seeds.length)(_ + 1L)
 
     val vd = col(vecCol).cast("array<double>")
     val encoded = corpus
@@ -490,7 +500,10 @@ object Similarity {
       shortlist.select("query_id", "neighbor_id")
         .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
           Seq("neighbor_id"))
-        .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))),
+        // UNHINTED: a forced broadcast here would defeat the caller's
+        // probe-side tier switch on a beyond-broadcast query set (r18
+        // review catch); AQE broadcasts the query frame when it fits
+        .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
           Seq("query_id"))
         .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
         .select("query_id", "neighbor_id", "cos"),
@@ -561,7 +574,9 @@ object Similarity {
       val seeds = hashSeeds()
       Array.tabulate(m)(mi => seeds.map(s => s.slice(mi * sub, (mi + 1) * sub)))
     }
-    val codeIds = Array.tabulate(ks)(_ + 1L)
+    // effective ks from the codebook actually built (a corpus smaller
+    // than ks yields fewer codewords; injected books set their own)
+    val codeIds = Array.tabulate(codebooks.headOption.map(_.length).getOrElse(ks))(_ + 1L)
 
     val vd = col(vecCol).cast("array<double>")
     // one corpus pass: list + m codes, all row-local argmins

@@ -287,12 +287,17 @@ ORDER BY vec_id, pos"""
     // ann_index_r18.jsonl) because quantization noise ties thousands
     // of candidates; ADC ranks a 100×k shortlist instead and exact
     // cosine re-ranks it, recovering recall toward the IVF nProbe
-    // ceiling at shortlist-proportional raw-vector IO. ks=64 here so
-    // the certified branch is the production-leaning codebook size.
+    // ceiling at shortlist-proportional raw-vector IO. ks=64, R=10
+    // here: the 50-row shortlist is SMALLER than the per-query probed
+    // candidate set at every dev SF, so the cell genuinely certifies
+    // the ADC ordering choosing the shortlist (an R large enough to
+    // cover all candidates would make the cell codebook-independent —
+    // the r18 review's vacuity catch, which also found the oracle
+    // ignoring its ks parameter).
     "ann_topk_ivfpq_rerank" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K,
-        ks = 64, n = emb.count(), rerank = 100)
+        ks = 64, n = emb.count(), rerank = 10)
         .orderBy("query_id", "rank")
     }),
 
@@ -631,7 +636,7 @@ seedv AS (
   SELECT vec_id, nv AS v
   FROM nemb
   ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
-  LIMIT $PqKs),
+  LIMIT $ks),
 seeds AS (
   SELECT row_number() OVER (ORDER BY
     CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS k, v
@@ -786,7 +791,7 @@ ORDER BY s.vec_id""",
     "ann_topk_pq" -> pqSql,
     "ann_topk_ivfpq" -> ivfPqSql,
     "ann_topk_ivfpq_indexed" -> ivfPqSql,
-    "ann_topk_ivfpq_rerank" -> ivfPqSqlFor(64, 100),
+    "ann_topk_ivfpq_rerank" -> ivfPqSqlFor(64, 10),
 
     // states the margin semantics directly: both directions' exact
     // brute rankings, neighborhood sums in integer e4 units, the
