@@ -91,11 +91,16 @@ object EmbGateProbe {
     // vec_ids are NOT contiguous in the replicated corpora — rank the
     // ids once so the day-0/batch split is by position, not value
     val ids = emb.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
-    val day0Max = ids(math.max(0, (n - batchRows * nBatches - 1).toInt))
+    // fail loud instead of clamping: a clamp would overlap the day-0
+    // ingest with batch 1 on the same rows and double-ingest them
+    // (r18 advice)
+    require(n > batchRows.toLong * nBatches,
+      s"corpus n=$n must exceed batchRows*nBatches=${batchRows.toLong * nBatches}")
+    val day0Max = ids((n - batchRows * nBatches - 1).toInt)
     def batchCut(i: Int): (Long, Long) = {
       val lo = (n - batchRows * (nBatches - i)).toInt
       val hi = (n - batchRows * (nBatches - i - 1) - 1).toInt
-      (ids(math.max(0, lo)), ids(math.max(0, hi)))
+      (ids(lo), ids(hi))
     }
 
     val bits = Dedup.adaptiveLshBits(n)

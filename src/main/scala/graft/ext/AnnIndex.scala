@@ -243,8 +243,11 @@ object AnnIndex {
     // the qv rehydrate has its own (much larger) broadcast bound; qn
     // above is truncated at the slim-tier maxQ+1, so it must NOT gate
     // this decision — a truncated count passes for any set size and
-    // broadcasts unconditionally (r18 review catch)
-    val maxQv = probeBroadcastMax / 304L
+    // broadcasts unconditionally (r18 review catch). Row size follows
+    // the INDEX's dim (a hard-coded dim-64 size underestimated a
+    // 1024-dim index's rows ~13x, letting the broadcast blow past the
+    // cap the bound exists to enforce — r18 advice)
+    val maxQv = probeBroadcastMax / (40L + 4L * meta.dim)
     val qvn = if (queriesCount >= 0L) queriesCount
               else qBase.limit(math.min(maxQv + 1L, Int.MaxValue.toLong).toInt).count()
     val qvSide =
@@ -453,7 +456,9 @@ object AnnIndex {
     val corpus = Similarity.normalizedSide(corpus0, idCol, vecCol)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val nn = Dedup.corpusCount(corpus, n, "ivfPqIndexWrite")
+    // adaptive shape from the PRE-filter frame — matches the oracle's
+    // count(*) and the in-flight ivfPqTopK (r18 advice)
+    val nn = Dedup.corpusCount(corpus0, n, "ivfPqIndexWrite")
     val lists = if (numCentroids > 0) numCentroids else Similarity.adaptiveIvfLists(nn)
     val probeCount = if (nProbe > 0) nProbe else Similarity.adaptiveIvfProbes(lists)
     val cents = Similarity.seedCentroids(corpus, idCol, vecCol, lists)

@@ -556,10 +556,14 @@ object Similarity {
     // L² >= n, P = max(3, L/8) — constant ~1/8 scan fraction. The PQ
     // codebook size `ks` stays fixed: code granularity is a
     // compression-accuracy trade, not an occupancy one.
+    // adaptive shape derives from the PRE-filter frame (corpus0): the
+    // DuckDB oracle's count(*) counts all rows, so a corpus whose
+    // zero-norm-filtered count straddles a power-of-two boundary must
+    // not get a different list count than the oracle (r18 advice)
     val lists =
       if (numCentroids > 0) numCentroids
       else trainedCentroids.map(_.size).getOrElse(
-        adaptiveIvfLists(Dedup.corpusCount(corpus, n, "ivfPqTopK")))
+        adaptiveIvfLists(Dedup.corpusCount(corpus0, n, "ivfPqTopK")))
     val probeCount = if (nProbe > 0) nProbe else adaptiveIvfProbes(lists)
     val cents = trainedCentroids.getOrElse(
       seedCentroids(corpus, idCol, vecCol, lists)).toArray
@@ -759,13 +763,15 @@ object Similarity {
       .withColumn(vecCol, VectorOps.l2normalize(col(vecCol)))
 
   /** The nProbe nearest centroid lists per query for the PQ tier —
-    * like [[ivfQueryProbes]] but WITHOUT the zero-norm query exclusion
-    * (PQ ranks by plain L² through the ADC tables, no cosine divide,
-    * so a zero query is legal and must rank like any other) and
-    * without carrying `qv` (ADC distances come from the code lookup,
-    * never the raw query vector). Shared by [[ivfPqTopK]] and
-    * [[AnnIndex.ivfPqTopKIndexed]] so the probed-list choice cannot
-    * drift between the in-flight and persisted-index paths.
+    * like [[ivfQueryProbes]] but without re-applying a zero-norm
+    * filter (every caller — [[ivfPqTopK]], [[AnnIndex.ivfPqTopKIndexed]]
+    * — feeds queries through [[normalizedSide]] first, so zero-norm
+    * queries are already excluded TIER-WIDE by the normalized
+    * contract; a second filter here would be dead code) and without
+    * carrying `qv` (ADC distances come from the code lookup, never
+    * the raw query vector). Shared by both callers so the probed-list
+    * choice cannot drift between the in-flight and persisted-index
+    * paths.
     */
   private[ext] def pqQueryProbes(
       queries: DataFrame,

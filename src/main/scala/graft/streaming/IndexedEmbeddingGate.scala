@@ -73,6 +73,46 @@ object IndexedEmbeddingGate {
   /** Partition column keying all four tables by micro-batch. */
   val BatchCol: String = BatchTable.BatchCol
 
+  /** The geometry a store's persisted signature rows pin: planes are a
+    * pure function of (tables, bits, seed, dim), and probe keys of
+    * those plus (budget, depth). Persisted once at the first ingest
+    * under `storeDir/shape`; every later gate FAILS FAST on a
+    * mismatch — silently probing an 8x8 store with 16x12 keys would
+    * produce wrong near-dup candidates with no error (r18 advice).
+    */
+  final case class GateShape(tables: Int, bits: Int, budget: Int,
+      depth: Int, seed: Long, dim: Int)
+
+  private def shapePath(storeDir: String) = s"$storeDir/shape"
+
+  private def writeShape(spark: SparkSession, storeDir: String, s: GateShape): Unit = {
+    import spark.implicits._
+    Seq((s.tables, s.bits, s.budget, s.depth, s.seed, s.dim))
+      .toDF("tables", "bits", "budget", "depth", "seed", "dim")
+      .repartition(1).write.mode("overwrite").parquet(shapePath(storeDir))
+  }
+
+  /** The pinned shape of an existing store, if one was ever ingested. */
+  def readShape(spark: SparkSession, storeDir: String): Option[GateShape] = {
+    val p = new org.apache.hadoop.fs.Path(shapePath(storeDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else spark.read.parquet(shapePath(storeDir)).collect().headOption.map(r =>
+      GateShape(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getInt(5)))
+  }
+
+  private def pinOrCheckShape(spark: SparkSession, storeDir: String,
+      s: GateShape): Unit =
+    readShape(spark, storeDir) match {
+      case Some(pinned) =>
+        require(pinned == s,
+          s"IndexedEmbeddingGate store at $storeDir pins shape $pinned " +
+            s"but this gate was called with $s — the persisted signature " +
+            "rows ARE the geometry; re-shaping means re-ingest")
+      case None => writeShape(spark, storeDir, s)
+    }
+
   /** The foreachBatch body, usable directly in batch code: gate
     * `batch` against the persisted signature index at `storeDir`
     * (absent/empty ⇒ everything is new — day 1), write verdicts to
@@ -100,6 +140,9 @@ object IndexedEmbeddingGate {
   ): Unit = {
     import graft.functions.DotProductExpr.dot
     val spark = batch.sparkSession
+    // first ingest pins the shape on disk; every later gate (including
+    // one routed through start()) fails fast on a mismatch
+    pinOrCheckShape(spark, storeDir, GateShape(tables, bits, budget, depth, seed, dim))
     val planes = Similarity.hyperplanesPrefix(tables, bits, dim, seed)
     // cast ONCE at ingest: the store holds array<double> so no later
     // batch re-casts history (float->double is exact, so the exact
@@ -185,6 +228,10 @@ object IndexedEmbeddingGate {
   /** Wire the gate onto a stream: one [[gateAndIngest]] per
     * micro-batch, AvailableNow + checkpoint so each batch gates exactly
     * once across restarts; the engine-supplied batchId keys all sinks.
+    * Shape parameters thread through to [[gateAndIngest]] (r18 advice:
+    * a hard-wired default here silently mixed geometries with a store
+    * built at a non-default shape — now the store's pinned shape also
+    * fails the first mismatched batch fast).
     */
   def start(
       stream: DataFrame,
@@ -193,11 +240,18 @@ object IndexedEmbeddingGate {
       storeDir: String,
       verdictDir: String,
       checkpointDir: String,
-      threshold: Double
+      threshold: Double,
+      tables: Int = 8,
+      bits: Int = 8,
+      budget: Int = 3,
+      depth: Int = 2,
+      seed: Long = 42L,
+      dim: Int = 64
   ): StreamingQuery =
     stream.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        gateAndIngest(b, idCol, vecCol, storeDir, verdictDir, threshold, batchId)
+        gateAndIngest(b, idCol, vecCol, storeDir, verdictDir, threshold, batchId,
+          tables, bits, budget, depth, seed, dim)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

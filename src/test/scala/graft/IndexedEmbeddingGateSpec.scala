@@ -117,6 +117,35 @@ class IndexedEmbeddingGateSpec extends SparkSuite {
       "sig store holds exactly tables rows per non-zero vector after replay")
   }
 
+  test("store pins its shape: start() threads a non-default shape, a mismatched gate fails fast") {
+    val dir = tempDir("graft-idxgate-shape")
+    val schema = dfOf(b0).schema
+    dfOf(b0).write.mode("overwrite").parquet(s"$dir/in")
+    // day 1 through start() at a NON-default shape — r18's advice found
+    // start() hard-wiring the default and silently mixing geometries
+    IndexedEmbeddingGate.start(
+      graft.streaming.StreamingExtract.source(spark, s"$dir/in", schema),
+      "vec_id", "embedding", s"$dir/store", s"$dir/verdicts", s"$dir/ckpt",
+      threshold = 0.45, tables = 16, bits = 12)
+      .awaitTermination(120000)
+    assert(IndexedEmbeddingGate.readShape(spark, s"$dir/store")
+      .contains(IndexedEmbeddingGate.GateShape(16, 12, 3, 2, 42L, 64)))
+    // a default-shape gate against the 16x12 store must fail fast, not
+    // probe wrong geometry silently
+    val e = intercept[IllegalArgumentException] {
+      IndexedEmbeddingGate.gateAndIngest(dfOf(b1), "vec_id", "embedding",
+        s"$dir/store", s"$dir/verdicts", threshold = 0.45, batchId = 1L)
+    }
+    assert(e.getMessage.contains("shape"), e.getMessage)
+    // the matching shape gates cleanly and still finds the near-dup
+    IndexedEmbeddingGate.gateAndIngest(dfOf(b1), "vec_id", "embedding",
+      s"$dir/store", s"$dir/verdicts", threshold = 0.45, batchId = 1L,
+      tables = 16, bits = 12)
+    val day2 = spark.read.parquet(s"$dir/verdicts")
+      .filter(col("doc_id") === 12L).select(verdictCols.map(col): _*).collect().head
+    assert(day2.getLong(1) == 1L && !day2.getBoolean(4), s"exact tier: $day2")
+  }
+
   test("streaming lifecycle via start(): checkpointed day-2 run gates only the new files") {
     val dir = tempDir("graft-idxgate-stream")
     val schema = dfOf(b0).schema
