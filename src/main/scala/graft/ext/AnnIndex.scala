@@ -23,10 +23,10 @@ import org.apache.spark.sql.functions._
   *     row instead of the in-flight frame's vector-carrying rows, so
   *     the T-fold signature expansion costs T×16B/vector on disk, not
   *     T×|vector| — with the hot-bucket census ([[BucketCap.dropHot]])
-  *     already applied at build time; `vectors/` holds each surviving
-  *     vector ONCE. A probe is: broadcast query probe keys → bucket
-  *     join on (t, b) → distinct slim pairs → shuffle-hash join back
-  *     to `vectors/` → map-side cosine against the broadcast query
+  *     kept in its own small `hot/` blocklist; `vectors/` holds each
+  *     surviving vector ONCE. A probe is: broadcast query probe keys →
+  *     bucket join on (t, b) → distinct slim pairs → shuffle-hash join
+  *     back to `vectors/` → map-side cosine against the broadcast query
   *     vectors → per-query top-k. Cosine is deterministic per pair, so
   *     scoring after the distinct is result-identical to the in-flight
   *     operator's score-then-distinct (AnnIndexSpec pins frame
@@ -41,27 +41,52 @@ import org.apache.spark.sql.functions._
   *     the partition column's type between corpora whose list ids do or
   *     don't exceed Int range (list ids are corpus vector ids).
   *
-  * Both indexes carry a one-row `meta/` table (kind, shape, dim, seed,
-  * corpus count) — the probe side reconstructs the EXACT plane set /
-  * probe discipline from it, so an index built at one derived shape is
-  * never probed at another. Reading an index of the wrong kind fails
-  * fast.
+  * == Crash-safe mutations (manifest commits) ==
+  *
+  * Every mutation (build, append, compact) writes its rows into a NEW
+  * batch-stamped directory (`sigs/batch=c00002/`, `lists/batch=c00002/
+  * listp=…/`) and COMMITS by writing a one-file manifest under `meta/`
+  * via create-temp-then-rename — atomic on any sane filesystem. The
+  * manifest is a SNAPSHOT: it names the complete batch-directory set a
+  * reader may touch (plus the shape fields and, for LSH, which hot
+  * census epoch applies). Probes read ONLY manifest-listed batches, so
+  * a mutation killed between its sigs-append and its vectors-append
+  * leaves orphan directories that no probe ever sees — the r18 layout's
+  * torn-append hole (signature rows whose candidates silently vanished
+  * at the rehydrate join) is structurally impossible: a torn index IS
+  * the previous index. AnnIndexSpec kills a simulated append between
+  * the two data writes and pins probe identity with the pre-append
+  * index.
+  *
+  * [[lshIndexCompact]] folds the committed batch generations into one
+  * (N daily appends = N file generations scanned by every probe
+  * otherwise) — row-identical by construction, committed by the same
+  * manifest discipline; superseded directories are left on disk until
+  * [[vacuum]] removes everything the current manifest no longer
+  * references.
+  *
+  * Both indexes carry the shape (kind, tables/bits or lists/nProbe,
+  * dim, seed, corpus count) in the manifest — the probe side
+  * reconstructs the EXACT plane set / probe discipline from it, so an
+  * index built at one derived shape is never probed at another.
+  * Reading an index of the wrong kind fails fast, and a probe against
+  * an index whose stored rows outgrew the build-time shape `n` by more
+  * than 10× fails fast too (the derived signature width / list count
+  * assumed occupancy at `n` — rebuild instead of silently degrading).
   */
 object AnnIndex {
 
-  /** LSH index shape descriptor, persisted at `meta/`. `n` is the
-    * corpus size the SHAPE was derived from (pinned at build — size it
-    * for the target corpus when building ahead of appends); `rows` is
-    * the currently stored vector count, maintained by
-    * [[lshIndexAppend]]. Rebuild when `rows` outgrows `n` by a decade:
-    * the derived signature width assumes occupancy ~4 at `n`.
+  /** LSH index shape descriptor. `n` is the corpus size the SHAPE was
+    * derived from (pinned at build — size it for the target corpus when
+    * building ahead of appends); `rows` is the currently stored vector
+    * count, maintained by [[lshIndexAppend]]. A probe fails fast once
+    * `rows > 10×n` (see class doc).
     */
   final case class LshMeta(tables: Int, bits: Int, dim: Int, seed: Long,
       maxBucket: Int, n: Long, rows: Long)
 
-  /** IVF index shape descriptor, persisted at `meta/`. `n`/`rows` as
-    * in [[LshMeta]]: list count pinned at build, `rows` maintained by
-    * [[ivfIndexAppend]].
+  /** IVF index shape descriptor. `n`/`rows` as in [[LshMeta]]: list
+    * count pinned at build, `rows` maintained by [[ivfIndexAppend]].
     */
   final case class IvfMeta(lists: Int, nProbe: Int, dim: Int, n: Long, rows: Long)
 
@@ -79,12 +104,14 @@ object AnnIndex {
   // ------------------------------------------------------------------
 
   /** Build and persist the LSH index for `corpus` under `path`
-    * (`sigs/`, `vectors/`, `meta/`). Shape derivation is byte-identical
-    * to the adaptive [[Similarity.lshTopK]]: derived signature width
-    * ([[Dedup.adaptiveLshBits]]), coupled table count
+    * (`sigs/`, `vectors/`, `hot/`, `meta/`). Shape derivation is
+    * byte-identical to the adaptive [[Similarity.lshTopK]]: derived
+    * signature width ([[Dedup.adaptiveLshBits]]), coupled table count
     * ([[Dedup.multiprobeTables]]), prefix-stable planes, zero-norm
-    * corpus vectors excluded, buckets above `maxBucket` dropped.
-    * Returns the persisted meta.
+    * corpus vectors excluded, buckets above `maxBucket` dropped at
+    * probe time via the `hot/` blocklist. Any previous index at `path`
+    * is removed first (a stale higher-epoch manifest must never shadow
+    * the fresh build). Returns the persisted meta.
     */
   def lshIndexWrite(
       corpus: DataFrame,
@@ -97,6 +124,7 @@ object AnnIndex {
       n: Long = -1L
   ): LshMeta = {
     val spark = corpus.sparkSession
+    deleteDir(spark, path)
     val nn = Dedup.corpusCount(corpus, n, "lshIndexWrite")
     val bits = Dedup.adaptiveLshBits(nn)
     val tables = Dedup.multiprobeTables(bits)
@@ -105,6 +133,7 @@ object AnnIndex {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .filter(VectorOps.norm(col("cv")) > 0)
+    val tok = tokenOf(1)
     // sigs are stored UNCAPPED; the hot-bucket census lives in its own
     // small `hot/` blocklist so [[lshIndexAppend]] can maintain it
     // without rewriting the signature table (a bucket crossing the cap
@@ -112,47 +141,56 @@ object AnnIndex {
     // never resurrect the rows it already threw away)
     base.select(col("neighbor_id"),
       posexplode(AnnExprs.lshBuckets(col("cv"), planes)).as(Seq("t", "b")))
-      .write.mode("overwrite").parquet(s"$path/sigs")
-    base.write.mode("overwrite").parquet(s"$path/vectors")
-    refreshLshHot(spark, path, maxBucket)
-    val stored = spark.read.parquet(s"$path/vectors").count()
+      .write.mode("overwrite").parquet(s"$path/sigs/batch=$tok")
+    base.write.mode("overwrite").parquet(s"$path/vectors/batch=$tok")
+    writeLshHot(spark, path, Seq(tok), maxBucket, tok)
+    val stored = spark.read.parquet(s"$path/vectors/batch=$tok").count()
     val meta = LshMeta(tables, bits, dim, seed, maxBucket, nn, stored)
-    writeLshMeta(spark, path, meta)
+    commit(spark, path, Manifest(KindLsh, 1, Seq(tok), tok, lshFields(meta)))
     meta
   }
 
-  /** Recompute the hot-bucket blocklist from the slim signature table —
-    * one map-side-partial count over 16-byte rows, never touching
-    * vectors. Pigeonhole-bounded output (≤ rows·tables/cap buckets), so
-    * the probe side can broadcast it.
+  /** Recompute the hot-bucket blocklist from the named signature
+    * batches — one map-side-partial count over 16-byte rows, never
+    * touching vectors — and persist it under the mutation's own epoch
+    * token (`hot/<tok>`): the manifest names which census a reader
+    * applies, so a crash after the census but before the commit leaves
+    * the previous (consistent) census in force. Pigeonhole-bounded
+    * output (≤ rows·tables/cap buckets), so the probe side can
+    * broadcast it.
     */
-  private def refreshLshHot(spark: SparkSession, path: String, maxBucket: Int): Unit = {
-    val hot = spark.read.parquet(s"$path/sigs")
+  private def writeLshHot(spark: SparkSession, path: String,
+      sigBatches: Seq[String], maxBucket: Int, tok: String): Unit =
+    readBatches(spark, s"$path/sigs", sigBatches)
       .groupBy("t", "b").agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") > maxBucket)
       .select("t", "b")
-    // stage-then-move: hot/ is an input of the census's own read path
-    // on a future refresh only via sigs/, so a direct overwrite is
-    // safe; keep it one atomic parquet write
-    hot.write.mode("overwrite").parquet(s"$path/hot")
-  }
+      .write.mode("overwrite").parquet(s"$path/hot/$tok")
 
-  private def writeLshMeta(spark: SparkSession, path: String, meta: LshMeta): Unit =
-    writeMeta(spark, path, KindLsh,
-      Seq("tables" -> meta.tables.toLong, "bits" -> meta.bits.toLong,
-        "dim" -> meta.dim.toLong, "seed" -> meta.seed,
-        "maxBucket" -> meta.maxBucket.toLong, "n" -> meta.n,
-        "rows" -> meta.rows))
+  private def lshFields(meta: LshMeta): Seq[(String, Long)] =
+    Seq("tables" -> meta.tables.toLong, "bits" -> meta.bits.toLong,
+      "dim" -> meta.dim.toLong, "seed" -> meta.seed,
+      "maxBucket" -> meta.maxBucket.toLong, "n" -> meta.n,
+      "rows" -> meta.rows)
+
+  private def lshMetaOf(man: Manifest): LshMeta = {
+    val m = man.fields
+    LshMeta(m("tables").toInt, m("bits").toInt, m("dim").toInt, m("seed"),
+      m("maxBucket").toInt, m("n"), m("rows"))
+  }
 
   /** Append a batch of new vectors to a persisted LSH index WITHOUT
     * re-hashing the existing corpus — the daily-batch maintenance path:
-    * hash only the batch with the index's pinned planes, append its
-    * slim sigs and vectors, then recompute the hot-bucket blocklist
-    * from the signature table (slim scan; see [[refreshLshHot]]).
-    * Batch ids must be disjoint from the stored ids (caller contract,
-    * same as any corpus union). The SHAPE stays pinned at the build's
-    * `n` — build with `n` sized for the target corpus, and rebuild
-    * when `rows` outgrows it by a decade. Returns the updated meta.
+    * hash only the batch with the index's pinned planes, write its slim
+    * sigs and vectors into a NEW batch directory, recompute the
+    * hot-bucket blocklist over the union (slim scan; see
+    * [[writeLshHot]]), then commit the manifest naming the enlarged
+    * batch set — the LAST step, so a crash anywhere before it leaves
+    * the previous index fully intact (orphan dirs only). Batch ids must
+    * be disjoint from the stored ids (caller contract, same as any
+    * corpus union). The SHAPE stays pinned at the build's `n` — build
+    * with `n` sized for the target corpus; probes fail fast when `rows`
+    * outgrows `10×n`. Returns the updated meta.
     */
   def lshIndexAppend(
       spark: SparkSession,
@@ -161,37 +199,70 @@ object AnnIndex {
       idCol: String,
       vecCol: String
   ): LshMeta = {
-    val meta = lshMeta(spark, path)
+    val man = readManifest(spark, path, KindLsh)
+    val meta = lshMetaOf(man)
     val planes = Similarity.hyperplanesPrefix(meta.tables, meta.bits, meta.dim, meta.seed)
+    val tok = tokenOf(man.epoch + 1)
     val base = batch
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .filter(VectorOps.norm(col("cv")) > 0)
+    // mode overwrite: a torn previous attempt at this epoch left
+    // uncommitted leftovers in exactly these dirs — replace, never mix
     base.select(col("neighbor_id"),
       posexplode(AnnExprs.lshBuckets(col("cv"), planes)).as(Seq("t", "b")))
-      .write.mode("append").parquet(s"$path/sigs")
-    base.write.mode("append").parquet(s"$path/vectors")
-    refreshLshHot(spark, path, meta.maxBucket)
-    val updated = meta.copy(rows = spark.read.parquet(s"$path/vectors").count())
-    writeLshMeta(spark, path, updated)
+      .write.mode("overwrite").parquet(s"$path/sigs/batch=$tok")
+    base.write.mode("overwrite").parquet(s"$path/vectors/batch=$tok")
+    writeLshHot(spark, path, man.batches :+ tok, meta.maxBucket, tok)
+    val added = spark.read.parquet(s"$path/vectors/batch=$tok").count()
+    val updated = meta.copy(rows = meta.rows + added)
+    commit(spark, path,
+      Manifest(KindLsh, man.epoch + 1, man.batches :+ tok, tok, lshFields(updated)))
     updated
   }
 
-  /** Load the persisted LSH meta (fails fast on a non-LSH index). */
-  def lshMeta(spark: SparkSession, path: String): LshMeta = {
-    val m = readMeta(spark, path, KindLsh)
-    LshMeta(m("tables").toInt, m("bits").toInt, m("dim").toInt, m("seed"),
-      m("maxBucket").toInt, m("n"), m("rows"))
+  /** Fold the committed batch generations of `sigs/` and `vectors/`
+    * into ONE batch directory — the maintenance pass after a run of
+    * [[lshIndexAppend]]s (N appends = N parquet generations scanned by
+    * every probe; measured at 20 appends in
+    * recordings/ann_compact_r19.jsonl). Row-identical by construction
+    * (the same rows, re-clustered), committed by the same
+    * manifest-last discipline, so probes anywhere in the window see
+    * either the multi-batch or the compacted index — never a mix.
+    * Superseded directories stay on disk for in-flight readers until
+    * [[vacuum]]. No-op (returns the current meta) when the index
+    * already has a single batch.
+    */
+  def lshIndexCompact(spark: SparkSession, path: String): LshMeta = {
+    val man = readManifest(spark, path, KindLsh)
+    val meta = lshMetaOf(man)
+    if (man.batches.size <= 1) return meta
+    val tok = tokenOf(man.epoch + 1)
+    readBatches(spark, s"$path/sigs", man.batches)
+      .select("neighbor_id", "t", "b")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$path/sigs/batch=$tok")
+    readBatches(spark, s"$path/vectors", man.batches)
+      .select("neighbor_id", "cv")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$path/vectors/batch=$tok")
+    writeLshHot(spark, path, Seq(tok), meta.maxBucket, tok)
+    commit(spark, path,
+      Manifest(KindLsh, man.epoch + 1, Seq(tok), tok, lshFields(meta)))
+    meta
   }
+
+  /** Load the persisted LSH meta (fails fast on a non-LSH index). */
+  def lshMeta(spark: SparkSession, path: String): LshMeta =
+    lshMetaOf(readManifest(spark, path, KindLsh))
 
   /** Approximate top-k against a persisted LSH index — the amortized
     * probe side of [[Similarity.lshTopK]]'s adaptive shape (flat deep
     * query-directed probing, [[Similarity.TopKProbeBudget]]:
     * [[Similarity.TopKProbeDepth]] unless overridden). Result frame is
     * identical to running the in-flight operator over the same corpus
-    * (AnnIndexSpec pins it): same planes, same capped buckets, same
-    * probe keys, same rounded cosine, same (score, neighbor_id)
-    * tie-break.
+    * (AnnIndexSpec pins it). Reads ONLY manifest-committed batch
+    * directories, so a torn concurrent mutation is invisible.
     */
   def lshTopKIndexed(
       spark: SparkSession,
@@ -205,7 +276,9 @@ object AnnIndex {
       queriesCount: Long = -1L,
       probeBroadcastMax: Long = Similarity.ProbeBroadcastMaxBytes
   ): DataFrame = {
-    val meta = lshMeta(spark, path)
+    val man = readManifest(spark, path, KindLsh)
+    val meta = lshMetaOf(man)
+    requireFresh(meta.n, meta.rows, path)
     val planes = Similarity.hyperplanesPrefix(meta.tables, meta.bits, meta.dim, meta.seed)
     val budget = if (probeBudget > 0) probeBudget else Similarity.TopKProbeBudget
     val depth = if (probeDepth > 0) probeDepth else Similarity.TopKProbeDepth
@@ -229,9 +302,12 @@ object AnnIndex {
     // and the broadcast query set supplies qv for the map-side cosine.
     // the hot blocklist is applied at probe time (broadcast anti-join,
     // map-side) — row-identical to a pre-capped store, and it stays
-    // correct across appends (see lshIndexWrite)
-    val sigs = spark.read.parquet(s"$path/sigs")
-      .join(broadcast(spark.read.parquet(s"$path/hot")), Seq("t", "b"), "left_anti")
+    // correct across appends (see lshIndexWrite); the manifest names
+    // WHICH census epoch applies, so blocklist and batch set can never
+    // be torn apart
+    val sigs = readBatches(spark, s"$path/sigs", man.batches)
+      .join(broadcast(spark.read.parquet(s"$path/hot/${man.hotTok}")),
+        Seq("t", "b"), "left_anti")
     // beyond the cap the join stays UNHINTED: AQE picks shuffle-hash
     // while the slim probe build fits executor memory and a spillable
     // sort-merge beyond (a forced shuffle_hash measured an unspillable
@@ -254,7 +330,8 @@ object AnnIndex {
       if (qvn <= maxQv) broadcast(qBase)
       else qBase
     val scored = cand
-      .join(spark.read.parquet(s"$path/vectors").hint("shuffle_hash"), Seq("neighbor_id"))
+      .join(readBatches(spark, s"$path/vectors", man.batches).hint("shuffle_hash"),
+        Seq("neighbor_id"))
       .join(qvSide, Seq("query_id"))
       .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
       .select("query_id", "neighbor_id", "cos")
@@ -271,7 +348,8 @@ object AnnIndex {
     * count ([[Similarity.adaptiveIvfLists]]), coupled probe count
     * ([[Similarity.adaptiveIvfProbes]]), hash-picked seed centroids —
     * pass `trainedCentroids` (e.g. [[Similarity.kmeansCentroids]]) to
-    * persist refined lists instead. Returns the persisted meta.
+    * persist refined lists instead. Any previous index at `path` is
+    * removed first. Returns the persisted meta.
     */
   def ivfIndexWrite(
       corpus: DataFrame,
@@ -285,6 +363,7 @@ object AnnIndex {
   ): IvfMeta = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    deleteDir(spark, path)
     val nn = Dedup.corpusCount(corpus, n, "ivfIndexWrite")
     val lists =
       if (numCentroids > 0) numCentroids
@@ -294,6 +373,7 @@ object AnnIndex {
       Similarity.seedCentroids(corpus, idCol, vecCol, lists))
     cents.toDF("list", "centv").repartition(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    val tok = tokenOf(1)
     corpus
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
@@ -307,24 +387,26 @@ object AnnIndex {
       // — 32k at 1 M vectors/1024 lists); clustered, each dir gets one
       // file per shuffle partition that holds it (~1)
       .repartition(col("listp"))
-      .write.mode("overwrite").partitionBy("listp").parquet(s"$path/lists")
-    val stored = spark.read.parquet(s"$path/lists").count()
+      .write.mode("overwrite").partitionBy("listp").parquet(s"$path/lists/batch=$tok")
+    val stored = spark.read.parquet(s"$path/lists/batch=$tok").count()
     val meta = IvfMeta(lists, probeCount,
       cents.headOption.map(_._2.length).getOrElse(64), nn, stored)
-    writeIvfMeta(spark, path, meta)
+    commit(spark, path, Manifest(KindIvf, 1, Seq(tok), tok, ivfFields(meta)))
     meta
   }
 
-  private def writeIvfMeta(spark: SparkSession, path: String, meta: IvfMeta): Unit =
-    writeMeta(spark, path, KindIvf,
-      Seq("lists" -> meta.lists.toLong, "nProbe" -> meta.nProbe.toLong,
-        "dim" -> meta.dim.toLong, "n" -> meta.n, "rows" -> meta.rows))
+  private def ivfFields(meta: IvfMeta): Seq[(String, Long)] =
+    Seq("lists" -> meta.lists.toLong, "nProbe" -> meta.nProbe.toLong,
+      "dim" -> meta.dim.toLong, "n" -> meta.n, "rows" -> meta.rows)
 
-  /** Load the persisted IVF meta (fails fast on a non-IVF index). */
-  def ivfMeta(spark: SparkSession, path: String): IvfMeta = {
-    val m = readMeta(spark, path, KindIvf)
+  private def ivfMetaOf(man: Manifest): IvfMeta = {
+    val m = man.fields
     IvfMeta(m("lists").toInt, m("nProbe").toInt, m("dim").toInt, m("n"), m("rows"))
   }
+
+  /** Load the persisted IVF meta (fails fast on a non-IVF index). */
+  def ivfMeta(spark: SparkSession, path: String): IvfMeta =
+    ivfMetaOf(readManifest(spark, path, KindIvf))
 
   /** The persisted centroids, in (list, centv) driver form — bounded by
     * the IVF contract (centroids are driver-small).
@@ -336,11 +418,12 @@ object AnnIndex {
       .sortBy(_._1).toSeq
 
   /** Append a batch to a persisted IVF index: assign only the batch
-    * against the PINNED centroids and append its rows into the list
-    * partitions — no reassignment of the stored corpus, no centroid
-    * drift (retrain + rebuild when the corpus outgrows the build's
-    * `n`). Batch ids must be disjoint from the stored ids. Returns the
-    * updated meta.
+    * against the PINNED centroids and write its rows into a new
+    * batch's list partitions — no reassignment of the stored corpus,
+    * no centroid drift (retrain + rebuild when the corpus outgrows the
+    * build's `n`); the manifest commit is last, so a killed append
+    * leaves the previous index intact. Batch ids must be disjoint from
+    * the stored ids. Returns the updated meta.
     */
   def ivfIndexAppend(
       spark: SparkSession,
@@ -349,8 +432,10 @@ object AnnIndex {
       idCol: String,
       vecCol: String
   ): IvfMeta = {
-    val meta = ivfMeta(spark, path)
+    val man = readManifest(spark, path, KindIvf)
+    val meta = ivfMetaOf(man)
     val cents = ivfCentroids(spark, path)
+    val tok = tokenOf(man.epoch + 1)
     batch
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
@@ -358,9 +443,11 @@ object AnnIndex {
       .withColumn("listp", listPart(AnnExprs.nearestCentroid(
         col("cv"), cents.map(_._1).toArray, cents.map(_._2).toArray)))
       .repartition(col("listp")) // one file per touched dir, not tasks×lists
-      .write.mode("append").partitionBy("listp").parquet(s"$path/lists")
-    val updated = meta.copy(rows = spark.read.parquet(s"$path/lists").count())
-    writeIvfMeta(spark, path, updated)
+      .write.mode("overwrite").partitionBy("listp").parquet(s"$path/lists/batch=$tok")
+    val added = spark.read.parquet(s"$path/lists/batch=$tok").count()
+    val updated = meta.copy(rows = meta.rows + added)
+    commit(spark, path,
+      Manifest(KindIvf, man.epoch + 1, man.batches :+ tok, tok, ivfFields(updated)))
     updated
   }
 
@@ -383,7 +470,9 @@ object AnnIndex {
       queriesCount: Long = -1L,
       probeBroadcastMax: Long = Similarity.ProbeBroadcastMaxBytes
   ): DataFrame = {
-    val meta = ivfMeta(spark, path)
+    val man = readManifest(spark, path, KindIvf)
+    val meta = ivfMetaOf(man)
+    requireFresh(meta.n, meta.rows, path)
     val probeCount = if (nProbe > 0) nProbe else meta.nProbe
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
     val probes = Similarity.ivfQueryProbes(queries, idCol, vecCol, centroids, probeCount)
@@ -393,10 +482,13 @@ object AnnIndex {
     // filter is O(lists), never O(corpus)
     val probed = probes.select("listp").distinct()
       .collect().map(_.getString(0)).sorted
-    val assigned = spark.read.parquet(s"$path/lists")
+    val assigned = readBatches(spark, s"$path/lists", man.batches)
       .filter(col("listp").isin(probed: _*))
-    // same probe-side broadcast-vs-shuffle tier switch as ivfTopK
-    val maxQ = probeBroadcastMax / math.max(1L, probeCount.toLong * 304L)
+      .select("neighbor_id", "cv", "listp")
+    // same probe-side broadcast-vs-shuffle tier switch as ivfTopK;
+    // probe rows carry qv — size by the index's dim, like the LSH
+    // rehydrate bound
+    val maxQ = probeBroadcastMax / math.max(1L, probeCount.toLong * (40L + 4L * meta.dim))
     val qn = if (queriesCount >= 0L) queriesCount
              else queries.limit(math.min(maxQ + 1L, Int.MaxValue.toLong).toInt).count()
     // unhinted beyond the cap — AQE picks shuffle-hash vs spillable
@@ -416,7 +508,7 @@ object AnnIndex {
   // IVF-PQ
   // ------------------------------------------------------------------
 
-  /** IVF-PQ index shape descriptor, persisted at `meta/`. */
+  /** IVF-PQ index shape descriptor. */
   final case class IvfPqMeta(lists: Int, nProbe: Int, m: Int, ks: Int,
       dim: Int, n: Long, rows: Long)
 
@@ -432,8 +524,11 @@ object AnnIndex {
     * bytes. `centroids/` and `codebooks/` (m × ks codewords) persist
     * the pinned geometry. Derivations are byte-identical to the
     * in-flight [[Similarity.ivfPqTopK]] (adaptive lists/probes,
-    * hash-seeded codebooks), so the indexed probe is answer-identical
-    * (AnnIndexSpec pins it). Returns the persisted meta.
+    * hash-seeded codebooks — pass `trainedCodebooks`, e.g.
+    * [[Similarity.pqTrainCodebooks]], to persist k-means-refined books
+    * instead), so the indexed probe is answer-identical over the same
+    * geometry (AnnIndexSpec pins it). Any previous index at `path` is
+    * removed first. Returns the persisted meta.
     */
   def ivfPqIndexWrite(
       corpus0: DataFrame,
@@ -445,7 +540,8 @@ object AnnIndex {
       m: Int = 8,
       ks: Int = 16,
       dim: Int = 64,
-      n: Long = -1L
+      n: Long = -1L,
+      trainedCodebooks: Option[Array[Array[Array[Double]]]] = None
   ): IvfPqMeta = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
@@ -456,6 +552,7 @@ object AnnIndex {
     val corpus = Similarity.normalizedSide(corpus0, idCol, vecCol)
     val spark = corpus.sparkSession
     import spark.implicits._
+    deleteDir(spark, path)
     // adaptive shape from the PRE-filter frame — matches the oracle's
     // count(*) and the in-flight ivfPqTopK (r18 advice)
     val nn = Dedup.corpusCount(corpus0, n, "ivfPqIndexWrite")
@@ -464,23 +561,25 @@ object AnnIndex {
     val cents = Similarity.seedCentroids(corpus, idCol, vecCol, lists)
     cents.toDF("list", "centv").repartition(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    // hash-seeded PQ codewords, the in-flight derivation verbatim
-    // (production would k-means each subspace; the pinned store makes
-    // either choice durable)
-    val keyHash = expr(
-      s"cast(conv(substr(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
-    val seeds: Array[Array[Double]] = corpus
-      .select(col(vecCol).cast("array<double>").as("v"), keyHash.as("h"),
-        col(idCol).cast("long").as("id"))
-      .orderBy(col("h"), col("id")).limit(ks)
-      .collect().map(_.getSeq[Double](0).toArray)
-    val codebooks: Array[Array[Array[Double]]] =
+    // codebooks: hash-seeded (the in-flight derivation verbatim) unless
+    // the caller injects trained ones — the quality knob the PQ family
+    // turns first (Similarity.pqTrainCodebooks; measured in
+    // recordings/pq_rerank_r19.jsonl)
+    val codebooks: Array[Array[Array[Double]]] = trainedCodebooks.getOrElse {
+      val keyHash = expr(
+        s"cast(conv(substr(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
+      val seeds: Array[Array[Double]] = corpus
+        .select(col(vecCol).cast("array<double>").as("v"), keyHash.as("h"),
+          col(idCol).cast("long").as("id"))
+        .orderBy(col("h"), col("id")).limit(ks)
+        .collect().map(_.getSeq[Double](0).toArray)
       Array.tabulate(m)(mi => seeds.map(s => s.slice(mi * sub, (mi + 1) * sub)))
+    }
     // effective ks: a corpus smaller than ks yields fewer seed rows —
     // persist (and record in meta) the codebook actually built, like
     // the in-flight operator (r18 review catch: the 0-until-ks loop
     // indexed past a short codebook)
-    val ksEff = seeds.length
+    val ksEff = codebooks.headOption.map(_.length).getOrElse(ks)
     val codeIds = Array.tabulate(ksEff)(_ + 1L)
     (for (mi <- 0 until m; ci <- 0 until ksEff)
       yield (mi, codeIds(ci), codebooks(mi)(ci).toSeq))
@@ -489,6 +588,7 @@ object AnnIndex {
     // ONE corpus pass: list + m codes, all row-local argmins; clustered
     // write (see ivfIndexWrite — without the pre-shuffle every task
     // fans across every list dir)
+    val tok = tokenOf(1)
     val vd = col(vecCol).cast("array<double>")
     corpus
       .repartition(spark.sparkContext.defaultParallelism)
@@ -500,30 +600,34 @@ object AnnIndex {
           graft.functions.AnnExprs.nearestCentroid(
             slice(col("v"), mi * sub + 1, sub), codeIds, codebooks(mi)).as(s"code_$mi")): _*)
       .repartition(col("listp"))
-      .write.mode("overwrite").partitionBy("listp").parquet(s"$path/codes")
-    val stored = spark.read.parquet(s"$path/codes").count()
+      .write.mode("overwrite").partitionBy("listp").parquet(s"$path/codes/batch=$tok")
+    val stored = spark.read.parquet(s"$path/codes/batch=$tok").count()
     val meta = IvfPqMeta(lists, probeCount, m, ksEff, dim, nn, stored)
-    writeIvfPqMeta(spark, path, meta)
+    commit(spark, path, Manifest(KindIvfPq, 1, Seq(tok), tok, ivfPqFields(meta)))
     meta
   }
 
-  private def writeIvfPqMeta(spark: SparkSession, path: String, meta: IvfPqMeta): Unit =
-    writeMeta(spark, path, KindIvfPq,
-      Seq("lists" -> meta.lists.toLong, "nProbe" -> meta.nProbe.toLong,
-        "m" -> meta.m.toLong, "ks" -> meta.ks.toLong, "dim" -> meta.dim.toLong,
-        "n" -> meta.n, "rows" -> meta.rows))
+  private def ivfPqFields(meta: IvfPqMeta): Seq[(String, Long)] =
+    Seq("lists" -> meta.lists.toLong, "nProbe" -> meta.nProbe.toLong,
+      "m" -> meta.m.toLong, "ks" -> meta.ks.toLong, "dim" -> meta.dim.toLong,
+      "n" -> meta.n, "rows" -> meta.rows)
 
-  /** Load the persisted IVF-PQ meta (fails fast on a non-IVF-PQ index). */
-  def ivfPqMeta(spark: SparkSession, path: String): IvfPqMeta = {
-    val mm = readMeta(spark, path, KindIvfPq)
+  private def ivfPqMetaOf(man: Manifest): IvfPqMeta = {
+    val mm = man.fields
     IvfPqMeta(mm("lists").toInt, mm("nProbe").toInt, mm("m").toInt,
       mm("ks").toInt, mm("dim").toInt, mm("n"), mm("rows"))
   }
 
+  /** Load the persisted IVF-PQ meta (fails fast on a non-IVF-PQ index). */
+  def ivfPqMeta(spark: SparkSession, path: String): IvfPqMeta =
+    ivfPqMetaOf(readManifest(spark, path, KindIvfPq))
+
   /** Append a batch to a persisted IVF-PQ index: assign + encode ONLY
-    * the batch against the pinned centroids and codebooks, append into
-    * the list partitions. Batch ids must be disjoint from the stored
-    * ids; rebuild (retrain) when the corpus outgrows the build's `n`.
+    * the batch against the pinned centroids and codebooks into a new
+    * batch's list partitions; the manifest commit is last (torn append
+    * ⇒ previous index). Batch ids must be disjoint from the stored
+    * ids; probes fail fast when the corpus outgrows the build's `n` by
+    * 10× (rebuild/retrain instead).
     */
   def ivfPqIndexAppend(
       spark: SparkSession,
@@ -532,12 +636,14 @@ object AnnIndex {
       idCol: String,
       vecCol: String
   ): IvfPqMeta = {
-    val meta = ivfPqMeta(spark, path)
+    val man = readManifest(spark, path, KindIvfPq)
+    val meta = ivfPqMetaOf(man)
     val sub = meta.dim / meta.m
     val cents = ivfCentroids(spark, path)
     val codebooks = readCodebooks(spark, path, meta)
     val codeIds = Array.tabulate(meta.ks)(_ + 1L)
     val batch = Similarity.normalizedSide(batch0, idCol, vecCol)
+    val tok = tokenOf(man.epoch + 1)
     val vd = col(vecCol).cast("array<double>")
     batch
       .repartition(spark.sparkContext.defaultParallelism)
@@ -549,9 +655,11 @@ object AnnIndex {
           graft.functions.AnnExprs.nearestCentroid(
             slice(col("v"), mi * sub + 1, sub), codeIds, codebooks(mi)).as(s"code_$mi")): _*)
       .repartition(col("listp"))
-      .write.mode("append").partitionBy("listp").parquet(s"$path/codes")
-    val updated = meta.copy(rows = spark.read.parquet(s"$path/codes").count())
-    writeIvfPqMeta(spark, path, updated)
+      .write.mode("overwrite").partitionBy("listp").parquet(s"$path/codes/batch=$tok")
+    val added = spark.read.parquet(s"$path/codes/batch=$tok").count()
+    val updated = meta.copy(rows = meta.rows + added)
+    commit(spark, path,
+      Manifest(KindIvfPq, man.epoch + 1, man.batches :+ tok, tok, ivfPqFields(updated)))
     updated
   }
 
@@ -574,7 +682,7 @@ object AnnIndex {
     * ~nProbe/lists of m-codes-per-vector bytes — raw vectors are never
     * touched), query-side ADC distance tables from the pinned
     * codebooks, per-pair cost `m` lookups. Answer-identical to the
-    * in-flight [[Similarity.ivfPqTopK]] over the same corpus
+    * in-flight [[Similarity.ivfPqTopK]] over the same geometry
     * (AnnIndexSpec pins it).
     */
   def ivfPqTopKIndexed(
@@ -597,7 +705,9 @@ object AnnIndex {
     require(rerank <= 0 || rerankFrom.nonEmpty,
       "rerank needs rerankFrom: the IVF-PQ index stores codes only — " +
         "pass the raw-vector table the shortlist rehydrates from")
-    val meta = ivfPqMeta(spark, path)
+    val man = readManifest(spark, path, KindIvfPq)
+    val meta = ivfPqMetaOf(man)
+    requireFresh(meta.n, meta.rows, path)
     val sub = meta.dim / meta.m
     val queries = Similarity.normalizedSide(queries0, idCol, vecCol)
     val probeCount = if (nProbe > 0) nProbe else meta.nProbe
@@ -607,8 +717,9 @@ object AnnIndex {
       .withColumn("listp", listPart(col("list")))
     val probed = probes.select("listp").distinct()
       .collect().map(_.getString(0)).sorted
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = readBatches(spark, s"$path/codes", man.batches)
       .filter(col("listp").isin(probed: _*))
+      .select("neighbor_id", "listp" +: (0 until meta.m).map(mi => s"code_$mi"): _*)
     val vd = col(vecCol).cast("array<double>")
     val dtables = queries
       .select(col(idCol).as("query_id") +: (0 until meta.m).map(mi =>
@@ -643,23 +754,142 @@ object AnnIndex {
   }
 
   // ------------------------------------------------------------------
-  // meta plumbing
+  // manifest plumbing
   // ------------------------------------------------------------------
 
-  private def writeMeta(spark: SparkSession, path: String, kind: String,
-      fields: Seq[(String, Long)]): Unit = {
-    import spark.implicits._
-    fields.map { case (f, v) => (kind, f, v) }
-      .toDF("kind", "field", "value").repartition(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
+  /** One committed snapshot of an index: the complete batch-directory
+    * set a reader may touch, which hot-census token applies (LSH), and
+    * the shape fields. Exactly one manifest file per epoch under
+    * `meta/`; readers take the highest epoch. The manifest file is the
+    * COMMIT — every mutation writes its data first and the manifest
+    * last, via create-temp-then-atomic-rename.
+    */
+  private final case class Manifest(kind: String, epoch: Int,
+      batches: Seq[String], hotTok: String, fields: Map[String, Long])
+
+  private object Manifest {
+    def apply(kind: String, epoch: Int, batches: Seq[String], hotTok: String,
+        fields: Seq[(String, Long)]): Manifest =
+      new Manifest(kind, epoch, batches, hotTok, fields.toMap)
   }
 
-  private def readMeta(spark: SparkSession, path: String,
-      expectKind: String): Map[String, Long] = {
-    val rows = spark.read.parquet(s"$path/meta").collect()
-    val kinds = rows.map(_.getString(0)).distinct
-    require(kinds.sameElements(Array(expectKind)),
-      s"ANN index at $path is kind ${kinds.mkString(",")}, expected $expectKind")
-    rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+  /** Batch/census token for the mutation that commits epoch `e` —
+    * deterministic (no UUIDs: staging rebuilds must produce identical
+    * plans run-to-run for planhash stability), unique per epoch, and a
+    * torn earlier attempt at the same epoch is simply overwritten.
+    */
+  private def tokenOf(epoch: Int): String = f"c$epoch%05d"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def deleteDir(spark: SparkSession, path: String): Unit =
+    fsOf(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+
+  /** Read the union of the named batch directories under `root`. The
+    * explicit per-batch paths (with `basePath`) are the crash-safety
+    * read discipline: orphan directories from torn mutations are never
+    * listed, so they are invisible however long they linger.
+    */
+  private def readBatches(spark: SparkSession, root: String,
+      batches: Seq[String]): DataFrame =
+    spark.read.option("basePath", root)
+      .parquet(batches.map(b => s"$root/batch=$b"): _*)
+      .drop("batch")
+
+  private def commit(spark: SparkSession, path: String, man: Manifest): Unit = {
+    val fs = fsOf(spark, path)
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    fs.mkdirs(metaDir)
+    val body = (
+      Seq(s"kind=${man.kind}", s"epoch=${man.epoch}",
+        s"batches=${man.batches.mkString(",")}", s"hotTok=${man.hotTok}") ++
+        man.fields.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      ).mkString("\n")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/meta/.tmp-${tokenOf(man.epoch)}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(s"$path/meta/commit-${tokenOf(man.epoch)}")
+    fs.delete(dst, false) // a torn retry of this epoch never committed; clear its name
+    require(fs.rename(tmp, dst), s"manifest commit rename failed: $tmp -> $dst")
+  }
+
+  private def readManifest(spark: SparkSession, path: String,
+      expectKind: String): Manifest = {
+    val fs = fsOf(spark, path)
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val commits =
+      if (!fs.exists(metaDir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(metaDir).filter(_.getPath.getName.startsWith("commit-"))
+    require(commits.nonEmpty, s"no ANN index committed at $path")
+    val latest = commits.maxBy(_.getPath.getName)
+    val in = fs.open(latest.getPath)
+    val body = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var r = in.read(buf)
+      while (r >= 0) { bytes.write(buf, 0, r); r = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+    val kv = body.split("\n").iterator
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    require(kv.get("kind").contains(expectKind),
+      s"ANN index at $path is kind ${kv.getOrElse("kind", "?")}, expected $expectKind")
+    Manifest(kv("kind"), kv("epoch").toInt,
+      kv("batches").split(",").toSeq.filter(_.nonEmpty), kv("hotTok"),
+      (kv - "kind" - "epoch" - "batches" - "hotTok").map { case (k, v) => k -> v.toLong })
+  }
+
+  /** Probe-time staleness gate: the derived shape (signature width /
+    * list count) assumed occupancy at the build-time `n`; once the
+    * stored rows outgrow it by a decade the index silently degrades
+    * (over-full buckets/lists) — fail fast and demand a rebuild
+    * instead (the doc contract at [[LshMeta]], made code — r18
+    * verdict).
+    */
+  private def requireFresh(n: Long, rows: Long, path: String): Unit =
+    require(rows <= 10L * math.max(1L, n),
+      s"ANN index at $path is stale: rows=$rows outgrew the build-time " +
+        s"shape n=$n by more than 10x — rebuild the index (the derived " +
+        "shape assumed occupancy at n)")
+
+  /** Delete every batch directory the CURRENT manifest no longer
+    * references (orphans from torn mutations, generations superseded by
+    * [[lshIndexCompact]]). Safe only when no concurrent reader is mid-
+    * probe on an older manifest — the same contract as any snapshot
+    * store's vacuum. Returns the number of directories removed.
+    */
+  def vacuum(spark: SparkSession, path: String): Int = {
+    val fs = fsOf(spark, path)
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    require(fs.exists(metaDir), s"no ANN index committed at $path")
+    val commits = fs.listStatus(metaDir).filter(_.getPath.getName.startsWith("commit-"))
+    require(commits.nonEmpty, s"no ANN index committed at $path")
+    val latest = commits.maxBy(_.getPath.getName).getPath.getName
+    // re-read through the kind recorded in the newest manifest
+    val kind = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/meta/$latest"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .collectFirst { case l if l.startsWith("kind=") => l.drop(5) }.get
+      finally in.close()
+    }
+    val man = readManifest(spark, path, kind)
+    val live = man.batches.toSet
+    var removed = 0
+    for (sub <- Seq("sigs", "vectors", "lists", "codes", "hot")) {
+      val d = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+        val name = st.getPath.getName
+        val keep =
+          if (sub == "hot") name == man.hotTok
+          else name.startsWith("batch=") && live.contains(name.stripPrefix("batch="))
+        if (!keep) { fs.delete(st.getPath, true); removed += 1 }
+      }
+    }
+    // superseded manifests go last — the data they referenced is gone
+    commits.map(_.getPath).filter(_.getName != latest)
+      .foreach(p => fs.delete(p, false))
+    removed
   }
 }

@@ -79,8 +79,9 @@ class AnnIndexSpec extends SparkSuite {
       plan.take(1200))
     // the layout on disk has far more list partitions than a
     // single-query batch probes — pruning is real, not vacuous
+    // (list dirs live under the build's committed batch directory)
     val meta = AnnIndex.ivfMeta(spark, dir)
-    val dirs = new java.io.File(s"$dir/lists").listFiles()
+    val dirs = new java.io.File(s"$dir/lists/batch=c00001").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("listp="))
     assert(dirs > meta.nProbe, s"layout has $dirs list partitions, " +
       s"single-query probe should read only ${meta.nProbe}")
@@ -108,12 +109,14 @@ class AnnIndexSpec extends SparkSuite {
       maxBucket = 8, n = nFull)
     assert(built.rows == 205L)
     // no bucket is hot yet (randoms spread thin; D has only 5 members)
-    assert(spark.read.parquet(s"$dir/hot").count() == 0L)
+    assert(spark.read.parquet(s"$dir/hot/c00001").count() == 0L)
 
     val appended = AnnIndex.lshIndexAppend(spark, dir, batch, "vec_id", "embedding")
     assert(appended.rows == 311L && appended.n == nFull)
     // D's bucket (all 11 copies share every table's bucket) is now hot
-    assert(spark.read.parquet(s"$dir/hot").count() >= built.tables.toLong)
+    // the append's recomputed census (epoch token c00002) is the one
+    // the committed manifest points probes at
+    assert(spark.read.parquet(s"$dir/hot/c00002").count() >= built.tables.toLong)
 
     val qs = union.filter(col("vec_id") < 8)
     val direct = collectTopK(Similarity.lshTopK(union, qs, "vec_id", "embedding", K,
@@ -166,7 +169,7 @@ class AnnIndexSpec extends SparkSuite {
     val plan = one.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("listp"), plan.take(1200))
     // codes/ carries only the id + m codes — never the raw vectors
-    val codeCols = spark.read.parquet(s"$dir/codes").columns.toSet
+    val codeCols = spark.read.parquet(s"$dir/codes/batch=c00001").columns.toSet
     assert(codeCols == (Set("neighbor_id", "listp") ++ (0 until 8).map(i => s"code_$i")),
       codeCols.mkString(","))
   }
@@ -268,6 +271,90 @@ class AnnIndexSpec extends SparkSuite {
     assert(collectTopK(ivfIdxF) == collectTopK(ivfIdxD))
     assert(bhj(ivfIdxF) < bhj(ivfIdxD) && nonBroadcastJoin(ivfIdxF))
     }
+  }
+
+  test("a torn append (killed before the manifest commit) is invisible; a retry heals it") {
+    val dir = tempDir("ann-lsh-torn")
+    val n = emb.count()
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndex.lshIndexWrite(evens, "vec_id", "embedding", dir, n = n)
+    val metaBefore = AnnIndex.lshMeta(spark, dir)
+    val before = collectTopK(
+      AnnIndex.lshTopKIndexed(spark, dir, queries, "vec_id", "embedding", K))
+    // simulate the kill window the r18 verdict flagged: the append's
+    // SIGS landed on disk but the vectors write and the manifest
+    // commit never happened — exactly what lshIndexAppend would have
+    // written first, then a crash
+    val planes = Similarity.hyperplanesPrefix(
+      metaBefore.tables, metaBefore.bits, metaBefore.dim, metaBefore.seed)
+    odds.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .filter(graft.functions.VectorOps.norm(col("cv")) > 0)
+      .select(col("neighbor_id"),
+        posexplode(graft.functions.AnnExprs.lshBuckets(col("cv"), planes)).as(Seq("t", "b")))
+      .write.mode("overwrite").parquet(s"$dir/sigs/batch=c00002")
+    // the torn sigs are orphans: the probe answers from the OLD index —
+    // identical frame, no signature rows whose candidates vanish at the
+    // rehydrate join, meta unchanged
+    assert(AnnIndex.lshMeta(spark, dir) == metaBefore)
+    val afterTear = collectTopK(
+      AnnIndex.lshTopKIndexed(spark, dir, queries, "vec_id", "embedding", K))
+    assert(afterTear == before, "a torn append changed probe answers")
+    // a RETRIED append overwrites the torn leftovers and commits — full
+    // parity with the in-flight operator over the union
+    AnnIndex.lshIndexAppend(spark, dir, odds, "vec_id", "embedding")
+    val healed = collectTopK(
+      AnnIndex.lshTopKIndexed(spark, dir, queries, "vec_id", "embedding", K))
+    val direct = collectTopK(
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", K, n = n))
+    assert(healed == direct, "retried append diverged from from-scratch semantics")
+  }
+
+  test("lshIndexCompact folds appends into one generation; vacuum drops the superseded dirs") {
+    val dir = tempDir("ann-lsh-compact")
+    val n = emb.count()
+    val thirds = (0 until 3).map(i => emb.filter(col("vec_id") % 3 === i))
+    AnnIndex.lshIndexWrite(thirds(0), "vec_id", "embedding", dir, n = n)
+    AnnIndex.lshIndexAppend(spark, dir, thirds(1), "vec_id", "embedding")
+    AnnIndex.lshIndexAppend(spark, dir, thirds(2), "vec_id", "embedding")
+    val before = collectTopK(
+      AnnIndex.lshTopKIndexed(spark, dir, queries, "vec_id", "embedding", K))
+    def batchDirs(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(batchDirs("sigs").length == 3 && batchDirs("vectors").length == 3)
+    val meta = AnnIndex.lshIndexCompact(spark, dir)
+    assert(meta.rows == 300L) // zero-norm row excluded at every ingest
+    // probe is row-identical over the compacted generation
+    val after = collectTopK(
+      AnnIndex.lshTopKIndexed(spark, dir, queries, "vec_id", "embedding", K))
+    assert(after == before, "compaction changed probe answers")
+    // a second compact is a no-op (already single-generation)
+    assert(AnnIndex.lshIndexCompact(spark, dir) == meta)
+    // vacuum removes everything the current manifest no longer
+    // references: 3 superseded sigs + 3 vectors generations + 3 stale
+    // hot censuses
+    val removed = AnnIndex.vacuum(spark, dir)
+    assert(removed == 9, s"vacuum removed $removed dirs")
+    assert(batchDirs("sigs").toSeq == Seq("batch=c00004") &&
+      batchDirs("vectors").toSeq == Seq("batch=c00004"))
+    val afterVacuum = collectTopK(
+      AnnIndex.lshTopKIndexed(spark, dir, queries, "vec_id", "embedding", K))
+    assert(afterVacuum == before, "vacuum changed probe answers")
+  }
+
+  test("probe fails fast once stored rows outgrow the build-time shape n by >10x") {
+    val dir = tempDir("ann-lsh-stale")
+    // shape pinned at a deliberately tiny n — the derived signature
+    // width assumes occupancy at 20 vectors
+    AnnIndex.lshIndexWrite(emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      dir, n = 20L)
+    AnnIndex.lshIndexAppend(spark, dir,
+      emb.filter(col("vec_id") >= 20 && col("vec_id") < 900), "vec_id", "embedding")
+    assert(AnnIndex.lshMeta(spark, dir).rows == 300L)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.lshTopKIndexed(spark, dir, queries, "vec_id", "embedding", K)
+    }
+    assert(e.getMessage.contains("stale"), e.getMessage)
   }
 
   test("reading an index of the wrong kind fails fast") {
