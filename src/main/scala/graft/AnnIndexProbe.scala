@@ -86,10 +86,11 @@ object AnnIndexProbe {
         pairsOf(AnnIndex.ivfTopKIndexed(spark, s"$idxRoot/ivf", qs, "vec_id", "embedding", k,
           queriesCount = qcount)))
       val (pqDirect, pqDirectSecs) = timed(
-        pairsOf(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, n = n)))
+        pairsOf(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, n = n,
+          rerank = 0)))
       val (pqProbe, pqProbeSecs) = timed(
         pairsOf(AnnIndex.ivfPqTopKIndexed(spark, s"$idxRoot/ivfpq", qs, "vec_id", "embedding", k,
-          queriesCount = qcount)))
+          queriesCount = qcount, rerank = 0)))
 
       println(s"""{"probe":"ann_index","dir":"$dir","n":$n,"k":$k,"queries":$qcount,""" +
         s""""brute":{"secs":${fmt(bruteSecs)}},""" +

@@ -698,13 +698,21 @@ object AnnIndex {
       // the FAISS-style refine layer: ADC ranks a rerank×k shortlist,
       // then exact cosine over `rerankFrom` (the COLD raw-vector
       // table — the index deliberately stores only codes; the re-rank
-      // reads raw vectors for the shortlist only, point-lookup-sized)
-      rerank: Int = 0,
+      // reads raw vectors for the shortlist only, point-lookup-sized).
+      // rerank < 0 ⇒ the derived refine is ON by default
+      // ([[Similarity.defaultRerank]] — the r19 family contract: the
+      // pure-ADC default measurably shipped near-noise), which makes
+      // `rerankFrom` REQUIRED at the default entry point: fail loud
+      // rather than silently return unrefined neighbors. Pass
+      // rerank = 0 to opt into the pure-ADC tier explicitly.
+      rerank: Int = -1,
       rerankFrom: Option[DataFrame] = None
   ): DataFrame = {
-    require(rerank <= 0 || rerankFrom.nonEmpty,
+    val rr = if (rerank < 0) Similarity.defaultRerank(k) else rerank
+    require(rr <= 0 || rerankFrom.nonEmpty,
       "rerank needs rerankFrom: the IVF-PQ index stores codes only — " +
-        "pass the raw-vector table the shortlist rehydrates from")
+        "pass the raw-vector table the shortlist rehydrates from " +
+        "(or set rerank = 0 explicitly for the pure-ADC tier)")
     val man = readManifest(spark, path, KindIvfPq)
     val meta = ivfPqMetaOf(man)
     requireFresh(meta.n, meta.rows, path)
@@ -746,8 +754,8 @@ object AnnIndex {
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("adist", round(adist, 4))
         .select("query_id", "neighbor_id", "adist"),
-      "adist", scoreDesc = false, if (rerank > 0) rerank * k else k)
-    if (rerank <= 0) adc
+      "adist", scoreDesc = false, if (rr > 0) rr * k else k)
+    if (rr <= 0) adc
     else Similarity.rerankShortlist(adc,
       Similarity.normalizedSide(rerankFrom.get, idCol, vecCol),
       queries, idCol, vecCol, k)

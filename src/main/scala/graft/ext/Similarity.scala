@@ -425,24 +425,33 @@ object Similarity {
       m: Int = 8,
       ks: Int = 16,
       dim: Int = 64,
-      rerank: Int = 0
+      // rerank < 0 ⇒ the DERIVED default ([[defaultRerank]]): the
+      // exact-cosine refine is ON unless explicitly disabled with 0 —
+      // the pure-ADC default was a measured quality cliff (1.6 %
+      // recall@5 at 200 k with hash-seeded ks=16 books,
+      // recordings/pq_rerank_r18.jsonl); a user calling the obvious
+      // entry point must not get near-noise neighbors silently
+      rerank: Int = -1,
+      trainedCodebooks: Option[Array[Array[Array[Double]]]] = None
   ): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
+    val rr = if (rerank < 0) defaultRerank(k) else rerank
     val corpus = normalizedSide(corpus0, idCol, vecCol)
     val queries = normalizedSide(queries0, idCol, vecCol)
-    val keyHash = expr(
-      s"cast(conv(substr(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
-    val seeds: Array[Array[Double]] = corpus
-      .select(col(vecCol).cast("array<double>").as("v"), keyHash.as("h"),
-        col(idCol).cast("long").as("id"))
-      .orderBy(col("h"), col("id")).limit(ks)
-      .collect().map(_.getSeq[Double](0).toArray)
-    val codebooks: Array[Array[Array[Double]]] =
+    val codebooks: Array[Array[Array[Double]]] = trainedCodebooks.getOrElse {
+      val keyHash = expr(
+        s"cast(conv(substr(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
+      val seeds: Array[Array[Double]] = corpus
+        .select(col(vecCol).cast("array<double>").as("v"), keyHash.as("h"),
+          col(idCol).cast("long").as("id"))
+        .orderBy(col("h"), col("id")).limit(ks)
+        .collect().map(_.getSeq[Double](0).toArray)
       Array.tabulate(m)(mi => seeds.map(s => s.slice(mi * sub, (mi + 1) * sub)))
+    }
     // effective ks: a corpus smaller than ks yields fewer seed rows,
     // and the code-id table must match the codebook it indexes
-    val codeIds = Array.tabulate(seeds.length)(_ + 1L)
+    val codeIds = Array.tabulate(codebooks.headOption.map(_.length).getOrElse(0))(_ + 1L)
 
     val vd = col(vecCol).cast("array<double>")
     val encoded = corpus
@@ -473,8 +482,99 @@ object Similarity {
     val adc = rankedTopK(
       encoded.join(q, col("query_id") =!= col("neighbor_id"))
         .withColumn("adist", round(adist, 4)),
-      "adist", scoreDesc = false, if (rerank > 0) rerank * k else k)
-    if (rerank <= 0) adc else rerankShortlist(adc, corpus, queries, idCol, vecCol, k)
+      "adist", scoreDesc = false, if (rr > 0) rr * k else k)
+    if (rr <= 0) adc else rerankShortlist(adc, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** The derived rerank multiplier when a PQ-family caller does not
+    * choose one: an exact-cosine refine over a shortlist of
+    * `max(10·k, 50)` ADC-ranked candidates — R = max(10, ⌈50/k⌉).
+    * Rerank-by-default is the r19 family contract: the pure-ADC
+    * defaults measurably shipped near-noise (1.6 % recall@5 at 200 k,
+    * hash-seeded ks=16 — recordings/pq_rerank_r18.jsonl), and the
+    * refine's raw-vector IO is shortlist-proportional, never
+    * corpus-proportional, so the compressed-scan economics survive.
+    * Pass `rerank = 0` explicitly for the pure-ADC tier (probes and
+    * parity specs do).
+    */
+  def defaultRerank(k: Int): Int = math.max(10, (50 + k - 1) / k)
+
+  /** Per-subspace k-means training of the PQ codebooks — the quality
+    * knob the PQ family turns first (Jégou et al., TPAMI 2011 train
+    * per-subspace codebooks; the hash-seeded default is an untrained
+    * stand-in whose i.i.d.-fixture recall caps low — measured in
+    * recordings/pq_rerank_r19.jsonl against this training). A
+    * deterministic Lloyd refinement of the hash-picked seed books over
+    * the L2-NORMALIZED corpus (the tier's input contract —
+    * [[normalizedSide]]), so the result plugs into the
+    * `trainedCodebooks` seam of [[pqTopK]] / [[ivfPqTopK]] /
+    * [[AnnIndex.ivfPqIndexWrite]] and the persisted codes stay
+    * consistent.
+    *
+    * Scale shape: each iteration is ONE corpus pass — every vector
+    * computes its `m` row-local subspace argmins (no shuffle, no
+    * corpus×codeword join), components discretize row-locally to
+    * `floor(v·scale + 0.5)` longs, and a single hash aggregate (map-
+    * side partials) produces the (subspace, codeword, pos) integer
+    * sums; the driver only ever holds the m×ks×(dim/m) codebook.
+    * Exact-deterministic end to end (integer sums are order-
+    * independent under any partitioning; the mean is one IEEE-exact
+    * division chain), so a SQL oracle replays the training
+    * bit-for-bit. Empty codewords keep their previous value, like
+    * [[kmeansCentroids]].
+    */
+  def pqTrainCodebooks(
+      corpus0: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      ks: Int = 16,
+      dim: Int = 64,
+      iters: Int = 2,
+      scale: Double = 1e6
+  ): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val corpus = normalizedSide(corpus0, idCol, vecCol)
+    val keyHash = expr(
+      s"cast(conv(substr(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
+    val seeds: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"), keyHash.as("h"),
+        col(idCol).cast("long").as("id"))
+      .orderBy(col("h"), col("id")).limit(ks)
+      .collect().map(_.getSeq[Double](0).toArray)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(mi => seeds.map(s => s.slice(mi * sub, (mi + 1) * sub)))
+    val vd = col(vecCol).cast("array<double>")
+    for (_ <- 1 to iters) {
+      val codeIds = Array.tabulate(books.headOption.map(_.length).getOrElse(0))(_ + 1L)
+      val codesArr = array((0 until m).map(mi =>
+        graft.functions.AnnExprs.nearestCentroid(
+          slice(vd, mi * sub + 1, sub), codeIds, books(mi))): _*)
+      // project the m argmins BEFORE the posexplode so each row's
+      // assignment is computed once and carried, not re-derived per
+      // exploded component
+      val agg = corpus
+        .select(codesArr.as("codes"), vd.as("v"))
+        .select(col("codes"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select((col("pos") / sub).cast("int").as("mi"),
+          element_at(col("codes"), (col("pos") / sub).cast("int") + 1).as("code"),
+          (col("pos") % sub).as("spos"),
+          floor(col("x") * scale + 0.5).cast("long").as("sv"))
+        .groupBy("mi", "code", "spos")
+        .agg(sum("sv").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = agg.map(r => ((r.getInt(0), r.getLong(1), r.getInt(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+      books = Array.tabulate(m)(mi => books(mi).zipWithIndex.map { case (prev, ci) =>
+        if (!byKey.contains((mi, ci + 1L, 0))) prev // empty codeword: keep
+        else Array.tabulate(sub) { p =>
+          val (s, nn) = byKey((mi, ci + 1L, p))
+          s.toDouble / scale / nn
+        }
+      })
+    }
+    books
   }
 
   /** Exact-cosine re-rank of a compressed-scan shortlist — the
@@ -539,10 +639,14 @@ object Similarity {
       n: Long = -1L,
       trainedCentroids: Option[Seq[(Long, Array[Double])]] = None,
       trainedCodebooks: Option[Array[Array[Array[Double]]]] = None,
-      rerank: Int = 0
+      // rerank < 0 ⇒ derived exact-cosine refine ([[defaultRerank]]) —
+      // rerank-by-default is the r19 family contract (see pqTopK);
+      // rerank = 0 pins the pure-ADC tier explicitly
+      rerank: Int = -1
   ): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
+    val rr = if (rerank < 0) defaultRerank(k) else rerank
     // the whole tier runs on L2-NORMALIZED vectors (coarse quantizer,
     // codebooks, ADC tables alike — see pqTopK: L2 on unit vectors is
     // monotone in cosine, which is what the family's recall contract
@@ -612,8 +716,8 @@ object Similarity {
       encoded.join(broadcast(probes.join(dtables, Seq("query_id"))), Seq("list"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("adist", round(adist, 4)),
-      "adist", scoreDesc = false, if (rerank > 0) rerank * k else k)
-    if (rerank <= 0) adc else rerankShortlist(adc, corpus, queries, idCol, vecCol, k)
+      "adist", scoreDesc = false, if (rr > 0) rr * k else k)
+    if (rr <= 0) adc else rerankShortlist(adc, corpus, queries, idCol, vecCol, k)
   }
 
   /** Per-label embedding statistics: class counts and the mean vector,

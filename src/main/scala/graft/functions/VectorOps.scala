@@ -49,12 +49,22 @@ object VectorOps {
     * unit vectors), i.e. what lets the PQ tier answer the ANN family's
     * COSINE contract through its L2 ADC tables. Division and sqrt are
     * IEEE-exact, so the oracle's `x / sqrt(Σx²)` spelling is
-    * bit-identical. NOT total: exclude zero-norm rows first (ANSI
-    * divide-by-zero — the ANN family contract).
+    * bit-identical on every surviving (norm > 0) row.
+    *
+    * TOTAL on zero-norm rows (they map to the zero vector) even though
+    * every caller excludes them first: the optimizer can evaluate this
+    * projection on PRE-filter rows — `InferFiltersFromGenerate` pushes
+    * a `size(transform(...)) > 0` predicate below a posexplode and
+    * past the caller's zero-norm filter, where an unguarded ANSI
+    * division kills the job on the very row the filter was about to
+    * drop (hit by pqTrainCodebooks' component explode). The division
+    * sits in the `otherwise` branch, so it never executes on guarded
+    * rows.
     */
   def l2normalize(a: Column): Column = {
     val n = norm(a)
-    transform(a.cast("array<double>"), x => x / n)
+    transform(a.cast("array<double>"),
+      x => when(n === lit(0.0), lit(0.0)).otherwise(x / n))
   }
 
   /** Squared L2 distance (cheaper than cosine when vectors are

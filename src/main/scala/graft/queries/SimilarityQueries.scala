@@ -194,11 +194,16 @@ ORDER BY vec_id, pos"""
         .orderBy("query_id", "rank")
     }),
 
-    // Product-quantization ADC top-5: corpus compressed to 8 codes per
-    // vector (hash-seeded 16-codeword books), queries carry per-
-    // subspace distance tables, per-pair cost is 8 lookups — the
-    // memory-bound compressed-scan tier for 10^9-vector corpora. The
-    // oracle replays codebooks, codes, and the m-ordered distance fold.
+    // Product-quantization ADC top-5 at the FAMILY DEFAULT, which since
+    // r19 is rerank-ON (derived R = 10·K shortlist, exact-cosine
+    // refine): corpus compressed to 8 codes per vector (hash-seeded
+    // 16-codeword books), queries carry per-subspace distance tables,
+    // per-pair cost is 8 lookups; the ADC ranking chooses the
+    // shortlist, exact cosine ranks the final K. The pure-ADC default
+    // was a measured 1.6 % recall@5 cliff at 200 k (recordings/
+    // pq_rerank_r18.jsonl) — a user calling the obvious entry point
+    // must not get near-noise silently. The oracle replays codebooks,
+    // codes, the m-ordered distance fold, and the refine tail.
     "ann_topk_pq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K)
@@ -256,8 +261,30 @@ ORDER BY vec_id, pos"""
       val emb = Tables.embeddings(s, dir)
       val root = stagingDir(s, "graft_ann_ivfpq_index")
       AnnIndex.ivfPqIndexWrite(emb, "vec_id", "embedding", root, n = emb.count())
+      // family default = derived rerank; the indexed probe's refine
+      // rehydrates the shortlist's raw vectors from the (cold) corpus
+      // table — required at the default entry point, fail-loud without
       AnnIndex.ivfPqTopKIndexed(s, root, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", K)
+        "vec_id", "embedding", K, rerankFrom = Some(emb))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ with TRAINED codebooks: per-subspace deterministic
+    // k-means (Similarity.pqTrainCodebooks — the quality knob the PQ
+    // family turns first; Jégou et al. TPAMI 2011) refines the
+    // hash-seeded books for PqTrainIters rounds, injected through the
+    // trainedCodebooks seam, family-default rerank on top. The oracle
+    // unrolls the training rounds (argmin assignment + integer-
+    // discretized per-(subspace, codeword, pos) means, empty codewords
+    // keeping their previous value) bit-for-bit, like the kmeans-IVF
+    // cell. Measured against the hash-seeded frontier in
+    // recordings/pq_rerank_r19.jsonl.
+    "ann_topk_ivfpq_trained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val books = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+        iters = PqTrainIters)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K,
+        n = emb.count(), trainedCodebooks = Some(books))
         .orderBy("query_id", "rank")
     }),
 
@@ -346,6 +373,11 @@ ORDER BY vec_id, pos"""
 
   /** Lloyd rounds the kmeans query runs and its oracle unrolls. */
   private val KmIters = 2
+
+  /** Per-subspace Lloyd rounds the trained-PQ cell runs and its oracle
+    * unrolls.
+    */
+  private val PqTrainIters = 2
 
   /** The seeded hyperplanes as DuckDB VALUES rows — Double.toString
     * round-trips exactly, so the oracle's planes are bit-identical to
@@ -552,20 +584,89 @@ WHERE rank <= $K ORDER BY query_id, rank"""
   WHERE list_sum(list_transform(embedding,
         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0)"""
 
-  private val pqSql =
-    s"""WITH $nembCte,
-seedv AS (
+  /** The seed-codebook CTEs (`seedv`/`seeds`/`cb0`) plus the optional
+    * per-subspace k-means training chain, ending in the final `cb`
+    * view the encode/distance-table CTEs consume. `trainIters > 0`
+    * replays [[graft.ext.Similarity.pqTrainCodebooks]] exactly: per
+    * round, an argmin assignment per (vector, subspace) under the
+    * previous books, then the integer-discretized per-(subspace,
+    * codeword, pos) mean (empty codewords keep their previous value) —
+    * the same IEEE-exact arithmetic chain the Spark side runs
+    * (floor(v·1e6 + 0.5) BIGINT sums, sum→DOUBLE / 1e6 / count).
+    */
+  private def cbCtes(ks: Int, trainIters: Int): String = {
+    val seedCtes = s"""seedv AS (
   SELECT vec_id, nv AS v
   FROM nemb
   ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
-  LIMIT $PqKs),
+  LIMIT $ks),
 seeds AS (
   SELECT row_number() OVER (ORDER BY
     CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS k, v
   FROM seedv),
-cb AS (
+cb0 AS (
   SELECT k, m, list_slice(v, m * $PqSub + 1, m * $PqSub + $PqSub) AS cw
-  FROM seeds, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+  FROM seeds, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m))"""
+    if (trainIters <= 0) s"$seedCtes,\ncb AS (SELECT m, k, cw FROM cb0)"
+    else {
+      val iterCtes = (1 to trainIters).map { t =>
+        val prev = s"cb${t - 1}"
+        s"""tr_enc$t AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT e.vec_id, cb.m, cb.k,
+      row_number() OVER (PARTITION BY e.vec_id, cb.m
+        ORDER BY ${pqSubDist("e")} ASC, cb.k ASC) AS r
+    FROM nemb e CROSS JOIN $prev cb) t WHERE r = 1),
+tr_mn$t AS (
+  SELECT en.m, en.code AS k, nc.spos,
+    CAST(CAST(sum(CAST(floor(nc.v * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      / 1000000.0 / count(*) AS mv
+  FROM tr_enc$t en JOIN ncomp nc ON nc.vec_id = en.vec_id AND nc.m = en.m
+  GROUP BY 1, 2, 3),
+cb$t AS (
+  SELECT p.m, p.k, coalesce(w.cw, p.cw) AS cw
+  FROM $prev p LEFT JOIN
+    (SELECT m, k, list(mv ORDER BY spos) AS cw FROM tr_mn$t GROUP BY m, k) w
+  ON p.m = w.m AND p.k = w.k)"""
+      }.mkString(",\n")
+      s"""$seedCtes,
+ncomp AS (
+  SELECT vec_id, CAST((i - 1) // $PqSub AS INTEGER) AS m,
+    CAST((i - 1) % $PqSub AS INTEGER) AS spos, nv[i] AS v
+  FROM nemb, (SELECT unnest(generate_series(1, $Dim)) AS i)),
+$iterCtes,
+cb AS (SELECT m, k, cw FROM cb$trainIters)"""
+    }
+  }
+
+  /** The exact-cosine rerank tail shared by the PQ-family oracles: the
+    * ADC `ranked` CTE becomes a shortlist of rerankMult×K, re-ranked by
+    * exact cosine over the normalized view — what the operators'
+    * derived-default `rerank` runs ([[graft.ext.Similarity.defaultRerank]]).
+    */
+  private def rerankTailSql(rerankMult: Int): String = s""",
+short AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= ${K * rerankMult}),
+rr AS (
+  SELECT s.query_id, s.neighbor_id,
+    round(list_sum(list_transform(generate_series(1, $Dim), i -> q.nv[i] * c.nv[i]))
+      / (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.nv[i] * q.nv[i])))
+       * sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> c.nv[i] * c.nv[i])))), 4) AS cos
+  FROM short s JOIN nemb q ON q.vec_id = s.query_id
+               JOIN nemb c ON c.vec_id = s.neighbor_id),
+ranked2 AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM rr)
+SELECT query_id, rank, neighbor_id, cos FROM ranked2
+WHERE rank <= $K ORDER BY query_id, rank"""
+
+  /** Parameterized PQ (compressed exhaustive scan) oracle — rerankMult
+    * > 0 appends the exact-cosine refine tail the operator's derived
+    * default runs.
+    */
+  private def pqSqlFor(rerankMult: Int): String =
+    s"""WITH $nembCte,
+${cbCtes(PqKs, 0)},
 enc AS (
   SELECT vec_id, m, k AS code FROM (
     SELECT e.vec_id, cb.m, cb.k,
@@ -585,9 +686,9 @@ ad AS (
 ranked AS (
   SELECT query_id, neighbor_id, adist,
     row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
-  FROM ad)
+  FROM ad)${if (rerankMult <= 0) s"""
 SELECT query_id, rank, neighbor_id, adist FROM ranked
-WHERE rank <= $K ORDER BY query_id, rank"""
+WHERE rank <= $K ORDER BY query_id, rank""" else rerankTailSql(rerankMult)}"""
 
   /** IVF-PQ oracle: ivfSql's ADAPTIVE centroid/assign/probe CTEs
     * (same L/P integer derivations from count(*)) composed with
@@ -599,15 +700,15 @@ WHERE rank <= $K ORDER BY query_id, rank"""
     s"""list_sum(list_transform(generate_series(1, $Dim),
       i -> ($a.nv[i] - $b.nv[i]) * ($a.nv[i] - $b.nv[i])))"""
 
-  private val ivfPqSql = ivfPqSqlFor(PqKs, 0)
-
-  /** Parameterized IVF-PQ oracle: codebook size `ks` and the optional
+  /** Parameterized IVF-PQ oracle: codebook size `ks`, the optional
     * exact-cosine RE-RANK tail (rerankMult > 0 ⇒ the ADC ranking
     * becomes a shortlist of rerankMult×K, re-ranked by exact cosine
     * over the normalized view — the FAISS-style refine layer the
-    * operator's `rerank` arg runs).
+    * operator's `rerank` arg runs, and the derived DEFAULT since r19),
+    * and the optional per-subspace k-means codebook training chain
+    * (`trainIters` — see [[cbCtes]]).
     */
-  private def ivfPqSqlFor(ks: Int, rerankMult: Int): String =
+  private def ivfPqSqlFor(ks: Int, rerankMult: Int, trainIters: Int = 0): String =
     s"""WITH $nembCte,
 nrows AS (SELECT count(*) AS n FROM embeddings),
 lsel AS (SELECT COALESCE(min(CAST(1 AS BIGINT) << p), 65536) AS L
@@ -632,18 +733,7 @@ probes AS (
       row_number() OVER (PARTITION BY q.vec_id
         ORDER BY ${l2sqNSql("q", "ct")} ASC, ct.list ASC) AS r
     FROM nemb q CROSS JOIN centroids ct WHERE q.vec_id < 10) t, psel WHERE r <= P),
-seedv AS (
-  SELECT vec_id, nv AS v
-  FROM nemb
-  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
-  LIMIT $ks),
-seeds AS (
-  SELECT row_number() OVER (ORDER BY
-    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS k, v
-  FROM seedv),
-cb AS (
-  SELECT k, m, list_slice(v, m * $PqSub + 1, m * $PqSub + $PqSub) AS cw
-  FROM seeds, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+${cbCtes(ks, trainIters)},
 enc AS (
   SELECT vec_id, m, k AS code FROM (
     SELECT e.vec_id, cb.m, cb.k,
@@ -670,21 +760,7 @@ ranked AS (
     row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
   FROM ad)${if (rerankMult <= 0) s"""
 SELECT query_id, rank, neighbor_id, adist FROM ranked
-WHERE rank <= $K ORDER BY query_id, rank""" else s""",
-short AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= ${K * rerankMult}),
-rr AS (
-  SELECT s.query_id, s.neighbor_id,
-    round(list_sum(list_transform(generate_series(1, $Dim), i -> q.nv[i] * c.nv[i]))
-      / (sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> q.nv[i] * q.nv[i])))
-       * sqrt(list_sum(list_transform(generate_series(1, $Dim), i -> c.nv[i] * c.nv[i])))), 4) AS cos
-  FROM short s JOIN nemb q ON q.vec_id = s.query_id
-               JOIN nemb c ON c.vec_id = s.neighbor_id),
-ranked2 AS (
-  SELECT query_id, neighbor_id, cos,
-    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM rr)
-SELECT query_id, rank, neighbor_id, cos FROM ranked2
-WHERE rank <= $K ORDER BY query_id, rank"""}"""
+WHERE rank <= $K ORDER BY query_id, rank""" else rerankTailSql(rerankMult)}"""
 
   val oracleSql: Map[String, String] = Map(
     "ann_topk_brute" ->
@@ -788,10 +864,15 @@ SELECT s.vec_id, s.list, p.pruned_by, (p.pruned_by IS NULL) AS keep
 FROM assigned s LEFT JOIN pruned p
      ON p.list = s.list AND p.vec_id = s.vec_id
 ORDER BY s.vec_id""",
-    "ann_topk_pq" -> pqSql,
-    "ann_topk_ivfpq" -> ivfPqSql,
-    "ann_topk_ivfpq_indexed" -> ivfPqSql,
+    // the PQ-family DEFAULT shape since r19 is rerank-on (derived
+    // R = defaultRerank(K) = 10) — these oracles carry the exact-cosine
+    // refine tail the default runs; the pure-ADC ordering stays
+    // load-bearing through the shortlist choice
+    "ann_topk_pq" -> pqSqlFor(10),
+    "ann_topk_ivfpq" -> ivfPqSqlFor(PqKs, 10),
+    "ann_topk_ivfpq_indexed" -> ivfPqSqlFor(PqKs, 10),
     "ann_topk_ivfpq_rerank" -> ivfPqSqlFor(64, 10),
+    "ann_topk_ivfpq_trained" -> ivfPqSqlFor(PqKs, 10, PqTrainIters),
 
     // states the margin semantics directly: both directions' exact
     // brute rankings, neighborhood sums in integer e4 units, the

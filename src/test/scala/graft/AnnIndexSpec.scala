@@ -158,14 +158,16 @@ class AnnIndexSpec extends SparkSuite {
       meta.nProbe == Similarity.adaptiveIvfProbes(meta.lists) &&
       meta.m == 8 && meta.ks == 16 && meta.rows == 300L)  // zero-norm row excluded
     val direct = collectTopKBy(
-      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", K, n = n), "adist")
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", K, n = n,
+        rerank = 0), "adist")
     val indexed = collectTopKBy(
-      AnnIndex.ivfPqTopKIndexed(spark, dir, queries, "vec_id", "embedding", K), "adist")
+      AnnIndex.ivfPqTopKIndexed(spark, dir, queries, "vec_id", "embedding", K,
+        rerank = 0), "adist")
     assert(indexed.nonEmpty && indexed == direct)
     // the probed-list union reaches the compressed scan as a partition
     // filter, like the raw-IVF index
     val one = AnnIndex.ivfPqTopKIndexed(spark, dir, emb.filter(col("vec_id") === 0),
-      "vec_id", "embedding", K)
+      "vec_id", "embedding", K, rerank = 0)
     val plan = one.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("listp"), plan.take(1200))
     // codes/ carries only the id + m codes — never the raw vectors
@@ -194,6 +196,13 @@ class AnnIndexSpec extends SparkSuite {
       AnnIndex.ivfPqTopKIndexed(spark, dir, queries, "vec_id", "embedding", K, rerank = 10)
     }
     assert(e.getMessage.contains("rerankFrom"))
+    // the DEFAULT entry point derives a rerank too — without the
+    // raw-vector table it must fail loud, never silently return the
+    // unrefined ADC ordering (the r18 quality-cliff lesson)
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.ivfPqTopKIndexed(spark, dir, queries, "vec_id", "embedding", K)
+    }
+    assert(e2.getMessage.contains("rerankFrom"))
   }
 
   test("ivfPqIndexAppend: parity with the in-flight operator on the pinned geometry") {
@@ -213,9 +222,10 @@ class AnnIndexSpec extends SparkSuite {
     val direct = collectTopKBy(
       Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", K,
         nProbe = built.nProbe, trainedCentroids = Some(cents),
-        trainedCodebooks = Some(books)), "adist")
+        trainedCodebooks = Some(books), rerank = 0), "adist")
     val indexed = collectTopKBy(
-      AnnIndex.ivfPqTopKIndexed(spark, dir, queries, "vec_id", "embedding", K), "adist")
+      AnnIndex.ivfPqTopKIndexed(spark, dir, queries, "vec_id", "embedding", K,
+        rerank = 0), "adist")
     assert(indexed.nonEmpty && indexed == direct)
     // appended rows are probe-visible: a batch-half id can be a neighbor
     assert(indexed.exists(t => t._3 % 2 != 0), indexed.take(10).toString)
@@ -271,6 +281,24 @@ class AnnIndexSpec extends SparkSuite {
     assert(collectTopK(ivfIdxF) == collectTopK(ivfIdxD))
     assert(bhj(ivfIdxF) < bhj(ivfIdxD) && nonBroadcastJoin(ivfIdxF))
     }
+  }
+
+  test("ivfPqIndexWrite persists trained codebooks; indexed probe matches in-flight trained") {
+    val dir = tempDir("ann-ivfpq-trained")
+    val n = emb.count()
+    val books = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding", iters = 2)
+    AnnIndex.ivfPqIndexWrite(emb, "vec_id", "embedding", dir, n = n,
+      trainedCodebooks = Some(books))
+    // the persisted books round-trip exactly (parquet doubles are exact)
+    assert(AnnIndex.ivfPqCodebooks(spark, dir).flatten.flatten.toSeq ==
+      books.flatten.flatten.toSeq)
+    val direct = collectTopK(
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", K, n = n,
+        trainedCodebooks = Some(books)))
+    val indexed = collectTopK(
+      AnnIndex.ivfPqTopKIndexed(spark, dir, queries, "vec_id", "embedding", K,
+        rerankFrom = Some(emb)))
+    assert(indexed.nonEmpty && indexed == direct)
   }
 
   test("a torn append (killed before the manifest commit) is invisible; a retry heals it") {

@@ -845,7 +845,7 @@ class DedupSimilaritySpec extends SparkSuite {
     val truth = Similarity.bruteTopK(vecs, queries, "vec_id", "embedding", 4)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val pq = Similarity.pqTopK(vecs, queries, "vec_id", "embedding", 4,
-      m = 4, ks = 16, dim = 8)
+      m = 4, ks = 16, dim = 8, rerank = 0) // pure-ADC tier pinned
     val approx = pq.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (truth intersect approx).size.toDouble / truth.size
     assert(recall >= 0.6, s"recall $recall")
@@ -855,12 +855,51 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
   }
 
+  test("pqTrainCodebooks: deterministic, moves the books, never hurts pure-ADC recall") {
+    val queries = vecs.filter(col("vec_id") % 5 === 0)
+    val t1 = Similarity.pqTrainCodebooks(vecs, "vec_id", "embedding",
+      m = 4, ks = 16, dim = 8, iters = 2)
+    val t2 = Similarity.pqTrainCodebooks(vecs, "vec_id", "embedding",
+      m = 4, ks = 16, dim = 8, iters = 2)
+    assert(t1.flatten.flatten.toSeq == t2.flatten.flatten.toSeq,
+      "training is not deterministic")
+    // iters = 0 is exactly the hash-seeded books; training must move them
+    val seeds = Similarity.pqTrainCodebooks(vecs, "vec_id", "embedding",
+      m = 4, ks = 16, dim = 8, iters = 0)
+    assert(t1.flatten.flatten.toSeq != seeds.flatten.flatten.toSeq,
+      "Lloyd rounds left the codebooks untouched")
+    val truth = Similarity.bruteTopK(vecs, queries, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recallOf(books: Array[Array[Array[Double]]]): Double = {
+      val got = Similarity.pqTopK(vecs, queries, "vec_id", "embedding", 4,
+        m = 4, ks = 16, dim = 8, rerank = 0, trainedCodebooks = Some(books))
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val rTrained = recallOf(t1)
+    val rSeeds = recallOf(seeds)
+    assert(rTrained >= rSeeds, s"trained ADC recall $rTrained < hash-seeded $rSeeds")
+  }
+
+  test("PQ family defaults run the rerank shape (cos contract), never silent pure-ADC") {
+    val queries = vecs.filter(col("vec_id") % 5 === 0)
+    // default rerank derives R = max(10, ceil(50/k))
+    assert(Similarity.defaultRerank(5) == 10 && Similarity.defaultRerank(1) == 50 &&
+      Similarity.defaultRerank(100) == 10)
+    val dflt = Similarity.pqTopK(vecs, queries, "vec_id", "embedding", 4,
+      m = 4, ks = 16, dim = 8)
+    // the refined output speaks the family cosine contract, not ADC
+    assert(dflt.columns.contains("cos") && !dflt.columns.contains("adist"))
+    val rows = dflt.collect()
+    assert(rows.nonEmpty && rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0001))
+  }
+
   test("ivfPqTopK: composed pruning still recovers cluster neighbors") {
     val queries = vecs.filter(col("vec_id") % 5 === 0)
     val truth = Similarity.bruteTopK(vecs, queries, "vec_id", "embedding", 4)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val approx = Similarity.ivfPqTopK(vecs, queries, "vec_id", "embedding", 4,
-      numCentroids = 8, nProbe = 3, m = 4, ks = 16, dim = 8)
+      numCentroids = 8, nProbe = 3, m = 4, ks = 16, dim = 8, rerank = 0)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (truth intersect approx).size.toDouble / truth.size
     assert(recall >= 0.6, s"recall $recall")
