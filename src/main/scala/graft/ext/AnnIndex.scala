@@ -280,10 +280,24 @@ object AnnIndex {
     val meta = lshMetaOf(man)
     requireFresh(meta.n, meta.rows, path)
     val planes = Similarity.hyperplanesPrefix(meta.tables, meta.bits, meta.dim, meta.seed)
-    val budget = if (probeBudget > 0) probeBudget else Similarity.TopKProbeBudget
-    val depth = if (probeDepth > 0) probeDepth else Similarity.TopKProbeDepth
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .filter(VectorOps.norm(col("qv")) > 0)
+    // probe shape from BOTH sizes, like the in-flight operator: a
+    // corpus-like query batch (knn-graph / bitext lists) auto-selects
+    // the dedup coupling instead of the flat deep retrieval shape —
+    // the 10⁹-row fold must be impossible with default args
+    val (budget, depth) =
+      if (probeBudget > 0 || probeDepth > 0)
+        (if (probeBudget > 0) probeBudget else Similarity.TopKProbeBudget,
+         if (probeDepth > 0) probeDepth else Similarity.TopKProbeDepth)
+      else {
+        val keysFlat = Similarity.probeKeysPerTable(
+          meta.bits, Similarity.TopKProbeBudget, Similarity.TopKProbeDepth)
+        val maxFlatQ = Similarity.FlatProbeCorpusFactor * meta.rows / math.max(1L, keysFlat)
+        val qShape = if (queriesCount >= 0L) queriesCount
+                     else qBase.limit(math.min(maxFlatQ + 1L, Int.MaxValue.toLong).toInt).count()
+        Similarity.lshAutoShape(meta.bits, qShape, meta.rows)
+      }
     val qx = qBase.select(col("query_id"),
         posexplode(AnnExprs.lshProbeKeys(col("qv"), planes, budget, depth))
           .as(Seq("t", "bs")))

@@ -188,8 +188,8 @@ object Similarity {
     // historical exact-collision shape (sequential-stream planes, no
     // probing).
     val adaptive = bits <= 0
-    val b = if (adaptive) Dedup.adaptiveLshBits(Dedup.corpusCount(corpus, n, "lshTopK"))
-            else bits
+    val nn = if (adaptive) Dedup.corpusCount(corpus, n, "lshTopK") else -1L
+    val b = if (adaptive) Dedup.adaptiveLshBits(nn) else bits
     val tabs = if (tables > 0) tables else if (adaptive) Dedup.multiprobeTables(b) else 8
     val planes =
       if (adaptive) hyperplanesPrefix(tabs, b, dim, seed)
@@ -207,8 +207,25 @@ object Similarity {
       Seq("t", "b"), maxBucket)
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .filter(VectorOps.norm(col("qv")) > 0)
-    val budget = if (probeBudget > 0) probeBudget else TopKProbeBudget
-    val depth = if (probeDepth > 0) probeDepth else TopKProbeDepth
+    // shape derivation sees BOTH sizes: the flat deep default is a
+    // RETRIEVAL-batch assumption (probe rows multiply only the query
+    // side), and with queries ≈ corpus — the knn-graph / bitext case —
+    // it built ~10⁹ probe rows at 100 k/side and died
+    // (recordings/bitext_r18.jsonl). The decision needs only "more
+    // than maxFlatQ queries or not", so a LIMITed count bounds its
+    // cost; pass queriesCount to skip the probe job.
+    val (budget, depth) =
+      if (probeBudget > 0 || probeDepth > 0)
+        (if (probeBudget > 0) probeBudget else TopKProbeBudget,
+         if (probeDepth > 0) probeDepth else TopKProbeDepth)
+      else if (!adaptive) (TopKProbeBudget, TopKProbeDepth) // unused: no probing
+      else {
+        val keysFlat = probeKeysPerTable(b, TopKProbeBudget, TopKProbeDepth)
+        val maxFlatQ = FlatProbeCorpusFactor * nn / math.max(1L, keysFlat)
+        val qShape = if (queriesCount >= 0L) queriesCount
+                     else qBase.limit(math.min(maxFlatQ + 1L, Int.MaxValue.toLong).toInt).count()
+        lshAutoShape(b, qShape, nn)
+      }
     def probeKeys(withQv: Boolean) = {
       val cols0 = if (withQv) Seq(col("query_id"), col("qv")) else Seq(col("query_id"))
       if (adaptive)
@@ -295,7 +312,7 @@ object Similarity {
     * table: the exact key plus every ≤`depth`-subset of the
     * min(budget, bits) lowest-|margin| bits — Σ_{i=0..depth} C(m, i).
     */
-  private[ext] def probeKeysPerTable(bits: Int, budget: Int, depth: Int): Long = {
+  private[graft] def probeKeysPerTable(bits: Int, budget: Int, depth: Int): Long = {
     val m = math.min(bits, budget)
     def choose(n: Int, k: Int): Long =
       (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
@@ -315,6 +332,29 @@ object Similarity {
     */
   val TopKProbeBudget = 12
   val TopKProbeDepth = 3
+
+  /** The flat deep shape is allowed while the probe fold
+    * (queries × keysPerTable, per table) stays within this factor of
+    * the corpus signature fold (corpus rows, per table) — i.e. while
+    * the probe side costs no more than a few corpus passes. Past it
+    * the query set is corpus-like (knn-graph, bitext mining,
+    * dedup-against-self) and the shape switches to the dedup coupling,
+    * whose keys-per-table is ~26 instead of ~300: with default args
+    * the 10⁹-row fold r18 measured at 100 k×100 k is structurally
+    * impossible — worst-case probe rows are FlatProbeCorpusFactor ×
+    * corpus sig rows.
+    */
+  val FlatProbeCorpusFactor = 8L
+
+  /** The (budget, depth) choice for the adaptive [[lshTopK]] given the
+    * derived signature width and both side sizes — exposed for the
+    * spec to pin the switch.
+    */
+  private[graft] def lshAutoShape(bits: Int, qn: Long, n: Long): (Int, Int) = {
+    val keysFlat = probeKeysPerTable(bits, TopKProbeBudget, TopKProbeDepth)
+    if (qn * keysFlat <= FlatProbeCorpusFactor * n) (TopKProbeBudget, TopKProbeDepth)
+    else (Dedup.multiprobeBudget(bits), Dedup.multiprobeDepth(bits))
+  }
 
   /** IVF list count derived from the corpus: the smallest POWER OF TWO
     * `L` with L² >= n (the classic nlist ≈ √n rule snapped to a power

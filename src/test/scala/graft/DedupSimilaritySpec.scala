@@ -855,6 +855,38 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
   }
 
+  test("lshTopK probe shape derives from BOTH sizes: corpus-like query sets auto-couple") {
+    import graft.ext.Dedup
+    // retrieval batch (queries ≪ corpus): flat deep qd:12:3
+    assert(Similarity.lshAutoShape(20, 50L, 1000000L) ==
+      ((Similarity.TopKProbeBudget, Similarity.TopKProbeDepth)))
+    // corpus-as-queries (knn-graph / bitext): the dedup coupling — the
+    // 10⁹-row probe fold r18 measured at 100k×100k must be impossible
+    // with default args
+    assert(Similarity.lshAutoShape(20, 1000000L, 1000000L) ==
+      ((Dedup.multiprobeBudget(20), Dedup.multiprobeDepth(20))))
+    // exact boundary: probe fold ≤ factor × corpus fold stays flat
+    val keys = Similarity.probeKeysPerTable(20,
+      Similarity.TopKProbeBudget, Similarity.TopKProbeDepth)
+    val n = 1000000L
+    val qAt = Similarity.FlatProbeCorpusFactor * n / keys
+    assert(Similarity.lshAutoShape(20, qAt, n)._1 == Similarity.TopKProbeBudget)
+    assert(Similarity.lshAutoShape(20, qAt + 1, n)._1 == Dedup.multiprobeBudget(20))
+    // end-to-end: queries == corpus at DEFAULT args runs the coupled
+    // shape — frame-identical to passing the coupling explicitly
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val nn = emb.count()
+    val bits = Dedup.adaptiveLshBits(nn)
+    def frame(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cos").collect()
+        .map(_.toString).sorted.toSeq
+    val auto = frame(Similarity.lshTopK(emb, emb, "vec_id", "embedding", 5, n = nn))
+    val pinned = frame(Similarity.lshTopK(emb, emb, "vec_id", "embedding", 5, n = nn,
+      probeBudget = Dedup.multiprobeBudget(bits), probeDepth = Dedup.multiprobeDepth(bits)))
+    assert(auto.nonEmpty && auto == pinned)
+  }
+
   test("pqTrainCodebooks: deterministic, moves the books, never hurts pure-ADC recall") {
     val queries = vecs.filter(col("vec_id") % 5 === 0)
     val t1 = Similarity.pqTrainCodebooks(vecs, "vec_id", "embedding",
