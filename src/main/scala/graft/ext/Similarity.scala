@@ -375,9 +375,127 @@ object Similarity {
     * the lists, never fewer than 3 — the scan fraction stays ~1/8 as
     * the corpus grows (vs the fixed 3-of-20 = 15 % whose absolute scan
     * volume exploded linearly), and recall is measured, not assumed
-    * (AnnRecallProbe; floors in SimilaritySpec).
+    * (AnnRecallProbe; floors in SimilaritySpec). This is a COST-shaped
+    * default; when a recall target matters, calibrate with
+    * [[ivfProbesForRecall]] instead — the fixed fraction's measured
+    * ceiling (65.6 % at 200 k, 78.4 % at 1 M on the i.i.d. fixture)
+    * binds every downstream IVF-PQ rerank.
     */
   def adaptiveIvfProbes(lists: Int): Int = math.max(3, lists >> 3)
+
+  /** Deterministic salted-hash query sample for recall calibration —
+    * the first `sampleQueries` positive-norm rows in
+    * `md5(id || "#q")` order (the salt decorrelates the sample from
+    * the md5-ordered centroid seed pick, which would otherwise make
+    * every sampled query A centroid — recall measured on centroids
+    * only). Shared by [[ivfProbesForRecall]] and its oracle cell so
+    * the replay sees the identical sample.
+    */
+  def recallSampleQueries(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      sampleQueries: Int): DataFrame = {
+    val h = expr(
+      s"cast(conv(substr(md5(concat(cast($idCol as string), '#q')), 1, 15), 16, 10) as bigint)")
+    corpus.select(col(idCol), col(vecCol))
+      .filter(VectorOps.norm(col(vecCol)) > 0)
+      .withColumn("_h", h)
+      .orderBy(col("_h"), col(idCol))
+      .limit(sampleQueries)
+      .drop("_h")
+  }
+
+  /** RECALL-TARGETED probe calibration (the r18 verdict's missing
+    * knob): the smallest probe count on the doubling ladder
+    * {P₀, 2P₀, 4P₀, …, cap} whose measured recall@k against a sampled
+    * exact ground truth meets `recallTargetBp` (basis points, 8500 =
+    * 85 %); returns (nProbe, measured recall bp on the sample). P₀ is
+    * the cost-shaped [[adaptiveIvfProbes]] default; cap =
+    * max(P₀, lists·maxProbeFraction). If no rung qualifies the cap is
+    * returned with its measured recall — the caller sees the honest
+    * ceiling instead of a silent miss.
+    *
+    * Cost shape: calibration is a BUILD-time pass, paid once like an
+    * index build — one exact pass for the sample's ground truth
+    * (sample × corpus, broadcast sample), one corpus assignment pass
+    * (row-local argmin, persisted across rungs), then per rung a
+    * candidate join over ~p/L of the corpus; query-time cost is only
+    * the returned nProbe. Everything is deterministic (salted-hash
+    * sample, integer basis-point comparison), so the DuckDB oracle
+    * replays the full escalation — ladder, per-rung recall, and the
+    * chosen rung — bit-for-bit.
+    */
+  def ivfProbesForRecall(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      recallTargetBp: Int = 8500,
+      sampleQueries: Int = 32,
+      numCentroids: Int = 0,
+      n: Long = -1L,
+      maxProbeFraction: Double = 0.5,
+      trainedCentroids: Option[Seq[(Long, Array[Double])]] = None
+  ): (Int, Int) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lists =
+      if (numCentroids > 0) numCentroids
+      else trainedCentroids.map(_.size)
+        .getOrElse(adaptiveIvfLists(Dedup.corpusCount(corpus, n, "ivfProbesForRecall")))
+    val p0 = adaptiveIvfProbes(lists)
+    val cap = math.max(p0, (lists * maxProbeFraction).toInt)
+    val cents = trainedCentroids.getOrElse(
+      seedCentroids(corpus, idCol, vecCol, lists)).toArray
+    val centroids = broadcast(cents.toSeq.toDF("list", "centv"))
+    val sample = recallSampleQueries(corpus, idCol, vecCol, sampleQueries)
+    val truth = bruteTopK(corpus, sample, idCol, vecCol, k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.get(0), r.get(1))).toSet
+    // assignment once, reused across every rung (the in-flight
+    // operator would re-assign the corpus per call)
+    val assigned = corpus
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .filter(VectorOps.norm(col("cv")) > 0)
+      .withColumn("list",
+        graft.functions.AnnExprs.nearestCentroid(col("cv"), cents.map(_._1), cents.map(_._2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every query's FULL centroid ranking once — a rung is then a
+    // row-local r <= p cut (sample × lists rows, broadcast-sized)
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("list").asc)
+    val probesAll = sample
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(centroids, col("query_id") =!= lit(-1))
+      .withColumn("d", VectorOps.l2sq(col("qv"), col("centv")))
+      .withColumn("r", row_number().over(wProbe))
+      .select("query_id", "qv", "list", "r")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def recallBpAt(p: Int): Int = {
+      val got = rankedTopK(
+        assigned.join(broadcast(probesAll.filter(col("r") <= p).drop("r")), Seq("list"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4)),
+        "cos", scoreDesc = true, k)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.get(0), r.get(1))).toSet
+      if (truth.isEmpty) 10000
+      else (10000L * (truth intersect got).size / truth.size).toInt
+    }
+    try {
+      var p = p0
+      var rec = recallBpAt(p)
+      while (rec < recallTargetBp && p < cap) {
+        p = math.min(cap, p * 2)
+        rec = recallBpAt(p)
+      }
+      (p, rec)
+    } finally {
+      assigned.unpersist()
+      probesAll.unpersist()
+    }
+  }
 
   /** Deterministic Lloyd (k-means) refinement of the hash-picked IVF
     * seeds — the production upgrade SCALE.md's IVF note promises.

@@ -140,6 +140,25 @@ ORDER BY vec_id, pos"""
         .orderBy("query_id", "rank")
     }),
 
+    // RECALL-TARGETED IVF probing (r19): adaptiveIvfProbes is a
+    // cost-shaped fraction (lists/8) whose recall ceiling is whatever
+    // the seeds allow (measured 65.6 % at 200 k) — this cell calibrates
+    // nProbe instead: escalate along the doubling ladder {P0, 2P0, …,
+    // cap = L/2} until recall@5 on a deterministic 32-query sampled
+    // exact ground truth meets 85 %, then answer the sample at the
+    // chosen probe count. The oracle replays the WHOLE escalation —
+    // salted-hash sample, per-rung recall in integer basis points,
+    // min-qualifying-rung choice — bit-for-bit.
+    "ann_topk_ivf_recall_target" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val n = emb.count()
+      val (p, _) = Similarity.ivfProbesForRecall(emb, "vec_id", "embedding", K, n = n)
+      Similarity.ivfTopK(emb,
+        Similarity.recallSampleQueries(emb, "vec_id", "embedding", 32),
+        "vec_id", "embedding", K, nProbe = p, n = n)
+        .orderBy("query_id", "rank")
+    }),
+
     // Persisted-index LSH top-5: build the index once under a staging
     // dir (slim sigs + vectors + meta), then answer the SAME adaptive
     // contract from the index alone — the build-once/query-many split
@@ -476,6 +495,79 @@ WHERE rank <= $K ORDER BY query_id, rank"""
     s"""list_sum(list_transform(generate_series(1, $Dim),
       i -> (CAST($vec.embedding[i] AS DOUBLE) - $cv.cv[i])
          * (CAST($vec.embedding[i] AS DOUBLE) - $cv.cv[i])))"""
+
+  /** Replays [[graft.ext.Similarity.ivfProbesForRecall]] plus the
+    * final probe end to end: the salted-hash 32-query sample, its
+    * exact (brute) top-K ground truth, the probe ladder
+    * {P0, 2P0, …, cap}, per-rung recall as an integer basis-point
+    * cross-comparison (hits·10⁴ ≥ target·total ⟺ the operator's
+    * floor(10⁴·hits/total) ≥ target for integer targets), the
+    * min-qualifying-rung choice (cap when none qualifies), and the
+    * chosen rung's top-K answer for the sample.
+    */
+  private val ivfRecallTargetSql = {
+    val targetBp = 8500
+    s"""WITH nrows AS (SELECT count(*) AS n FROM embeddings),
+lsel AS (SELECT COALESCE(min(CAST(1 AS BIGINT) << p), 65536) AS L
+         FROM generate_series(4, 16) g(p), nrows
+         WHERE (CAST(1 AS BIGINT) << p) * (CAST(1 AS BIGINT) << p) >= n),
+psel AS (SELECT GREATEST(3, L // 8) AS P0 FROM lsel),
+capsel AS (SELECT GREATEST(P0, L // 2) AS CAP FROM psel, lsel),
+rungs AS (SELECT DISTINCT LEAST(CAP, P0 * (CAST(1 AS BIGINT) << j)) AS p
+          FROM generate_series(0, 20) g(j), psel, capsel),
+centroids AS (
+  SELECT list, embedding FROM (
+    SELECT vec_id AS list, embedding,
+      row_number() OVER (ORDER BY
+        CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS r
+    FROM embeddings), lsel WHERE r <= L),
+sampleq AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY
+      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#q'), 1, 15)) AS BIGINT), vec_id) AS r
+    FROM embeddings q WHERE ${normPosSql("q")}) t WHERE r <= 32),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY ${cosSql("q", "c")} DESC, c.vec_id ASC) AS rank
+    FROM embeddings q JOIN sampleq s ON q.vec_id = s.vec_id
+         JOIN embeddings c ON q.vec_id <> c.vec_id AND ${normPosSql("c")}) t
+  WHERE rank <= $K),
+assigned AS (
+  SELECT list, neighbor_id FROM (
+    SELECT ct.list, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY c.vec_id
+        ORDER BY ${l2sqSql("c", "ct")} ASC, ct.list ASC) AS r
+    FROM embeddings c CROSS JOIN centroids ct
+    WHERE ${normPosSql("c")}) t WHERE r = 1),
+probes AS (
+  SELECT q.vec_id AS query_id, ct.list,
+    row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY ${l2sqSql("q", "ct")} ASC, ct.list ASC) AS r
+  FROM embeddings q JOIN sampleq s ON q.vec_id = s.vec_id CROSS JOIN centroids ct),
+ranked_p AS (
+  SELECT g.p, pr.query_id, a.neighbor_id, ${cosSql("q", "c")} AS cos,
+    row_number() OVER (PARTITION BY g.p, pr.query_id
+      ORDER BY ${cosSql("q", "c")} DESC, a.neighbor_id ASC) AS rank
+  FROM rungs g JOIN probes pr ON pr.r <= g.p
+       JOIN assigned a ON a.list = pr.list
+       JOIN embeddings q ON q.vec_id = pr.query_id
+       JOIN embeddings c ON c.vec_id = a.neighbor_id
+  WHERE pr.query_id <> a.neighbor_id),
+rec AS (
+  SELECT t.p, count(*) AS hits
+  FROM (SELECT p, query_id, neighbor_id FROM ranked_p WHERE rank <= $K) t
+  JOIN truth u ON u.query_id = t.query_id AND u.neighbor_id = t.neighbor_id
+  GROUP BY t.p),
+total AS (SELECT count(*) AS tt FROM truth),
+chosen AS (
+  SELECT COALESCE(min(p), (SELECT CAP FROM capsel)) AS cp
+  FROM rec, total WHERE hits * 10000 >= $targetBp * tt)
+SELECT query_id, rank, neighbor_id, cos
+FROM ranked_p, chosen WHERE p = cp AND rank <= $K
+ORDER BY query_id, rank"""
+  }
 
   /** Replays kmeansCentroids + ivfTopK end to end: hash-picked seeds
     * (c0), then per round t an argmin assignment (a_t) and the
@@ -818,6 +910,7 @@ ORDER BY vec_id, comp.pos""",
     "ann_topk_lsh" -> lshSql,
     "ann_topk_ivf" -> ivfSql,
     "ann_topk_ivf_kmeans" -> ivfKmeansSql,
+    "ann_topk_ivf_recall_target" -> ivfRecallTargetSql,
     // the persisted-index variants answer the in-flight operators'
     // contracts exactly (same planes/buckets/probes; AnnIndexSpec pins
     // frame equality), so they reuse the same oracle SQL verbatim

@@ -855,6 +855,42 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
   }
 
+  test("ivfProbesForRecall escalates nProbe to the recall target on sampled ground truth") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val lists = Similarity.adaptiveIvfLists(n)
+    val p0 = Similarity.adaptiveIvfProbes(lists)
+    val cap = math.max(p0, lists / 2)
+    val (p, recBp) = Similarity.ivfProbesForRecall(emb, "vec_id", "embedding", 5, n = n)
+    assert(p >= p0 && p <= cap, s"p=$p outside [$p0, $cap]")
+    // the contract: either the target was met, or the honest ceiling
+    // (cap) is returned with its measured recall
+    assert(recBp >= 8500 || p == cap, s"p=$p recall=${recBp}bp")
+    // determinism
+    assert(Similarity.ivfProbesForRecall(emb, "vec_id", "embedding", 5, n = n) == ((p, recBp)))
+    // the returned probe count delivers the measured recall through the
+    // PUBLIC operator on the same sample — the calibration is not a
+    // private code path
+    val sample = Similarity.recallSampleQueries(emb, "vec_id", "embedding", 32)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairsOf(Similarity.bruteTopK(emb, sample, "vec_id", "embedding", 5))
+    val got = pairsOf(Similarity.ivfTopK(emb, sample, "vec_id", "embedding", 5,
+      nProbe = p, n = n))
+    val bp = 10000L * (truth intersect got).size / truth.size
+    assert(bp == recBp, s"operator recall ${bp}bp != calibration ${recBp}bp")
+    // and the escalation genuinely lifted recall past the cost-shaped
+    // default's ceiling when it had to escalate
+    if (p > p0) {
+      val gotP0 = pairsOf(Similarity.ivfTopK(emb, sample, "vec_id", "embedding", 5,
+        nProbe = p0, n = n))
+      val bp0 = 10000L * (truth intersect gotP0).size / truth.size
+      assert(bp > bp0, s"escalated recall ${bp}bp not above default ${bp0}bp")
+    }
+  }
+
   test("lshTopK probe shape derives from BOTH sizes: corpus-like query sets auto-couple") {
     import graft.ext.Dedup
     // retrieval batch (queries ≪ corpus): flat deep qd:12:3
