@@ -576,7 +576,7 @@ ORDER BY id_a, id_b"""
     * selects the runtime-derived prefix, so ONE plane table covers
     * every corpus size.
     */
-  private def embLshPlanesPrefix(tables: Int, maxBits: Int): String =
+  private[queries] def embLshPlanesPrefix(tables: Int, maxBits: Int): String =
     graft.ext.Similarity.hyperplanesPrefix(tables, maxBits, dim = 64, seed = 42L)
       .zipWithIndex.flatMap { case (table, t) =>
         table.zipWithIndex.map { case (p, bit) =>

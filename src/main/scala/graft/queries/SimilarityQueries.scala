@@ -366,6 +366,27 @@ ORDER BY vec_id, pos"""
         .orderBy("src_id", "tgt_id")
     }),
 
+    // The PRODUCTION bitext composition (r19): each side indexed once
+    // (persisted slim-sig LSH index, per-side derived shape), the other
+    // side probing it in 2 disjoint hash batches whose k-row lists
+    // materialize between jobs — the structural fix for the 77 GB
+    // candidate-stream spill the in-flight composition hit at
+    // 500k/side (recordings/bitext_r18.jsonl; r19 sizing in
+    // bitext_r19.jsonl). Probe shape auto-couples (corpus-as-queries).
+    // The oracle replays BOTH sides' derived plane sets from their own
+    // parity counts, the coupled query-directed probing, the ranked
+    // lists, and the integer margin — the hot-bucket cap is a no-op at
+    // every dev SF (side tables max out far below 100k).
+    "bitext_margin_mine_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val tgt = emb.filter(col("vec_id") % 2 === 1)
+      val root = stagingDir(s, "graft_bitext_index")
+      graft.ext.Bitext.marginMineIndexed(s, src, tgt, "vec_id", "embedding", root,
+        k = 4, minMarginMicro = 1200000L, probeBatches = 2)
+        .orderBy("src_id", "tgt_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means clusters + within-cluster
     // cosine prune vs the min-id representative — paraphrase dedup at
     // LINEAR cost (one argmin + one cosine per vector; the all-pairs
@@ -397,6 +418,54 @@ ORDER BY vec_id, pos"""
     * unrolls.
     */
   private val PqTrainIters = 2
+
+  /** Per-side derived-shape signature CTEs for the indexed-bitext
+    * oracle: like DedupQueries.embLshMultiprobeSigsCtesFor, but the
+    * shape derives from ONE side's parity count (an index's planes pin
+    * to the corpus it indexes — graft.ext.AnnIndex.lshIndexWrite), and
+    * the sig/mask rows are computed for EVERY vector under that side's
+    * planes because the OTHER side probes with the same plane set. The
+    * probe shape is the dedup coupling (budget/depth from psel):
+    * corpus-as-queries always auto-couples
+    * (Similarity.lshAutoShape — the flat-deep fold is out of reach by
+    * an order of magnitude at every dev SF).
+    */
+  private def bitextSideSigsCtes(sfx: String, parity: Int): String =
+    s"""nrows_$sfx AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 2 = $parity),
+bsel_$sfx AS (SELECT COALESCE(min(b), 24) AS bits
+         FROM generate_series(8, 24) g(b), nrows_$sfx
+         WHERE (CAST(4 AS BIGINT) << b) >= n),
+psel_$sfx AS (SELECT LEAST(32, 8 << GREATEST(0, (bits - 8) // 4)) AS tabs,
+                LEAST(8, 3 + GREATEST(0, (bits - 8) // 4)) AS budget,
+                CASE WHEN bits >= 16 THEN 3 ELSE 2 END AS depth
+         FROM bsel_$sfx),
+planes_$sfx AS (SELECT t, bit, plane FROM planes_all, bsel_$sfx, psel_$sfx
+           WHERE planes_all.bit < bits AND planes_all.t < tabs),
+margins_$sfx AS (
+  SELECT e.vec_id, p.t, p.bit,
+    list_sum(list_transform(generate_series(1, $Dim),
+      i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) AS mg
+  FROM embeddings e CROSS JOIN planes_$sfx p
+  WHERE ${normPosSql("e")}),
+sigs_$sfx AS (
+  SELECT vec_id, t,
+    CAST(sum(CASE WHEN mg >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN rk <= budget THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS mask
+  FROM (SELECT vec_id, t, bit, mg,
+          row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(mg), bit) AS rk
+        FROM margins_$sfx), psel_$sfx
+  GROUP BY 1, 2)"""
+
+  /** Query-directed coupled-probe candidates against side `sfx`'s
+    * index: queries are parity `qParity`, corpus rows the other parity.
+    */
+  private def bitextCandSql(name: String, sfx: String, qParity: Int): String =
+    s"""$name AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+  FROM sigs_$sfx q, sigs_$sfx c, psel_$sfx
+  WHERE q.t = c.t AND q.vec_id % 2 = $qParity AND c.vec_id % 2 = ${1 - qParity}
+    AND bit_count(xor(q.b, c.b)) <= depth
+    AND (xor(q.b, c.b) & q.mask) = xor(q.b, c.b))"""
 
   /** The seeded hyperplanes as DuckDB VALUES rows — Double.toString
     * round-trips exactly, so the oracle's planes are bit-identical to
@@ -1018,6 +1087,41 @@ fwd AS (SELECT sid, tid, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS cos_e4,
   row_number() OVER (PARTITION BY sid ORDER BY cos DESC, tid ASC) AS r FROM scored),
 bwd AS (SELECT tid, sid, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS cos_e4,
   row_number() OVER (PARTITION BY tid ORDER BY cos DESC, sid ASC) AS r FROM scored),
+nna AS (SELECT sid, sum(cos_e4) AS sum_a, count(*) AS cnt_a FROM fwd WHERE r <= 4 GROUP BY 1),
+nnb AS (SELECT tid, sum(cos_e4) AS sum_b, count(*) AS cnt_b FROM bwd WHERE r <= 4 GROUP BY 1),
+cand AS (
+  SELECT f.sid, f.tid, f.cos_e4,
+    2*f.cos_e4*cnt_a*cnt_b*1000000 // (sum_a*cnt_b + sum_b*cnt_a) AS margin_micro
+  FROM fwd f JOIN nna USING (sid) JOIN nnb USING (tid)
+  WHERE f.r <= 4 AND (sum_a*cnt_b + sum_b*cnt_a) > 0)
+SELECT sid AS src_id, tid AS tgt_id, cos_e4, CAST(margin_micro AS BIGINT) AS margin_micro
+FROM cand WHERE margin_micro >= 1200000
+ORDER BY src_id, tgt_id""",
+
+    // both sides' indexes replayed from their own parity counts
+    // (derived width + coupled tables), query-directed coupled probing
+    // per direction, exact-cosine ranked k=4 lists, then the identical
+    // integer margin tail; probe batching on the Spark side is
+    // row-invisible (per-query top-k is batch-independent)
+    "bitext_margin_mine_indexed" ->
+      s"""WITH planes_all(t, bit, plane) AS (VALUES
+${DedupQueries.embLshPlanesPrefix(32, 24)}),
+${bitextSideSigsCtes("f", 1)},
+${bitextSideSigsCtes("g", 0)},
+${bitextCandSql("cand_f", "f", 0)},
+${bitextCandSql("cand_g", "g", 1)},
+scored_f AS (
+  SELECT qid AS sid, nid AS tid, ${cosSql("a", "b")} AS cos
+  FROM cand_f JOIN embeddings a ON a.vec_id = qid
+              JOIN embeddings b ON b.vec_id = nid),
+scored_g AS (
+  SELECT qid AS tid, nid AS sid, ${cosSql("a", "b")} AS cos
+  FROM cand_g JOIN embeddings a ON a.vec_id = qid
+              JOIN embeddings b ON b.vec_id = nid),
+fwd AS (SELECT sid, tid, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS cos_e4,
+  row_number() OVER (PARTITION BY sid ORDER BY cos DESC, tid ASC) AS r FROM scored_f),
+bwd AS (SELECT tid, sid, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS cos_e4,
+  row_number() OVER (PARTITION BY tid ORDER BY cos DESC, sid ASC) AS r FROM scored_g),
 nna AS (SELECT sid, sum(cos_e4) AS sum_a, count(*) AS cnt_a FROM fwd WHERE r <= 4 GROUP BY 1),
 nnb AS (SELECT tid, sum(cos_e4) AS sum_b, count(*) AS cnt_b FROM bwd WHERE r <= 4 GROUP BY 1),
 cand AS (

@@ -60,6 +60,38 @@ class BitextSpec extends SparkSuite {
     assert(!all.keySet.exists(_._2 == 7L), "zero-norm target never a candidate")
   }
 
+  test("marginMineIndexed: batch-invariant and identical to single-shot indexed lists") {
+    // a larger seeded fixture so the LSH lists have real structure
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    val emb = (0 until 200).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val src = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0)
+    val tgt = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 1)
+    def mined(batches: Int, dir: String): Set[String] =
+      Bitext.marginMineIndexed(spark, src, tgt, "vec_id", "embedding",
+        tempDir(dir), k = 4, minMarginMicro = 0L, probeBatches = batches)
+        .collect().map(_.toString).toSet
+    val one = mined(1, "bitext-idx-1")
+    val three = mined(3, "bitext-idx-3")
+    assert(one.nonEmpty, "indexed miner found no pairs on the seeded fixture")
+    // per-query top-k is independent of probe batching: the bounded-
+    // disk batched path must be ROW-IDENTICAL to the single shot
+    assert(three == one, "probe batching changed mined pairs")
+    // and the composition equals marginFromLists over the indexed lists
+    // built directly — the operator adds batching + staging, never math
+    val root = tempDir("bitext-idx-direct")
+    graft.ext.AnnIndex.lshIndexWrite(tgt, "vec_id", "embedding", s"$root/t")
+    graft.ext.AnnIndex.lshIndexWrite(src, "vec_id", "embedding", s"$root/s")
+    val fwd = graft.ext.AnnIndex.lshTopKIndexed(spark, s"$root/t", src,
+      "vec_id", "embedding", 4)
+    val bwd = graft.ext.AnnIndex.lshTopKIndexed(spark, s"$root/s", tgt,
+      "vec_id", "embedding", 4)
+    val direct = Bitext.marginFromLists(fwd, bwd, 0L)
+      .collect().map(_.toString).toSet
+    assert(direct == one)
+  }
+
   test("corpus edge: cnt < k cross-multiplies exactly") {
     // k=5 > |tgt|: fwd neighborhoods hold all 3 non-zero targets
     // (sum s0 = 16000, cnt 3; sum s2 = 8000, cnt 3), bwd unchanged
