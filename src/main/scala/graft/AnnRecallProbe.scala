@@ -50,6 +50,7 @@ object AnnRecallProbe {
 
     val truth = pairsOf(Similarity.bruteTopK(emb, qs, "vec_id", "embedding", k))
 
+    var calibrated: Option[(Int, Int)] = None
     val out = modes.map { m =>
       val t0 = System.nanoTime()
       val got = m match {
@@ -70,6 +71,24 @@ object AnnRecallProbe {
             numCentroids = 20, nProbe = 3))
         case "ivf-adaptive" =>
           pairsOf(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k, n = n))
+        case "ivf-recall-target" =>
+          // calibration (ivfProbesForRecall, target 85 %) then the
+          // probe at the chosen count — the calibration seconds are
+          // folded into this mode's secs; the probe-only cost at the
+          // chosen P is what the per-mode shape string reports
+          val (p, recBp) = Similarity.ivfProbesForRecall(
+            emb, "vec_id", "embedding", k, n = n)
+          calibrated = Some((p, recBp))
+          pairsOf(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k,
+            nProbe = p, n = n))
+        case "lsh-knn" =>
+          // the knn-graph shape at DEFAULT args: queries == corpus, so
+          // the auto-coupled probe shape must hold (the flat-deep fold
+          // measured ~1e9 rows and died at 100k/side pre-r19); recall
+          // is judged on the qcount sampled queries of the full graph
+          val all = Similarity.lshTopK(emb, emb, "vec_id", "embedding", k,
+            n = n, queriesCount = n)
+          pairsOf(all.filter(col("query_id") < qcount))
         case other => sys.error(s"unknown mode $other")
       }
       val secs = (System.nanoTime() - t0) / 1e9
@@ -84,6 +103,14 @@ object AnnRecallProbe {
         case "ivf-adaptive" =>
           val l = Similarity.adaptiveIvfLists(n)
           s"${l}L x ${Similarity.adaptiveIvfProbes(l)}P"
+        case "ivf-recall-target" =>
+          val l = Similarity.adaptiveIvfLists(n)
+          val (p, bp) = calibrated.getOrElse((-1, -1))
+          s"${l}L x ${p}P (calibrated from ${Similarity.adaptiveIvfProbes(l)}P, sample ${bp}bp)"
+        case "lsh-knn" =>
+          val b = Dedup.adaptiveLshBits(n)
+          val (bud, dep) = Similarity.lshAutoShape(b, n, n)
+          s"${Dedup.multiprobeTables(b)}t x ${b}b qd:$bud:$dep (auto-coupled, q=n)"
         case "lsh-fixed" => "8t x 8b"
         case "ivf-fixed" => "20L x 3P"
         case _ => "exact"

@@ -5,32 +5,75 @@ import org.apache.spark.sql.functions._
 
 /** Scale probe for margin-based bitext mining (ext/Bitext): the
   * registered queries certify the margin math (brute lists) and the
-  * approximate seam (pinned 8×8 lists) at dev SFs; this probe prices
-  * the PRODUCTION composition — [[graft.ext.Bitext.marginFromLists]]
-  * over corpus-ADAPTIVE [[graft.ext.Similarity.lshTopK]] lists, the
-  * shape a 100 TB run would use — at real corpus sizes, against the
-  * brute-list margins as truth (pair recall of the mined set).
+  * approximate seams at dev SFs; this probe prices the production
+  * compositions at real corpus sizes:
+  *
+  *   - `inflight`: [[graft.ext.Bitext.marginFromLists]] over
+  *     corpus-adaptive [[graft.ext.Similarity.lshTopK]] lists with the
+  *     dedup probe coupling — the r18 shape, which out-spilled 77 GB
+  *     of local disk at 500 k/side because the whole candidate stream
+  *     lives in ONE job's shuffle files.
+  *   - `indexed`: [[graft.ext.Bitext.marginMineIndexed]] — persisted
+  *     per-side LSH indexes probed in bounded batches whose k-row list
+  *     tables materialize between jobs (the r19 tier-boundary fix).
+  *
+  * Each composition's run reports wall seconds, mined pairs, pair
+  * recall vs the brute-list margins while the theta-join is feasible,
+  * and the PEAK bytes under the Spark local dir during the run (a 2 s
+  * sampler over the blockmgr- and spark- trees) — the quantity that
+  * actually killed the 500 k/side r18 attempt.
   *
   * Usage: runMain graft.BitextProbe <sfDir> [k=4] [minMicro=1200000]
+  *        [mode=inflight|indexed|both] [batches=4]
   */
 object BitextProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val k = args.drop(1).headOption.map(_.toInt).getOrElse(4)
     val minMicro = args.drop(2).headOption.map(_.toLong).getOrElse(1200000L)
+    val mode = args.drop(3).headOption.getOrElse("inflight")
+    val batches = args.drop(4).headOption.map(_.toInt).getOrElse(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.ext.{Bitext, Similarity}
+    import graft.ext.{Bitext, Dedup, Similarity}
     def fmt(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9) }
     def pairsOf(df: org.apache.spark.sql.DataFrame) =
       df.select("src_id", "tgt_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // peak Spark-local-dir usage during a block — samples the
+    // blockmgr-*/spark-* trees every 2 s (the shuffle/spill bytes that
+    // out-grew the disk in the r18 run)
+    def treeBytes(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(treeBytes).sum).getOrElse(0L)
+    def localDirBytes(): Long = {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      Option(tmp.listFiles()).map(_.filter(f =>
+        f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-"))
+        .map(treeBytes).sum).getOrElse(0L)
+    }
+    def withPeak[T](f: => T): (T, Double, Double) = {
+      @volatile var stop = false
+      @volatile var peak = localDirBytes()
+      val sampler = new Thread(() => {
+        while (!stop) {
+          peak = math.max(peak, localDirBytes())
+          Thread.sleep(2000)
+        }
+      })
+      sampler.setDaemon(true); sampler.start()
+      val (r, secs) = timed(f)
+      stop = true; sampler.join(3000)
+      peak = math.max(peak, localDirBytes())
+      (r, secs, peak / 1e9)
+    }
 
     val emb = Tables.embeddings(spark, dir)
     val src = emb.filter(col("vec_id") % 2 === 0)
@@ -46,34 +89,51 @@ object BitextProbe {
       if (nS * nT <= 100000000L)
         timed(pairsOf(Bitext.marginMine(src, tgt, "vec_id", "embedding", k, minMicro)))
       else (Set.empty[(Long, Long)], -1.0)
+    def recallStr(mined: Set[(Long, Long)]): String =
+      if (truth.isEmpty) "-1" else fmt(100.0 * truth.intersect(mined).size / truth.size)
 
-    // production: adaptive lshTopK lists per side with the DEDUP
-    // COUPLING's probe budget (multiprobeBudget/Depth of the derived
-    // width), NOT the flat-deep qd:12:3 topK default — bitext mining
-    // queries EVERY corpus row, so the probe volume multiplies the
-    // corpus like the dedup pair operator, and the flat-deep shape's
-    // ~299 keys/table measured an executor OOM at 100k queries/side
-    // (the topK default is sized for retrieval batches, not
-    // knn-graph construction)
-    import graft.ext.Dedup
-    def lists(corpus: org.apache.spark.sql.DataFrame, qs: org.apache.spark.sql.DataFrame,
-        nC: Long, nQ: Long) = {
-      val bits = Dedup.adaptiveLshBits(nC)
-      Similarity.lshTopK(corpus, qs, "vec_id", "embedding", k, n = nC,
-        queriesCount = nQ,
-        probeBudget = Dedup.multiprobeBudget(bits),
-        probeDepth = Dedup.multiprobeDepth(bits))
+    val sections = scala.collection.mutable.ArrayBuffer[String](
+      s""""brute":{"secs":${fmt(bruteSecs)},"pairs":${truth.size}}""")
+
+    var inflightPairs: Set[(Long, Long)] = Set.empty
+    if (mode == "inflight" || mode == "both") {
+      // the r18 shape: adaptive lshTopK lists per side with the DEDUP
+      // COUPLING's probe budget — one job per direction, candidate
+      // stream resident in its shuffle files end to end
+      def lists(corpus: org.apache.spark.sql.DataFrame, qs: org.apache.spark.sql.DataFrame,
+          nC: Long, nQ: Long) = {
+        val bits = Dedup.adaptiveLshBits(nC)
+        Similarity.lshTopK(corpus, qs, "vec_id", "embedding", k, n = nC,
+          queriesCount = nQ,
+          probeBudget = Dedup.multiprobeBudget(bits),
+          probeDepth = Dedup.multiprobeDepth(bits))
+      }
+      val (mined, secs, peakGb) = withPeak(pairsOf(Bitext.marginFromLists(
+        lists(tgt, src, nT, nS), lists(src, tgt, nS, nT), minMicro)))
+      inflightPairs = mined
+      sections += s""""inflight":{"secs":${fmt(secs)},"pairs":${mined.size},""" +
+        s""""truth_pair_recall_pct":${recallStr(mined)},"peak_local_gb":${fmt(peakGb)}}"""
     }
-    val (mined, lshSecs) = timed(pairsOf(Bitext.marginFromLists(
-      lists(tgt, src, nT, nS), lists(src, tgt, nS, nT), minMicro)))
 
-    val recall = if (truth.isEmpty) -1.0
-      else 100.0 * truth.intersect(mined).size / truth.size
+    if (mode == "indexed" || mode == "both") {
+      val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_bitext_probe")
+        .getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val (mined, secs, peakGb) = withPeak(pairsOf(
+        Bitext.marginMineIndexed(spark, src, tgt, "vec_id", "embedding", root,
+          k = k, minMarginMicro = minMicro, probeBatches = batches,
+          srcCount = nS, tgtCount = nT)))
+      val vsInflight =
+        if (inflightPairs.isEmpty) "-1"
+        else fmt(100.0 * inflightPairs.intersect(mined).size / inflightPairs.size)
+      sections += s""""indexed":{"secs":${fmt(secs)},"pairs":${mined.size},""" +
+        s""""batches":$batches,"truth_pair_recall_pct":${recallStr(mined)},""" +
+        s""""inflight_pair_overlap_pct":$vsInflight,"peak_local_gb":${fmt(peakGb)}}"""
+    }
+
     println(s"""{"probe":"bitext_scale","dir":"$dir","n_src":$nS,"n_tgt":$nT,""" +
-      s""""k":$k,"min_margin_micro":$minMicro,""" +
-      s""""brute":{"secs":${fmt(bruteSecs)},"pairs":${truth.size}},""" +
-      s""""lsh_adaptive":{"secs":${fmt(lshSecs)},"pairs":${mined.size},""" +
-      s""""truth_pair_recall_pct":${fmt(recall)}}}""")
+      s""""k":$k,"min_margin_micro":$minMicro,${sections.mkString(",")}}""")
     spark.stop()
   }
 }

@@ -4,14 +4,22 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Codebook-size sweep for the PQ tier: recall@k vs brute cosine truth
-  * as `ks` (codewords per subspace) grows — the quantization-distortion
-  * knob. Usage: runMain graft.PqKsProbe <sfDir> [q=50] [k=5]
+  * as `ks` (codewords per subspace), the rerank depth, and TRAINED vs
+  * hash-seeded codebooks vary.
+  * Usage: runMain graft.PqKsProbe <sfDir> [q=50] [k=5]
+  *        [ksCsv=16,64,256] [rerankCsv=0,10,100] [trainedCsv=false,true]
   */
 object PqKsProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val q = args.drop(1).headOption.map(_.toInt).getOrElse(50)
     val k = args.drop(2).headOption.map(_.toInt).getOrElse(5)
+    val ksList = args.drop(3).headOption.map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(16, 64, 256))
+    val rerankList = args.drop(4).headOption.map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(0, 10, 100))
+    val trainedList = args.drop(5).headOption.map(_.split(",").map(_.toBoolean).toSeq)
+      .getOrElse(Seq(false, true))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,14 +37,29 @@ object PqKsProbe {
     val n = emb.count()
     val qs = emb.filter(col("vec_id") < q)
     val truth = pairsOf(Similarity.bruteTopK(emb, qs, "vec_id", "embedding", k))
-    for (ks <- Seq(16, 64, 256); r <- Seq(0, 100)) {
-      // rerank=0 is the pure-ADC tier; rerank=100 adds the
-      // exact-cosine refine over the 100*k ADC shortlist
-      val (got, secs) = timed(pairsOf(
-        Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, ks = ks, n = n,
-          rerank = r)))
-      println(s"""{"probe":"pq_rerank","dir":"$dir","n":$n,"ks":$ks,"rerank":$r,""" +
-        s""""ivfpq":{"secs":${fmt(secs)},"recall_pct":${fmt(100.0 * truth.intersect(got).size / truth.size)}}}""")
+    for (ks <- ksList; trained <- trainedList) {
+      // rerank=0 is the pure-ADC tier; rerank=10 the r19 derived
+      // default (R = defaultRerank(5)); rerank=100 the deep refine.
+      // trained=true swaps the hash-seeded codebooks for the
+      // per-subspace k-means books (pqTrainCodebooks, 2 rounds) — the
+      // quality knob the r18 verdict asked to be measured against the
+      // hash-seeded frontier (49 % at ks=64+R100/200k). Books train
+      // once per (ks, trained) and serve every rerank depth.
+      val (books, trainSecs) =
+        if (!trained) (None, 0.0)
+        else {
+          val (b, s) = timed(Similarity.pqTrainCodebooks(
+            emb, "vec_id", "embedding", ks = ks, iters = 2))
+          (Some(b), s)
+        }
+      for (r <- rerankList) {
+        val (got, secs) = timed(pairsOf(
+          Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, ks = ks, n = n,
+            rerank = r, trainedCodebooks = books)))
+        println(s"""{"probe":"pq_rerank","dir":"$dir","n":$n,"ks":$ks,"rerank":$r,""" +
+          s""""trained":$trained,"train_secs":${fmt(trainSecs)},""" +
+          s""""ivfpq":{"secs":${fmt(secs)},"recall_pct":${fmt(100.0 * truth.intersect(got).size / truth.size)}}}""")
+      }
     }
     spark.stop()
   }
