@@ -71,16 +71,23 @@ object AnnRecallProbe {
             numCentroids = 20, nProbe = 3))
         case "ivf-adaptive" =>
           pairsOf(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k, n = n))
-        case "ivf-recall-target" =>
-          // calibration (ivfProbesForRecall, target 85 %) then the
-          // probe at the chosen count — the calibration seconds are
-          // folded into this mode's secs; the probe-only cost at the
-          // chosen P is what the per-mode shape string reports
+        case s if s.startsWith("ivf-recall-target") =>
+          // calibration (ivfProbesForRecall; target bp after ':',
+          // default 8500) then the probe at the chosen count — the
+          // calibration seconds are folded into this mode's secs; the
+          // calibrated shape + sample recall go in the shape string
+          val bp = s.split(":").drop(1).headOption.map(_.toInt).getOrElse(8500)
           val (p, recBp) = Similarity.ivfProbesForRecall(
-            emb, "vec_id", "embedding", k, n = n)
+            emb, "vec_id", "embedding", k, recallTargetBp = bp, n = n)
           calibrated = Some((p, recBp))
           pairsOf(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k,
             nProbe = p, n = n))
+        case s if s.startsWith("ivf-fixedp:") =>
+          // probe-only cost at an explicit nProbe (no calibration in
+          // the timing) — separates the build-time escalation cost
+          // from what a query batch pays at the calibrated count
+          pairsOf(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k,
+            nProbe = s.stripPrefix("ivf-fixedp:").toInt, n = n))
         case "lsh-knn" =>
           // the knn-graph shape at DEFAULT args: queries == corpus, so
           // the auto-coupled probe shape must hold (the flat-deep fold
@@ -103,7 +110,7 @@ object AnnRecallProbe {
         case "ivf-adaptive" =>
           val l = Similarity.adaptiveIvfLists(n)
           s"${l}L x ${Similarity.adaptiveIvfProbes(l)}P"
-        case "ivf-recall-target" =>
+        case s if s.startsWith("ivf-recall-target") =>
           val l = Similarity.adaptiveIvfLists(n)
           val (p, bp) = calibrated.getOrElse((-1, -1))
           s"${l}L x ${p}P (calibrated from ${Similarity.adaptiveIvfProbes(l)}P, sample ${bp}bp)"
@@ -113,6 +120,8 @@ object AnnRecallProbe {
           s"${Dedup.multiprobeTables(b)}t x ${b}b qd:$bud:$dep (auto-coupled, q=n)"
         case "lsh-fixed" => "8t x 8b"
         case "ivf-fixed" => "20L x 3P"
+        case s if s.startsWith("ivf-fixedp:") =>
+          s"${Similarity.adaptiveIvfLists(n)}L x ${s.stripPrefix("ivf-fixedp:")}P (probe only)"
         case _ => "exact"
       }
       s""""$m":{"shape":"$shape","secs":${"%.2f".formatLocal(java.util.Locale.ROOT, secs)},"recall_pct":${"%.1f".formatLocal(java.util.Locale.ROOT, recall)}}"""

@@ -224,6 +224,45 @@ object Bench {
         val minofJs = minOf.map(np =>
           s""""minof":$np,"pass_totals":[${passes.map(p => f(p.values.sum)).mkString(",")}],""")
           .getOrElse("")
+        // Build-once vs probe cost for the persisted-index ANN family:
+        // the registered `*_indexed` cells build their index INSIDE the
+        // timed query (the lifecycle certificate the oracle needs), so
+        // suite density charges build-once cost to every run. This
+        // split prices the two halves separately — the number a
+        // production reading of the bench should use is the PROBE
+        // column (an index is built once per corpus snapshot). Printed
+        // on its OWN line before the total (the recorder's window keeps
+        // the last line) and hedged to bench_split.json.
+        try {
+          import graft.ext.AnnIndex
+          import org.apache.spark.sql.functions.col
+          val emb = Tables.embeddings(spark, sfDir)
+          val n = emb.count()
+          val qs = emb.filter(col("vec_id") < 10)
+          def t(body: => Unit): Double = {
+            val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
+          val root = new java.io.File(
+            sys.props("java.io.tmpdir"), "graft_bench_split").getAbsolutePath
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          val lshB = t(AnnIndex.lshIndexWrite(emb, "vec_id", "embedding", s"$root/lsh", n = n))
+          val lshP = t(AnnIndex.lshTopKIndexed(spark, s"$root/lsh", qs,
+            "vec_id", "embedding", 5).count())
+          val ivfB = t(AnnIndex.ivfIndexWrite(emb, "vec_id", "embedding", s"$root/ivf", n = n))
+          val ivfP = t(AnnIndex.ivfTopKIndexed(spark, s"$root/ivf", qs,
+            "vec_id", "embedding", 5).count())
+          val pqB = t(AnnIndex.ivfPqIndexWrite(emb, "vec_id", "embedding", s"$root/ivfpq", n = n))
+          val pqP = t(AnnIndex.ivfPqTopKIndexed(spark, s"$root/ivfpq", qs,
+            "vec_id", "embedding", 5, rerankFrom = Some(emb)).count())
+          val splitLine =
+            s"""{"metric":"ann_index_split","unit":"sec","sf":"$sfName","n":$n,""" +
+              s""""lsh":{"build":${f(lshB)},"probe":${f(lshP)}},""" +
+              s""""ivf":{"build":${f(ivfB)},"probe":${f(ivfP)}},""" +
+              s""""ivfpq":{"build":${f(pqB)},"probe":${f(pqP)}}}"""
+          println(splitLine)
+          val w = new java.io.PrintWriter("bench_split.json", "UTF-8")
+          try w.println(splitLine) finally w.close()
+        } catch { case _: Throwable => () }
         val line = s"""{"metric":"total","unit":"sec","value":${f(total)},"sf":"$sfName",$minofJs"plans":"$combined","dropped_fastest":$dropped,"queries":$qjs,"warm_total":${f(warmTotal)}}"""
         println(line)
         // file hedge alongside planhash.json: a recorder that misses the

@@ -20,6 +20,11 @@ object PqKsProbe {
       .getOrElse(Seq(0, 10, 100))
     val trainedList = args.drop(5).headOption.map(_.split(",").map(_.toBoolean).toSeq)
       .getOrElse(Seq(false, true))
+    // optional explicit probe count (0 = adaptive default): composes
+    // the trained/rerank sweep with recall-targeted probing — the
+    // rerank ceiling IS the IVF probe ceiling, so lifting nProbe lifts
+    // every refined number with it
+    val nProbe = args.drop(6).headOption.map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -55,8 +60,8 @@ object PqKsProbe {
       for (r <- rerankList) {
         val (got, secs) = timed(pairsOf(
           Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, ks = ks, n = n,
-            rerank = r, trainedCodebooks = books)))
-        println(s"""{"probe":"pq_rerank","dir":"$dir","n":$n,"ks":$ks,"rerank":$r,""" +
+            rerank = r, trainedCodebooks = books, nProbe = nProbe)))
+        println(s"""{"probe":"pq_rerank","dir":"$dir","n":$n,"ks":$ks,"rerank":$r,"nprobe":$nProbe,""" +
           s""""trained":$trained,"train_secs":${fmt(trainSecs)},""" +
           s""""ivfpq":{"secs":${fmt(secs)},"recall_pct":${fmt(100.0 * truth.intersect(got).size / truth.size)}}}""")
       }

@@ -110,21 +110,30 @@ object Bitext {
   ): DataFrame = {
     val tgtIdx = s"$workDir/tgt_index"
     val srcIdx = s"$workDir/src_index"
-    AnnIndex.lshIndexWrite(tgt, idCol, vecCol, tgtIdx, n = tgtCount)
-    AnnIndex.lshIndexWrite(src, idCol, vecCol, srcIdx, n = srcCount)
-    def lists(idxPath: String, queries: DataFrame, outDir: String): DataFrame = {
+    val nS = if (srcCount >= 0L) srcCount else src.count()
+    val nT = if (tgtCount >= 0L) tgtCount else tgt.count()
+    AnnIndex.lshIndexWrite(tgt, idCol, vecCol, tgtIdx, n = nT)
+    AnnIndex.lshIndexWrite(src, idCol, vecCol, srcIdx, n = nS)
+    def lists(idxPath: String, queries: DataFrame, nQ: Long, outDir: String): DataFrame = {
       val nb = math.max(1, probeBatches)
       for (bi <- 0 until nb) {
         val qb = if (nb <= 1) queries
           else queries.filter(pmod(hash(col(idCol)), lit(nb)) === lit(bi))
+        // queriesCount is the FULL query side, not the batch: the
+        // auto-shape and broadcast-tier decisions must be the
+        // single-shot ones on EVERY batch, or a batch small enough to
+        // cross a boundary would probe a different shape and break the
+        // batching-is-row-invisible contract (it also skips three
+        // LIMITed count jobs per probe)
         AnnIndex.lshTopKIndexed(spark, idxPath, qb, idCol, vecCol, k,
-            probeBudget = probeBudget, probeDepth = probeDepth)
+            probeBudget = probeBudget, probeDepth = probeDepth,
+            queriesCount = nQ)
           .write.mode(if (bi == 0) "overwrite" else "append").parquet(outDir)
       }
       spark.read.parquet(outDir)
     }
-    val fwd = lists(tgtIdx, src, s"$workDir/fwd_lists")
-    val bwd = lists(srcIdx, tgt, s"$workDir/bwd_lists")
+    val fwd = lists(tgtIdx, src, nS, s"$workDir/fwd_lists")
+    val bwd = lists(srcIdx, tgt, nT, s"$workDir/bwd_lists")
     marginFromLists(fwd, bwd, minMarginMicro)
   }
 
