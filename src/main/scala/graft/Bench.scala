@@ -233,6 +233,11 @@ object Bench {
         // column (an index is built once per corpus snapshot). Printed
         // on its OWN line before the total (the recorder's window keeps
         // the last line) and hedged to bench_split.json.
+        // a stale bench_split.json from a previous run must never be
+        // read as this run's numbers: delete it BEFORE measuring, so a
+        // failure below leaves no file rather than last round's (r19
+        // advice — the catch-all swallow otherwise preserved it)
+        try new java.io.File("bench_split.json").delete() catch { case _: Throwable => () }
         try {
           import graft.ext.AnnIndex
           import org.apache.spark.sql.functions.col

@@ -43,6 +43,14 @@ import org.apache.spark.sql.functions._
   *
   * == Crash-safe mutations (manifest commits) ==
   *
+  * Mutations are SINGLE-WRITER-PER-INDEX: crash safety here means a
+  * killed mutation can never corrupt what readers see, not that two
+  * concurrent mutators serialize — two appends racing from the same
+  * base epoch would target the same batch token, and the manifest
+  * commit fails loud (no pre-delete before the rename) rather than
+  * letting the last writer silently absorb the other's batches.
+  * Serialize mutations per index path (readers need no coordination).
+  *
   * Every mutation (build, append, compact) writes its rows into a NEW
   * batch-stamped directory (`sigs/batch=c00002/`, `lists/batch=c00002/
   * listp=…/`) and COMMITS by writing a one-file manifest under `meta/`
@@ -146,7 +154,12 @@ object AnnIndex {
     writeLshHot(spark, path, Seq(tok), maxBucket, tok)
     val stored = spark.read.parquet(s"$path/vectors/batch=$tok").count()
     val meta = LshMeta(tables, bits, dim, seed, maxBucket, nn, stored)
-    commit(spark, path, Manifest(KindLsh, 1, Seq(tok), tok, lshFields(meta)))
+    // rawRows tracks the rows actually INGESTED (pre-filter), not the
+    // shape-sizing `n` the caller may have pinned to a larger target
+    // corpus: an append adds its own raw count, so seeding from `n`
+    // would double-count the headroom
+    val rawRows = if (n >= 0L) corpus.count() else nn
+    commit(spark, path, Manifest(KindLsh, 1, Seq(tok), tok, lshFields(meta, rawRows)))
     meta
   }
 
@@ -167,11 +180,20 @@ object AnnIndex {
       .select("t", "b")
       .write.mode("overwrite").parquet(s"$path/hot/$tok")
 
-  private def lshFields(meta: LshMeta): Seq[(String, Long)] =
+  /** `rawRows` is the PRE-FILTER corpus row count (zero-norm rows
+    * included), maintained across appends: the in-flight
+    * [[Similarity.lshTopK]] derives its flat-vs-coupled probe shape
+    * from the RAW corpus count, so the indexed probe must use the same
+    * basis or a corpus containing zero-norm rows could flip the
+    * decision right at the maxFlatQ boundary and break the
+    * indexed-equals-in-flight frame identity AnnIndexSpec pins (r19
+    * advice).
+    */
+  private def lshFields(meta: LshMeta, rawRows: Long): Seq[(String, Long)] =
     Seq("tables" -> meta.tables.toLong, "bits" -> meta.bits.toLong,
       "dim" -> meta.dim.toLong, "seed" -> meta.seed,
       "maxBucket" -> meta.maxBucket.toLong, "n" -> meta.n,
-      "rows" -> meta.rows)
+      "rows" -> meta.rows, "rawRows" -> rawRows)
 
   private def lshMetaOf(man: Manifest): LshMeta = {
     val m = man.fields
@@ -215,9 +237,11 @@ object AnnIndex {
     base.write.mode("overwrite").parquet(s"$path/vectors/batch=$tok")
     writeLshHot(spark, path, man.batches :+ tok, meta.maxBucket, tok)
     val added = spark.read.parquet(s"$path/vectors/batch=$tok").count()
+    val addedRaw = batch.count()
     val updated = meta.copy(rows = meta.rows + added)
     commit(spark, path,
-      Manifest(KindLsh, man.epoch + 1, man.batches :+ tok, tok, lshFields(updated)))
+      Manifest(KindLsh, man.epoch + 1, man.batches :+ tok, tok,
+        lshFields(updated, lshRawRows(man) + addedRaw)))
     updated
   }
 
@@ -248,9 +272,17 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$path/vectors/batch=$tok")
     writeLshHot(spark, path, Seq(tok), meta.maxBucket, tok)
     commit(spark, path,
-      Manifest(KindLsh, man.epoch + 1, Seq(tok), tok, lshFields(meta)))
+      Manifest(KindLsh, man.epoch + 1, Seq(tok), tok,
+        lshFields(meta, lshRawRows(man))))
     meta
   }
+
+  /** The maintained raw corpus count (see [[lshFields]]); indexes
+    * committed before the field existed fall back to the positive-norm
+    * `rows` (exact when the corpus had no zero-norm vectors).
+    */
+  private def lshRawRows(man: Manifest): Long =
+    man.fields.getOrElse("rawRows", man.fields("rows"))
 
   /** Load the persisted LSH meta (fails fast on a non-LSH index). */
   def lshMeta(spark: SparkSession, path: String): LshMeta =
@@ -285,7 +317,13 @@ object AnnIndex {
     // probe shape from BOTH sizes, like the in-flight operator: a
     // corpus-like query batch (knn-graph / bitext lists) auto-selects
     // the dedup coupling instead of the flat deep retrieval shape —
-    // the 10⁹-row fold must be impossible with default args
+    // the 10⁹-row fold must be impossible with default args. The
+    // corpus basis is the manifest's RAW count (zero-norm rows
+    // included), the same basis the in-flight operator counts — using
+    // the stored positive-norm `rows` could flip the flat-vs-coupled
+    // decision at the maxFlatQ boundary on corpora with zero-norm
+    // rows and break indexed-equals-in-flight identity (r19 advice)
+    val rawN = lshRawRows(man)
     val (budget, depth) =
       if (probeBudget > 0 || probeDepth > 0)
         (if (probeBudget > 0) probeBudget else Similarity.TopKProbeBudget,
@@ -293,10 +331,10 @@ object AnnIndex {
       else {
         val keysFlat = Similarity.probeKeysPerTable(
           meta.bits, Similarity.TopKProbeBudget, Similarity.TopKProbeDepth)
-        val maxFlatQ = Similarity.FlatProbeCorpusFactor * meta.rows / math.max(1L, keysFlat)
+        val maxFlatQ = Similarity.FlatProbeCorpusFactor * rawN / math.max(1L, keysFlat)
         val qShape = if (queriesCount >= 0L) queriesCount
                      else qBase.limit(math.min(maxFlatQ + 1L, Int.MaxValue.toLong).toInt).count()
-        Similarity.lshAutoShape(meta.bits, qShape, meta.rows)
+        Similarity.lshAutoShape(meta.bits, qShape, rawN)
       }
     val qx = qBase.select(col("query_id"),
         posexplode(AnnExprs.lshProbeKeys(col("qv"), planes, budget, depth))
@@ -802,6 +840,16 @@ object AnnIndex {
     */
   private def tokenOf(epoch: Int): String = f"c$epoch%05d"
 
+  /** Numeric epoch of a `commit-cNNNNN` manifest filename. Selection of
+    * the newest manifest parses this NUMBER — a lexicographic max over
+    * the padded names would sort `commit-c100000` BELOW `commit-c99999`
+    * once an index outgrows the 5-digit padding (~100k mutations),
+    * resolving a stale manifest and letting [[vacuum]] delete the
+    * newest committed batches as orphans (r19 advice).
+    */
+  private def epochOfCommit(name: String): Long =
+    name.stripPrefix("commit-c").toLong
+
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -833,8 +881,18 @@ object AnnIndex {
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val dst = new org.apache.hadoop.fs.Path(s"$path/meta/commit-${tokenOf(man.epoch)}")
-    fs.delete(dst, false) // a torn retry of this epoch never committed; clear its name
-    require(fs.rename(tmp, dst), s"manifest commit rename failed: $tmp -> $dst")
+    // NO pre-delete: a commit file for this epoch can only exist when the
+    // epoch already committed (the rename is the last step of a mutation),
+    // i.e. a second writer raced this one from the same base manifest, or
+    // a retry re-ran an already-committed mutation. Either way last-wins
+    // would silently drop the other mutation's batches — fail loud instead
+    // (the single-writer-per-index contract in the class doc).
+    require(fs.rename(tmp, dst),
+      s"manifest commit rename failed: $tmp -> $dst — a commit for epoch " +
+        s"${man.epoch} already exists at this index. Mutations are " +
+        "single-writer-per-index: this is either a concurrent mutator " +
+        "racing from the same base epoch or a retry of a mutation that " +
+        "already committed; re-read the manifest before retrying")
   }
 
   private def readManifest(spark: SparkSession, path: String,
@@ -845,7 +903,7 @@ object AnnIndex {
       if (!fs.exists(metaDir)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else fs.listStatus(metaDir).filter(_.getPath.getName.startsWith("commit-"))
     require(commits.nonEmpty, s"no ANN index committed at $path")
-    val latest = commits.maxBy(_.getPath.getName)
+    val latest = commits.maxBy(st => epochOfCommit(st.getPath.getName))
     val in = fs.open(latest.getPath)
     val body = try {
       val bytes = new java.io.ByteArrayOutputStream()
@@ -888,7 +946,7 @@ object AnnIndex {
     require(fs.exists(metaDir), s"no ANN index committed at $path")
     val commits = fs.listStatus(metaDir).filter(_.getPath.getName.startsWith("commit-"))
     require(commits.nonEmpty, s"no ANN index committed at $path")
-    val latest = commits.maxBy(_.getPath.getName).getPath.getName
+    val latest = commits.maxBy(st => epochOfCommit(st.getPath.getName)).getPath.getName
     // re-read through the kind recorded in the newest manifest
     val kind = {
       val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/meta/$latest"))

@@ -87,9 +87,20 @@ object IndexedEmbeddingGate {
 
   private def writeShape(spark: SparkSession, storeDir: String, s: GateShape): Unit = {
     import spark.implicits._
+    // temp-then-rename, like the AnnIndex manifest: a crash mid-write
+    // must leave either no shape dir or a complete one — a torn
+    // parquet dir here would make every later gate fail unreadably
+    // instead of pinning (r19 advice)
+    val tmp = s"${shapePath(storeDir)}.tmp"
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     Seq((s.tables, s.bits, s.budget, s.depth, s.seed, s.dim))
       .toDF("tables", "bits", "budget", "depth", "seed", "dim")
-      .repartition(1).write.mode("overwrite").parquet(shapePath(storeDir))
+      .repartition(1).write.mode("overwrite").parquet(tmp)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(shapePath(storeDir))),
+      s"shape pin rename failed: $tmp -> ${shapePath(storeDir)}")
   }
 
   /** The pinned shape of an existing store, if one was ever ingested. */
@@ -110,7 +121,19 @@ object IndexedEmbeddingGate {
           s"IndexedEmbeddingGate store at $storeDir pins shape $pinned " +
             s"but this gate was called with $s — the persisted signature " +
             "rows ARE the geometry; re-shaping means re-ingest")
-      case None => writeShape(spark, storeDir, s)
+      case None =>
+        // a NON-EMPTY store with no shape file predates shape pinning
+        // (or lost its pin): writing whatever shape THIS gate happens
+        // to be called with would silently legitimize a mismatched
+        // geometry — exactly the bug pinning exists to stop. Refuse;
+        // pinning is only safe at first ingest (r19 advice).
+        require(!BatchTable.hasData(spark, s"$storeDir/sigs"),
+          s"IndexedEmbeddingGate store at $storeDir has ingested " +
+            "signature rows but no pinned shape (pre-pinning store or " +
+            "lost pin) — refusing to pin a geometry after the fact. " +
+            "Re-ingest the store, or restore the original shape file " +
+            "if the geometry is known.")
+        writeShape(spark, storeDir, s)
     }
 
   /** The foreachBatch body, usable directly in batch code: gate

@@ -393,4 +393,53 @@ class AnnIndexSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("kind"))
   }
+
+  test("manifest selection is numeric on the epoch: c100000 beats c99999 past the padding width") {
+    val dir = tempDir("ann-lsh-epoch")
+    AnnIndex.lshIndexWrite(emb, "vec_id", "embedding", dir, n = emb.count())
+    // hand-commit two future manifests straddling the 5-digit padding
+    // boundary (an index after ~100k mutations): lexicographic max
+    // picks "commit-c99999" (`9` > `1`), i.e. a STALE manifest whose
+    // view vacuum would then enforce by deleting the newer batches —
+    // the reader must parse the number (r19 advice)
+    val metaDir = new java.io.File(s"$dir/meta")
+    val real = metaDir.listFiles().filter(_.getName.startsWith("commit-")).head
+    val body = new String(java.nio.file.Files.readAllBytes(real.toPath), "UTF-8")
+    def forked(epoch: Int, rows: Long): String = body.split("\n").map { l =>
+      if (l.startsWith("epoch=")) s"epoch=$epoch"
+      else if (l.startsWith("rows=")) s"rows=$rows"
+      else l
+    }.mkString("\n")
+    java.nio.file.Files.write(new java.io.File(metaDir, "commit-c99999").toPath,
+      forked(99999, 111L).getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(metaDir, "commit-c100000").toPath,
+      forked(100000, 222L).getBytes("UTF-8"))
+    assert(AnnIndex.lshMeta(spark, dir).rows == 222L,
+      "manifest selection resolved a stale epoch past the padding width")
+  }
+
+  test("the flat-vs-coupled probe shape uses the raw corpus count on both paths") {
+    // the indexed side's auto-shape basis must be the manifest's RAW
+    // count (zero-norm rows included), the same basis the in-flight
+    // operator counts — emb carries one zero-norm row, so a mismatch
+    // here is what the r19 advice flagged; rawRows must also survive
+    // an append (raw batch counts, not positive-norm)
+    val dir = tempDir("ann-lsh-rawrows")
+    val evens = emb.filter(col("vec_id") % 2 === 0) // zero-norm 999 is odd
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndex.lshIndexWrite(evens, "vec_id", "embedding", dir, n = emb.count())
+    AnnIndex.lshIndexAppend(spark, dir, odds, "vec_id", "embedding")
+    val fields = {
+      val metaDir = new java.io.File(s"$dir/meta")
+      val latest = metaDir.listFiles().filter(_.getName.startsWith("commit-"))
+        .maxBy(f => f.getName.stripPrefix("commit-c").toLong)
+      new String(java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+        .split("\n").map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    }
+    // 301 = 300 positive-norm + the zero-norm row — the raw basis the
+    // in-flight operator would count over the union, NOT the 452 a
+    // shape-sizing-n seed would have double-counted to
+    assert(fields("rawRows").toLong == 301L, s"raw count drifted: $fields")
+    assert(fields("rows").toLong == 300L, s"stored count drifted: $fields")
+  }
 }

@@ -146,6 +146,23 @@ class IndexedEmbeddingGateSpec extends SparkSuite {
     assert(day2.getLong(1) == 1L && !day2.getBoolean(4), s"exact tier: $day2")
   }
 
+  test("an ingested store with no pinned shape refuses to pin after the fact") {
+    val dir = tempDir("graft-idxgate-unpinned")
+    IndexedEmbeddingGate.gateAndIngest(dfOf(b0), "vec_id", "embedding",
+      s"$dir/store", s"$dir/verdicts", threshold = 0.45, batchId = 0L)
+    // simulate a pre-pinning store (or a lost pin): signature rows on
+    // disk, no shape file. The next gate must NOT write whatever shape
+    // it happens to be called with — that would silently legitimize a
+    // mismatched geometry, the exact bug pinning targets (r19 advice)
+    val shapeDir = new java.io.File(s"$dir/store/shape")
+    shapeDir.listFiles().foreach(_.delete()); shapeDir.delete()
+    val e = intercept[IllegalArgumentException] {
+      IndexedEmbeddingGate.gateAndIngest(dfOf(b1), "vec_id", "embedding",
+        s"$dir/store", s"$dir/verdicts", threshold = 0.45, batchId = 1L)
+    }
+    assert(e.getMessage.contains("refusing to pin"), e.getMessage)
+  }
+
   test("streaming lifecycle via start(): checkpointed day-2 run gates only the new files") {
     val dir = tempDir("graft-idxgate-stream")
     val schema = dfOf(b0).schema
