@@ -220,7 +220,13 @@ object Bench {
         val total = if (cold.nonEmpty) cold.values.sum else 0.0
         val warmTotal = if (warm.nonEmpty) warm.values.sum else 0.0
         val sfName = new java.io.File(sfDir).getName
-        val (qjs, dropped) = js(cold, 1100)
+        // staged build/train/calibrate wall-times (Staging class doc):
+        // pass 1 paid these once; the per-query min prices the probe.
+        // Reported so the build/probe split is visible in bench.json
+        // instead of silently vanishing from the headline (r19 verdict)
+        val stagedJs = graft.queries.Staging.buildSeconds.toSeq.sortBy(_._1)
+          .map { case (n, v) => "\"" + n + "\":" + f(v) }.mkString("{", ",", "}")
+        val (qjs, dropped) = js(cold, 1000)
         val minofJs = minOf.map(np =>
           s""""minof":$np,"pass_totals":[${passes.map(p => f(p.values.sum)).mkString(",")}],""")
           .getOrElse("")
@@ -268,7 +274,7 @@ object Bench {
           val w = new java.io.PrintWriter("bench_split.json", "UTF-8")
           try w.println(splitLine) finally w.close()
         } catch { case _: Throwable => () }
-        val line = s"""{"metric":"total","unit":"sec","value":${f(total)},"sf":"$sfName",$minofJs"plans":"$combined","dropped_fastest":$dropped,"queries":$qjs,"warm_total":${f(warmTotal)}}"""
+        val line = s"""{"metric":"total","unit":"sec","value":${f(total)},"sf":"$sfName",$minofJs"plans":"$combined","staged_builds":$stagedJs,"dropped_fastest":$dropped,"queries":$qjs,"warm_total":${f(warmTotal)}}"""
         println(line)
         // file hedge alongside planhash.json: a recorder that misses the
         // stdout line (truncation, prefixing) can pick the same JSON up

@@ -106,17 +106,25 @@ object Bitext {
       probeBudget: Int = 0,
       probeDepth: Int = 0,
       srcCount: Long = -1L,
-      tgtCount: Long = -1L
+      tgtCount: Long = -1L,
+      indexesPrebuilt: Boolean = false,
+      concurrentBatches: Int = 1
   ): DataFrame = {
-    val tgtIdx = s"$workDir/tgt_index"
-    val srcIdx = s"$workDir/src_index"
     val nS = if (srcCount >= 0L) srcCount else src.count()
     val nT = if (tgtCount >= 0L) tgtCount else tgt.count()
-    AnnIndex.lshIndexWrite(tgt, idCol, vecCol, tgtIdx, n = nT)
-    AnnIndex.lshIndexWrite(src, idCol, vecCol, srcIdx, n = nS)
+    if (!indexesPrebuilt)
+      indexSides(spark, src, tgt, idCol, vecCol, workDir, nS, nT)
     def lists(idxPath: String, queries: DataFrame, nQ: Long, outDir: String): DataFrame = {
       val nb = math.max(1, probeBatches)
-      for (bi <- 0 until nb) {
+      // each probe batch lands in its OWN directory, overwritten whole:
+      // a run killed between batches leaves some complete dirs and at
+      // most one torn one, and a plain retry overwrites every batch dir
+      // before anything reads them — the final union reads EXACTLY the
+      // nb dirs this run wrote (a torn leftover beyond them is
+      // invisible), so the list tables can never be read half-appended
+      // (r19 verdict #3; BitextSpec pins retry-over-torn identity)
+      val batchDir = (bi: Int) => s"$outDir/pbatch$bi"
+      def probeOne(bi: Int): Unit = {
         val qb = if (nb <= 1) queries
           else queries.filter(pmod(hash(col(idCol)), lit(nb)) === lit(bi))
         // queriesCount is the FULL query side, not the batch: the
@@ -128,13 +136,53 @@ object Bitext {
         AnnIndex.lshTopKIndexed(spark, idxPath, qb, idCol, vecCol, k,
             probeBudget = probeBudget, probeDepth = probeDepth,
             queriesCount = nQ)
-          .write.mode(if (bi == 0) "overwrite" else "append").parquet(outDir)
+          .write.mode("overwrite").parquet(batchDir(bi))
       }
-      spark.read.parquet(outDir)
+      val cc = math.max(1, math.min(concurrentBatches, nb))
+      if (cc <= 1) (0 until nb).foreach(probeOne)
+      else {
+        // batches are disjoint and each is its own job whose shuffle
+        // files free at job end, so a bounded number can run
+        // concurrently: peak disk grows to ~cc/probeBatches of the
+        // single-shot stream (still bounded) while idle scheduler gaps
+        // between sequential jobs close — Spark's scheduler is
+        // thread-safe for concurrent job submission
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(cc)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence((0 until nb).map(bi => Future(probeOne(bi)))), Duration.Inf)
+        finally pool.shutdown()
+      }
+      spark.read.parquet((0 until nb).map(batchDir): _*)
     }
-    val fwd = lists(tgtIdx, src, nS, s"$workDir/fwd_lists")
-    val bwd = lists(srcIdx, tgt, nT, s"$workDir/bwd_lists")
+    val fwd = lists(s"$workDir/tgt_index", src, nS, s"$workDir/fwd_lists")
+    val bwd = lists(s"$workDir/src_index", tgt, nT, s"$workDir/bwd_lists")
     marginFromLists(fwd, bwd, minMarginMicro)
+  }
+
+  /** Build the two per-side persisted LSH indexes [[marginMineIndexed]]
+    * probes (`workDir/tgt_index`, `workDir/src_index`) — exposed so a
+    * pipeline that mines several batches against the same corpus
+    * snapshot can pay the build once and call [[marginMineIndexed]]
+    * with `indexesPrebuilt = true` per batch.
+    */
+  def indexSides(
+      spark: org.apache.spark.sql.SparkSession,
+      src: DataFrame,
+      tgt: DataFrame,
+      idCol: String,
+      vecCol: String,
+      workDir: String,
+      srcCount: Long = -1L,
+      tgtCount: Long = -1L
+  ): Unit = {
+    val nS = if (srcCount >= 0L) srcCount else src.count()
+    val nT = if (tgtCount >= 0L) tgtCount else tgt.count()
+    AnnIndex.lshIndexWrite(tgt, idCol, vecCol, s"$workDir/tgt_index", n = nT)
+    AnnIndex.lshIndexWrite(src, idCol, vecCol, s"$workDir/src_index", n = nS)
   }
 
   /** The margin computation over ANY pair of ranked lists — the

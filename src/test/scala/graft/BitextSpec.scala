@@ -92,6 +92,40 @@ class BitextSpec extends SparkSuite {
     assert(direct == one)
   }
 
+  test("marginMineIndexed: retry over torn list leftovers is row-identical; concurrent batches too") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29L)
+    val emb = (0 until 200).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val src = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0)
+    val tgt = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 1)
+    val dir = tempDir("bitext-idx-torn")
+    val clean = Bitext.marginMineIndexed(spark, src, tgt, "vec_id", "embedding",
+      dir, k = 4, minMarginMicro = 0L, probeBatches = 3)
+      .collect().map(_.toString).toSet
+    // simulate a run killed between probe batches: pollute one batch
+    // dir with WRONG rows (a different corpus' list shape) and drop
+    // another entirely — the retry contract is that a plain re-run
+    // overwrites every batch dir before the union reads anything, so
+    // the result is row-identical to the clean run
+    Seq((12345L, 999L, 0.5, 1)).toDF("query_id", "neighbor_id", "cos", "rank")
+      .write.mode("overwrite").parquet(s"$dir/fwd_lists/pbatch1")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bwd_lists/pbatch2"), true)
+    val retried = Bitext.marginMineIndexed(spark, src, tgt, "vec_id", "embedding",
+      dir, k = 4, minMarginMicro = 0L, probeBatches = 3, indexesPrebuilt = true)
+      .collect().map(_.toString).toSet
+    assert(retried == clean, "retry over torn list leftovers diverged")
+    // concurrent probe batches (disjoint jobs) change scheduling, not
+    // rows
+    val conc = Bitext.marginMineIndexed(spark, src, tgt, "vec_id", "embedding",
+      dir, k = 4, minMarginMicro = 0L, probeBatches = 3, indexesPrebuilt = true,
+      concurrentBatches = 3)
+      .collect().map(_.toString).toSet
+    assert(conc == clean, "concurrent probe batches changed mined pairs")
+  }
+
   test("corpus edge: cnt < k cross-multiplies exactly") {
     // k=5 > |tgt|: fwd neighborhoods hold all 3 non-zero targets
     // (sum s0 = 16000, cnt 3; sum s2 = 8000, cnt 3), bwd unchanged
