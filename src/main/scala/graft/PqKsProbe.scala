@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
   * hash-seeded codebooks vary.
   * Usage: runMain graft.PqKsProbe <sfDir> [q=50] [k=5]
   *        [ksCsv=16,64,256] [rerankCsv=0,10,100] [trainedCsv=false,true]
+  *        [nProbe=0] [op=ivfpq|pq]
+  * op=pq measures the compressed FULL scan ([[graft.ext.Similarity.pqTopK]]
+  * — no probe ceiling; nProbe ignored): the default-entry-point floor
+  * evidence for the r20 train-by-default contract.
   */
 object PqKsProbe {
   def main(args: Array[String]): Unit = {
@@ -25,6 +29,8 @@ object PqKsProbe {
     // rerank ceiling IS the IVF probe ceiling, so lifting nProbe lifts
     // every refined number with it
     val nProbe = args.drop(6).headOption.map(_.toInt).getOrElse(0)
+    val op = args.drop(7).headOption.getOrElse("ivfpq")
+    val m = args.drop(8).headOption.map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,16 +60,20 @@ object PqKsProbe {
         if (!trained) (None, 0.0)
         else {
           val (b, s) = timed(Similarity.pqTrainCodebooks(
-            emb, "vec_id", "embedding", ks = ks, iters = 2))
+            emb, "vec_id", "embedding", m = m, ks = ks, iters = 2))
           (Some(b), s)
         }
       for (r <- rerankList) {
         val (got, secs) = timed(pairsOf(
-          Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, ks = ks, n = n,
-            rerank = r, trainedCodebooks = books, nProbe = nProbe)))
-        println(s"""{"probe":"pq_rerank","dir":"$dir","n":$n,"ks":$ks,"rerank":$r,"nprobe":$nProbe,""" +
+          if (op == "pq")
+            Similarity.pqTopK(emb, qs, "vec_id", "embedding", k, m = m, ks = ks,
+              rerank = r, trainedCodebooks = books, trainBooks = false)
+          else
+            Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k, m = m, ks = ks, n = n,
+              rerank = r, trainedCodebooks = books, nProbe = nProbe, trainBooks = false)))
+        println(s"""{"probe":"pq_rerank","dir":"$dir","n":$n,"m":$m,"ks":$ks,"rerank":$r,"nprobe":$nProbe,""" +
           s""""trained":$trained,"train_secs":${fmt(trainSecs)},""" +
-          s""""ivfpq":{"secs":${fmt(secs)},"recall_pct":${fmt(100.0 * truth.intersect(got).size / truth.size)}}}""")
+          s""""$op":{"secs":${fmt(secs)},"recall_pct":${fmt(100.0 * truth.intersect(got).size / truth.size)}}}""")
       }
     }
     spark.stop()

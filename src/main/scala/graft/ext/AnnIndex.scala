@@ -590,10 +590,15 @@ object AnnIndex {
       numCentroids: Int = 0,
       nProbe: Int = 0,
       m: Int = 8,
-      ks: Int = 16,
+      ks: Int = 256,
       dim: Int = 64,
       n: Long = -1L,
-      trainedCodebooks: Option[Array[Array[Array[Double]]]] = None
+      trainedCodebooks: Option[Array[Array[Array[Double]]]] = None,
+      // train-by-default like the in-flight tier (r20, see
+      // Similarity.pqTopK): a persisted index is the one place the
+      // one-time training cost is MOST amortized — every probe batch
+      // after the build reads the trained codes
+      trainBooks: Boolean = true
   ): IvfPqMeta = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
@@ -613,19 +618,23 @@ object AnnIndex {
     val cents = Similarity.seedCentroids(corpus, idCol, vecCol, lists)
     cents.toDF("list", "centv").repartition(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    // codebooks: hash-seeded (the in-flight derivation verbatim) unless
-    // the caller injects trained ones — the quality knob the PQ family
-    // turns first (Similarity.pqTrainCodebooks; measured in
-    // recordings/pq_rerank_r19.jsonl)
+    // codebooks: trained per-subspace by default (the in-flight tier's
+    // r20 contract — Similarity.pqTopK's trainBooks note), injected
+    // books pin the geometry, trainBooks = false pins the hash-seeded
+    // stand-in (parity/oracle cells)
     val codebooks: Array[Array[Array[Double]]] = trainedCodebooks.getOrElse {
-      val keyHash = expr(
-        s"cast(conv(substr(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
-      val seeds: Array[Array[Double]] = corpus
-        .select(col(vecCol).cast("array<double>").as("v"), keyHash.as("h"),
-          col(idCol).cast("long").as("id"))
-        .orderBy(col("h"), col("id")).limit(ks)
-        .collect().map(_.getSeq[Double](0).toArray)
-      Array.tabulate(m)(mi => seeds.map(s => s.slice(mi * sub, (mi + 1) * sub)))
+      if (trainBooks)
+        Similarity.pqTrainCodebooks(corpus0, idCol, vecCol, m = m, ks = ks, dim = dim)
+      else {
+        val keyHash = expr(
+          s"cast(conv(substr(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
+        val seeds: Array[Array[Double]] = corpus
+          .select(col(vecCol).cast("array<double>").as("v"), keyHash.as("h"),
+            col(idCol).cast("long").as("id"))
+          .orderBy(col("h"), col("id")).limit(ks)
+          .collect().map(_.getSeq[Double](0).toArray)
+        Array.tabulate(m)(mi => seeds.map(s => s.slice(mi * sub, (mi + 1) * sub)))
+      }
     }
     // effective ks: a corpus smaller than ks yields fewer seed rows —
     // persist (and record in meta) the codebook actually built, like

@@ -185,6 +185,43 @@ object Bitext {
     AnnIndex.lshIndexWrite(src, idCol, vecCol, s"$workDir/src_index", n = nS)
   }
 
+  /** Derive the mining floor from the candidate margin DISTRIBUTION
+    * instead of a fixture-tuned constant (the pinned `1200000` the
+    * registered oracle cells keep was r18/r19 review feedback): the
+    * floor is the exact rank-based `quantile` of the POSITIVE
+    * candidate margins — the ⌈q·N⌉-th smallest `margin_micro` — so
+    * mining keeps the top (1−q) tail of the margin distribution the
+    * lists actually produced, the held-out-threshold posture of
+    * Artetxe & Schwenk §4 rather than a constant tuned on one fixture.
+    *
+    * Restricting to positive margins is ALSO the determinism contract:
+    * integer division on positives agrees between Spark's `div`
+    * (truncating) and an oracle's floor division, so the selected
+    * rank's value — and therefore the floor and the mined set — replay
+    * exactly; a quantile that would land in the (engine-ambiguous)
+    * negative mass fails loud instead.
+    *
+    * Scale shape: the distribution is RANK-scale (|src|·k candidate
+    * rows, never corpus²); the global order-by gathers at most ⌈q·N⌉
+    * longs through one task — bounded by the list tables the miner
+    * already materialized.
+    */
+  def deriveMarginFloor(
+      fwd: DataFrame,
+      bwd: DataFrame,
+      quantile: Double = 0.9
+  ): Long = {
+    require(quantile > 0.0 && quantile < 1.0, s"quantile $quantile outside (0, 1)")
+    val margins = marginFromLists(fwd, bwd, 1L).select("margin_micro")
+    val cnt = margins.count()
+    require(cnt > 0, "no positive-margin candidate pairs to derive a floor from")
+    val idx = math.max(1L, math.ceil(quantile * cnt).toLong)
+    require(idx <= Int.MaxValue.toLong,
+      s"margin distribution has $cnt rows — sample the lists before deriving")
+    margins.orderBy(col("margin_micro").asc).limit(idx.toInt)
+      .agg(max("margin_micro")).collect()(0).getLong(0)
+  }
+
   /** The margin computation over ANY pair of ranked lists — the
     * production seam: feed forward/backward lists from an approximate
     * tier (LSH, IVF, a persisted index probe) and the margin math is

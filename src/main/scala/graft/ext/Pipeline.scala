@@ -505,6 +505,46 @@ object Pipeline {
         (em(col(timeCol)) - em(col("__prev"))).as("gap_micros"))
   }
 
+  /** DENSITY-ADAPTIVE gap detection: report gaps larger than `factor`
+    * × the series' own mean inter-arrival, instead of a fixed wall-
+    * clock threshold — a 30-minute cutoff that finds outages at one
+    * ingest density finds NOTHING at 10× the density (the r16–r19
+    * scale audits' one 0-row artifact, closed in r20). The mean is
+    * never divided: a gap qualifies when
+    * `gap_micros · (cnt − 1) > factor · span_micros` (span = max−min
+    * per series, cnt−1 = gap count) — exact cross-multiplied integers,
+    * replayed verbatim by the oracle. Under Poisson-ish arrivals gaps
+    * are ~exponential, so `factor` is a direct false-positive dial:
+    * expected flags ≈ gaps · e^(−factor).
+    *
+    * Same scale shape as [[seriesGaps]] (one shuffle on the series
+    * key) plus a per-series aggregate broadcast back — rows ∝ series
+    * count, never events.
+    */
+  def seriesGapsAdaptive(
+      df: DataFrame,
+      seriesCol: String,
+      timeCol: String,
+      factor: Long = 8L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col(timeCol))
+    def em(c: Column) = unix_micros(c.cast("timestamp"))
+    val stats = df.groupBy(col(seriesCol))
+      .agg((max(em(col(timeCol))) - min(em(col(timeCol)))).as("__span"),
+        (count(lit(1)) - 1).as("__gaps"))
+      .filter(col("__gaps") > 0)
+    df.select(col(seriesCol), col(timeCol))
+      .withColumn("__prev", lag(col(timeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .join(broadcast(stats), Seq(seriesCol))
+      .filter((em(col(timeCol)) - em(col("__prev"))) * col("__gaps") >
+        lit(factor) * col("__span"))
+      .select(col(seriesCol), col("__prev").as("gap_start"),
+        col(timeCol).as("gap_end"),
+        (em(col(timeCol)) - em(col("__prev"))).as("gap_micros"))
+  }
+
   /** Referential-integrity audit of a child→parent foreign key: row
     * counts, orphaned children (fk with no parent), and childless
     * parents — the data-contract check that runs before a 100 TB join

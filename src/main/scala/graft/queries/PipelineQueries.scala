@@ -256,11 +256,16 @@ object PipelineQueries extends QueryGroup {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
-    // Per-series gap audit: consecutive events of a type more than 30
-    // minutes apart (the outage/dead-sensor report).
+    // Per-series gap audit, DENSITY-ADAPTIVE (r20): gaps more than 6x
+    // the series' own mean inter-arrival (cross-multiplied integers —
+    // Pipeline.seriesGapsAdaptive). The fixed 30-minute threshold
+    // (Pipeline.seriesGaps, still the API for wall-clock SLAs) was the
+    // scale audits' one 0-row artifact: at 10x ingest density no gap
+    // ever reached 30 minutes, so the outage report went silently
+    // vacuous exactly where it should have kept working.
     "series_gaps" -> ((s, dir) => {
-      Pipeline.seriesGaps(Tables.events(s, dir), "event_type", "ts",
-        maxGapMicros = 1800L * 1000000L)
+      Pipeline.seriesGapsAdaptive(Tables.events(s, dir), "event_type", "ts",
+        factor = 6L)
         .orderBy("event_type", "gap_start")
     }),
 
@@ -728,11 +733,17 @@ ORDER BY l_orderkey, l_linenumber""",
       """WITH e AS (
   SELECT event_type, ts,
     lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev_ts
-  FROM events)
-SELECT event_type, prev_ts AS gap_start, ts AS gap_end,
+  FROM events),
+st AS (
+  SELECT event_type,
+    epoch_us(max(ts)) - epoch_us(min(ts)) AS span,
+    count(*) - 1 AS gaps
+  FROM events GROUP BY 1)
+SELECT e.event_type, prev_ts AS gap_start, ts AS gap_end,
   CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_micros
-FROM e
-WHERE prev_ts IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+FROM e JOIN st USING (event_type)
+WHERE prev_ts IS NOT NULL AND st.gaps > 0
+  AND (epoch_us(ts) - epoch_us(prev_ts)) * st.gaps > 6 * st.span
 ORDER BY event_type, gap_start""",
 
     "fk_integrity" ->

@@ -154,8 +154,12 @@ ORDER BY vec_id, pos"""
       // calibration is a build-time pass, paid once per corpus
       // snapshot — staged per JVM so the bench prices the calibrated
       // probe, not the ladder (Staging class doc)
+      // sampleQueries pinned at 32 — the oracle replays this exact
+      // escalation; the API default derives the size from the target
+      // (Similarity.calibrationSampleSize) since r20
       val (p, _) = Staging.value("ann_topk_ivf_recall_target", dir) {
-        Similarity.ivfProbesForRecall(emb, "vec_id", "embedding", K, n = n)
+        Similarity.ivfProbesForRecall(emb, "vec_id", "embedding", K, n = n,
+          sampleQueries = 32)
       }
       Similarity.ivfTopK(emb,
         Similarity.recallSampleQueries(emb, "vec_id", "embedding", 32),
@@ -222,14 +226,16 @@ ORDER BY vec_id, pos"""
 
     // Product-quantization ADC top-5 at the FAMILY DEFAULT, which since
     // r19 is rerank-ON (derived R = 10·K shortlist, exact-cosine
-    // refine): corpus compressed to 8 codes per vector (hash-seeded
-    // 16-codeword books), queries carry per-subspace distance tables,
-    // per-pair cost is 8 lookups; the ADC ranking chooses the
-    // shortlist, exact cosine ranks the final K. The pure-ADC default
-    // was a measured 1.6 % recall@5 cliff at 200 k (recordings/
-    // pq_rerank_r18.jsonl) — a user calling the obvious entry point
-    // must not get near-noise silently. The oracle replays codebooks,
-    // codes, the m-ordered distance fold, and the refine tail.
+    // refine): corpus compressed to 8 codes per vector, queries carry
+    // per-subspace distance tables, per-pair cost is 8 lookups; the
+    // ADC ranking chooses the shortlist, exact cosine ranks the final
+    // K. Since r20 the default call TRAINS its books (2 deterministic
+    // Lloyd rounds per subspace, ks=256) and reranks a 50K shortlist —
+    // the untrained/shallow defaults measurably shipped near-noise
+    // (8.8 % recall@5 at 200 k, recordings/pq_rerank_r19.jsonl; the
+    // trained-default ladder is pq_rerank_r20.jsonl). The oracle
+    // replays the TRAINING ROUNDS, codebooks, codes, the m-ordered
+    // distance fold, and the refine tail bit-for-bit.
     "ann_topk_pq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K)
@@ -263,8 +269,10 @@ ORDER BY vec_id, pos"""
     // IVF-PQ: list pruning x code lookups — the composed 10^9-vector
     // serving layout (P/L of the corpus scanned, m lookups per
     // candidate, raw vectors never read at query time). List/probe
-    // shape is corpus-adaptive like ann_topk_ivf (r16); the code
-    // granularity ks stays fixed.
+    // shape is corpus-adaptive like ann_topk_ivf (r16). This is the
+    // bare DEFAULT call, which since r20 trains its ks=256 books
+    // in-operator and reranks the 50K shortlist (see ann_topk_pq) —
+    // the oracle replays training, lists, codes, fold, and refine.
     "ann_topk_ivfpq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K,
@@ -296,23 +304,22 @@ ORDER BY vec_id, pos"""
         .orderBy("query_id", "rank")
     }),
 
-    // IVF-PQ with TRAINED codebooks: per-subspace deterministic
-    // k-means (Similarity.pqTrainCodebooks — the quality knob the PQ
-    // family turns first; Jégou et al. TPAMI 2011) refines the
-    // hash-seeded books for PqTrainIters rounds, injected through the
-    // trainedCodebooks seam, family-default rerank on top. The oracle
-    // unrolls the training rounds (argmin assignment + integer-
-    // discretized per-(subspace, codeword, pos) means, empty codewords
-    // keeping their previous value) bit-for-bit, like the kmeans-IVF
-    // cell. Measured against the hash-seeded frontier in
-    // recordings/pq_rerank_r19.jsonl.
+    // IVF-PQ through the trainedCodebooks INJECTION SEAM (vs
+    // ann_topk_ivfpq, which trains in-operator since r20): the books
+    // are trained outside at the COARSE ks=16 granularity and injected
+    // — certifying that a persisted/externally-trained geometry pins
+    // the scan exactly (Jégou et al. TPAMI 2011; the seam AnnIndex
+    // reads books back through). The oracle unrolls the training
+    // rounds (argmin assignment + integer-discretized per-(subspace,
+    // codeword, pos) means, empty codewords keeping their previous
+    // value) bit-for-bit, like the kmeans-IVF cell.
     "ann_topk_ivfpq_trained" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // training is a build-time model pass — staged per JVM so the
       // bench prices the trained scan (Staging class doc)
       val books = Staging.value("ann_topk_ivfpq_trained", dir) {
         Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
-          iters = PqTrainIters)
+          ks = PqKs, iters = PqTrainIters)
       }
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K,
         n = emb.count(), trainedCodebooks = Some(books))
@@ -337,6 +344,24 @@ ORDER BY vec_id, pos"""
         .orderBy("src_id", "tgt_id")
     }),
 
+    // Margin floor DERIVED from the candidate distribution (r20): the
+    // exact rank-quantile (q = 0.9) of the POSITIVE forward-candidate
+    // margins replaces the fixture-tuned 1.2 constant the plain cell
+    // pins — the held-out-threshold posture of Artetxe & Schwenk §4.
+    // The oracle replays the ranked-quantile selection and the mined
+    // tail bit-for-bit (rank-based, integer margins — no approximate
+    // percentile anywhere).
+    "bitext_margin_floor_derived" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val tgt = emb.filter(col("vec_id") % 2 === 1)
+      val fwd = Similarity.bruteTopK(tgt, src, "vec_id", "embedding", 4)
+      val bwd = Similarity.bruteTopK(src, tgt, "vec_id", "embedding", 4)
+      val floor = graft.ext.Bitext.deriveMarginFloor(fwd, bwd, 0.9)
+      graft.ext.Bitext.marginFromLists(fwd, bwd, floor)
+        .orderBy("src_id", "tgt_id")
+    }),
+
     // IVF-PQ with the exact-cosine RE-RANK layer (FAISS's IVFPQR
     // refine) — the recall recovery the pure-ADC tier measurably
     // needs: on the i.i.d.-random fixture (PQ's worst case — no
@@ -354,8 +379,12 @@ ORDER BY vec_id, pos"""
     // ignoring its ks parameter).
     "ann_topk_ivfpq_rerank" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // trainBooks = false pins the HASH-SEEDED books deliberately:
+      // with trained books a 10x shortlist at this dev SF would cover
+      // all candidates and stop certifying the ADC ordering (the r18
+      // vacuity catch this cell exists to avoid)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", K,
-        ks = 64, n = emb.count(), rerank = 10)
+        ks = 64, n = emb.count(), rerank = 10, trainBooks = false)
         .orderBy("query_id", "rank")
     }),
 
@@ -439,6 +468,29 @@ ORDER BY vec_id, pos"""
     * unrolls.
     */
   private val PqTrainIters = 2
+
+  /** Brute-list bitext candidate CTEs shared by the exact-margin
+    * oracles: both directions' exact rankings, neighborhood sums in
+    * integer e4 units, the avg-of-avgs margin as one integer
+    * multiply-divide — `cand` carries every forward top-4 pair with
+    * its margin_micro.
+    */
+  private lazy val bitextBruteCandCtes: String =
+    s"""pairs AS (
+  SELECT s.vec_id AS sid, t.vec_id AS tid, ${cosSql("s", "t")} AS cos
+  FROM embeddings s JOIN embeddings t ON s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+  WHERE ${normPosSql("s")} AND ${normPosSql("t")}),
+fwd AS (SELECT sid, tid, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS cos_e4,
+  row_number() OVER (PARTITION BY sid ORDER BY cos DESC, tid ASC) AS r FROM pairs),
+bwd AS (SELECT tid, sid, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS cos_e4,
+  row_number() OVER (PARTITION BY tid ORDER BY cos DESC, sid ASC) AS r FROM pairs),
+nna AS (SELECT sid, sum(cos_e4) AS sum_a, count(*) AS cnt_a FROM fwd WHERE r <= 4 GROUP BY 1),
+nnb AS (SELECT tid, sum(cos_e4) AS sum_b, count(*) AS cnt_b FROM bwd WHERE r <= 4 GROUP BY 1),
+cand AS (
+  SELECT f.sid, f.tid, f.cos_e4,
+    2*f.cos_e4*cnt_a*cnt_b*1000000 // (sum_a*cnt_b + sum_b*cnt_a) AS margin_micro
+  FROM fwd f JOIN nna USING (sid) JOIN nnb USING (tid)
+  WHERE f.r <= 4 AND (sum_a*cnt_b + sum_b*cnt_a) > 0)"""
 
   /** Per-side derived-shape signature CTEs for the indexed-bitext
     * oracle: like DedupQueries.embLshMultiprobeSigsCtesFor, but the
@@ -739,7 +791,16 @@ WHERE rank <= $K ORDER BY query_id, rank"""
     */
   private val PqM = 8
   private val PqSub = Dim / PqM
+  /** The coarse codebook granularity the INJECTION-SEAM cell pins
+    * (ann_topk_ivfpq_trained) — kept small so the seam certificate is
+    * cheap to replay and distinct from the operator default.
+    */
   private val PqKs = 16
+  /** The operator-default granularity ([[graft.ext.Similarity.pqTopK]]
+    * `ks = 256` — standard 8-bit PQ codes), replayed by the
+    * default-call oracles.
+    */
+  private val PqKsDefault = 256
 
   /** l2sq between subspace `m` of a raw vector row alias and a codeword
     * list alias, folded in index order.
@@ -844,11 +905,12 @@ WHERE rank <= $K ORDER BY query_id, rank"""
 
   /** Parameterized PQ (compressed exhaustive scan) oracle — rerankMult
     * > 0 appends the exact-cosine refine tail the operator's derived
-    * default runs.
+    * default runs; trainIters > 0 prepends the per-subspace k-means
+    * training chain the r20 train-by-default contract runs.
     */
-  private def pqSqlFor(rerankMult: Int): String =
+  private def pqSqlFor(ks: Int, rerankMult: Int, trainIters: Int = 0): String =
     s"""WITH $nembCte,
-${cbCtes(PqKs, 0)},
+${cbCtes(ks, trainIters)},
 enc AS (
   SELECT vec_id, m, k AS code FROM (
     SELECT e.vec_id, cb.m, cb.k,
@@ -1051,11 +1113,14 @@ ORDER BY s.vec_id""",
     // R = defaultRerank(K) = 10) — these oracles carry the exact-cosine
     // refine tail the default runs; the pure-ADC ordering stays
     // load-bearing through the shortlist choice
-    "ann_topk_pq" -> pqSqlFor(10),
-    "ann_topk_ivfpq" -> ivfPqSqlFor(PqKs, 10),
-    "ann_topk_ivfpq_indexed" -> ivfPqSqlFor(PqKs, 10),
+    // the PQ-family DEFAULT calls (pq / ivfpq / ivfpq_indexed) replay
+    // the r20 train-by-default contract: ks=256 books trained for
+    // PqTrainIters rounds in-oracle, defaultRerank(K)=50 refine tail
+    "ann_topk_pq" -> pqSqlFor(PqKsDefault, 50, PqTrainIters),
+    "ann_topk_ivfpq" -> ivfPqSqlFor(PqKsDefault, 50, PqTrainIters),
+    "ann_topk_ivfpq_indexed" -> ivfPqSqlFor(PqKsDefault, 50, PqTrainIters),
     "ann_topk_ivfpq_rerank" -> ivfPqSqlFor(64, 10),
-    "ann_topk_ivfpq_trained" -> ivfPqSqlFor(PqKs, 10, PqTrainIters),
+    "ann_topk_ivfpq_trained" -> ivfPqSqlFor(PqKs, 50, PqTrainIters),
 
     // states the margin semantics directly: both directions' exact
     // brute rankings, neighborhood sums in integer e4 units, the
@@ -1063,23 +1128,27 @@ ORDER BY s.vec_id""",
     // and DuckDB `//` agree on the positive values that can pass the
     // floor)
     "bitext_margin_mine" ->
-      s"""WITH pairs AS (
-  SELECT s.vec_id AS sid, t.vec_id AS tid, ${cosSql("s", "t")} AS cos
-  FROM embeddings s JOIN embeddings t ON s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
-  WHERE ${normPosSql("s")} AND ${normPosSql("t")}),
-fwd AS (SELECT sid, tid, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS cos_e4,
-  row_number() OVER (PARTITION BY sid ORDER BY cos DESC, tid ASC) AS r FROM pairs),
-bwd AS (SELECT tid, sid, CAST(floor(cos*10000 + 0.5) AS BIGINT) AS cos_e4,
-  row_number() OVER (PARTITION BY tid ORDER BY cos DESC, sid ASC) AS r FROM pairs),
-nna AS (SELECT sid, sum(cos_e4) AS sum_a, count(*) AS cnt_a FROM fwd WHERE r <= 4 GROUP BY 1),
-nnb AS (SELECT tid, sum(cos_e4) AS sum_b, count(*) AS cnt_b FROM bwd WHERE r <= 4 GROUP BY 1),
-cand AS (
-  SELECT f.sid, f.tid, f.cos_e4,
-    2*f.cos_e4*cnt_a*cnt_b*1000000 // (sum_a*cnt_b + sum_b*cnt_a) AS margin_micro
-  FROM fwd f JOIN nna USING (sid) JOIN nnb USING (tid)
-  WHERE f.r <= 4 AND (sum_a*cnt_b + sum_b*cnt_a) > 0)
+      s"""WITH $bitextBruteCandCtes
 SELECT sid AS src_id, tid AS tgt_id, cos_e4, CAST(margin_micro AS BIGINT) AS margin_micro
 FROM cand WHERE margin_micro >= 1200000
+ORDER BY src_id, tgt_id""",
+
+    // rank-quantile floor over the positive candidate margins (the
+    // ⌈0.9·N⌉-th smallest), then the tail above it — the operator's
+    // deriveMarginFloor + marginFromLists replayed exactly. Positive
+    // margins only: Spark `div` (truncating) and `//` (floor) agree on
+    // positives, so the selected rank's value is engine-identical.
+    "bitext_margin_floor_derived" ->
+      s"""WITH $bitextBruteCandCtes,
+flo AS (
+  SELECT max(margin_micro) AS fl FROM (
+    SELECT margin_micro,
+      row_number() OVER (ORDER BY margin_micro ASC) AS rn,
+      count(*) OVER () AS cnt
+    FROM cand WHERE margin_micro >= 1) t
+  WHERE rn <= CAST(ceil(0.9 * cnt) AS BIGINT))
+SELECT sid AS src_id, tid AS tgt_id, cos_e4, CAST(margin_micro AS BIGINT) AS margin_micro
+FROM cand, flo WHERE margin_micro >= fl
 ORDER BY src_id, tgt_id""",
 
     // the approximate seam: per-side 8x8 sequential-plane bucket

@@ -156,7 +156,7 @@ class AnnIndexSpec extends SparkSuite {
     assert(AnnIndex.ivfPqMeta(spark, dir) == meta)
     assert(meta.lists == Similarity.adaptiveIvfLists(n) &&
       meta.nProbe == Similarity.adaptiveIvfProbes(meta.lists) &&
-      meta.m == 8 && meta.ks == 16 && meta.rows == 300L)  // zero-norm row excluded
+      meta.m == 8 && meta.ks == 256 && meta.rows == 300L)  // zero-norm row excluded; ks = r20 default
     val direct = collectTopKBy(
       Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", K, n = n,
         rerank = 0), "adist")

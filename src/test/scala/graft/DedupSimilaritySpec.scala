@@ -862,13 +862,23 @@ class DedupSimilaritySpec extends SparkSuite {
     val lists = Similarity.adaptiveIvfLists(n)
     val p0 = Similarity.adaptiveIvfProbes(lists)
     val cap = math.max(p0, lists / 2)
-    val (p, recBp) = Similarity.ivfProbesForRecall(emb, "vec_id", "embedding", 5, n = n)
+    val (p, recBp) = Similarity.ivfProbesForRecall(emb, "vec_id", "embedding", 5, n = n,
+      sampleQueries = 32)
     assert(p >= p0 && p <= cap, s"p=$p outside [$p0, $cap]")
     // the contract: either the target was met, or the honest ceiling
     // (cap) is returned with its measured recall
     assert(recBp >= 8500 || p == cap, s"p=$p recall=${recBp}bp")
     // determinism
-    assert(Similarity.ivfProbesForRecall(emb, "vec_id", "embedding", 5, n = n) == ((p, recBp)))
+    assert(Similarity.ivfProbesForRecall(emb, "vec_id", "embedding", 5, n = n,
+      sampleQueries = 32) == ((p, recBp)))
+    // the DEFAULT sample size derives from the target's confidence
+    // width (r19 advice: 32 queries was a ±5-6% estimator): ±2.5% at
+    // 85%/k=5 needs 157 queries; never below the legacy 32
+    assert(Similarity.calibrationSampleSize(8500, 5) == 157)
+    assert(Similarity.calibrationSampleSize(8500, 1) == 784)
+    assert(Similarity.calibrationSampleSize(5000, 100) == 32)
+    val derived = Similarity.ivfProbesForRecall(emb, "vec_id", "embedding", 5, n = n)
+    assert(derived._1 >= p0 && derived._1 <= cap)
     // the returned probe count delivers the measured recall through the
     // PUBLIC operator on the same sample — the calibration is not a
     // private code path
@@ -921,6 +931,18 @@ class DedupSimilaritySpec extends SparkSuite {
     val pinned = frame(Similarity.lshTopK(emb, emb, "vec_id", "embedding", 5, n = nn,
       probeBudget = Dedup.multiprobeBudget(bits), probeDepth = Dedup.multiprobeDepth(bits)))
     assert(auto.nonEmpty && auto == pinned)
+    // the coupled shape's recall is STATED, not silent (54% at
+    // 200k x 200k defaults, recordings/ann_recall_r19.jsonl;
+    // lshAutoShape scaladoc) — pin a fixture floor so it can't degrade
+    // further unnoticed
+    val truth = Similarity.bruteTopK(emb, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.lshTopK(emb, emb, "vec_id", "embedding", 5, n = nn)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth intersect got).size.toDouble / truth.size
+    assert(recall >= 0.3, s"coupled knn-graph recall $recall fell below the stated floor")
   }
 
   test("pqTrainCodebooks: deterministic, moves the books, never hurts pure-ADC recall") {
@@ -951,15 +973,56 @@ class DedupSimilaritySpec extends SparkSuite {
 
   test("PQ family defaults run the rerank shape (cos contract), never silent pure-ADC") {
     val queries = vecs.filter(col("vec_id") % 5 === 0)
-    // default rerank derives R = max(10, ceil(50/k))
-    assert(Similarity.defaultRerank(5) == 10 && Similarity.defaultRerank(1) == 50 &&
-      Similarity.defaultRerank(100) == 10)
+    // default rerank derives R = max(50, ceil(250/k)) — deepened in
+    // r20 together with trained-by-default books (the R=10 shortlist
+    // was the binding loss at 200k: 38 → 57 % recall@5 moving R 10→50
+    // on trained ks=256 books, recordings/pq_rerank_r20.jsonl)
+    assert(Similarity.defaultRerank(5) == 50 && Similarity.defaultRerank(1) == 250 &&
+      Similarity.defaultRerank(100) == 50)
     val dflt = Similarity.pqTopK(vecs, queries, "vec_id", "embedding", 4,
       m = 4, ks = 16, dim = 8)
     // the refined output speaks the family cosine contract, not ADC
     assert(dflt.columns.contains("cos") && !dflt.columns.contains("adist"))
     val rows = dflt.collect()
     assert(rows.nonEmpty && rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0001))
+  }
+
+  test("PQ-family DEFAULT calls train their books and meet the stated recall floor") {
+    // the r20 quality-floor contract (Similarity.pqTopK/ivfPqTopK
+    // trainBooks docs): a bare default call must never silently ship
+    // near-noise. Stated floors, pinned here at the verify SF:
+    //   - pqTopK (compressed FULL scan + derived rerank): recall@5
+    //     >= 0.9 of exact truth — no probe choice to hide behind;
+    //   - ivfPqTopK: >= 0.8 x the UNCOMPRESSED ivfTopK recall at the
+    //     same (documented, cost-shaped) probe shape — the compressed
+    //     tier's own loss is bounded; the probe ceiling itself is the
+    //     stated knob (ivfProbesForRecall calibrates it).
+    // 200k/1M points for the same shapes: recordings/pq_rerank_r20.jsonl.
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val qs = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteTopK(emb, qs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val pqDflt = Similarity.pqTopK(emb, qs, "vec_id", "embedding", 5)
+    val pqR = recallOf(pqDflt)
+    assert(pqR >= 0.9, s"default pqTopK recall $pqR below the 0.9 stated floor")
+    val ivfR = recallOf(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5, n = n))
+    val ivfpqR = recallOf(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", 5, n = n))
+    assert(ivfpqR >= 0.8 * ivfR,
+      s"default ivfPqTopK recall $ivfpqR below 0.8 x the $ivfR probe ceiling")
+    // the default call IS the trained call: injecting the books the
+    // default would train is frame-identical (pins train-by-default)
+    val books = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding")
+    def frame(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(frame(pqDflt) == frame(Similarity.pqTopK(emb, qs, "vec_id", "embedding", 5,
+      trainedCodebooks = Some(books))))
   }
 
   test("ivfPqTopK: composed pruning still recovers cluster neighbors") {
