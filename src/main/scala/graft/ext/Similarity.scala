@@ -890,9 +890,12 @@ object Similarity {
       // matters), and the compressed tier recovers 87 % of that
       // ceiling at 200 k (57.2 vs 65.6) and 74 % at 1 M (58.0 vs
       // 78.4) — spec-pinned >= 80 % of the ceiling at the verify SF.
-      // For >= 85 % ABSOLUTE recall at 1 M compose the production
-      // shape: m=16 trained books + calibrated probes + rerank >= 100
-      // (the r20 frontier rows in the same recording).
+      // For >= 85 % ABSOLUTE recall at >= 1 M compose the PRODUCTION
+      // SHAPE: trained books (this default) + nProbe = L/2 (or
+      // [[ivfProbesForRecall]]-calibrated) + rerank = 400 — measured
+      // 91.6 % recall@5 at 1 M, 109 s on the dev box (the frontier
+      // rows in the same recording; the R axis moves recall where the
+      // P axis saturates past L/4).
       trainBooks: Boolean = true
   ): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
