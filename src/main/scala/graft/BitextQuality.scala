@@ -43,10 +43,12 @@ object BitextQuality {
     val emb = Tables.embeddings(spark, dir)
     val src = emb.filter(col("vec_id") % 2 === 0)
     val tgt = emb.filter(col("vec_id") % 2 =!= 0)
-    def batchDirs(sub: String): Seq[String] = {
-      val d = new java.io.File(s"$listsDir/$sub")
-      d.listFiles().filter(_.isDirectory).map(_.getAbsolutePath).toSeq
-    }
+    // read EXACTLY the batch dirs the mining run's _batches manifest
+    // names — globbing subdirectories would union stale pbatch dirs
+    // from an earlier wider run or a killed run's torn dir into the
+    // audited lists, corrupting the published precision (r20 ADVICE)
+    def batchDirs(sub: String): Seq[String] =
+      Bitext.listBatchDirs(spark, s"$listsDir/$sub")
     val fwd = spark.read.parquet(batchDirs("fwd_lists"): _*)
     val bwd = spark.read.parquet(batchDirs("bwd_lists"): _*)
     val mined = Bitext.marginFromLists(fwd, bwd, minMicro)

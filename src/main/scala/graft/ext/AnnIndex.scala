@@ -890,19 +890,38 @@ object AnnIndex {
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val dst = new org.apache.hadoop.fs.Path(s"$path/meta/commit-${tokenOf(man.epoch)}")
-    // NO pre-delete: a commit file for this epoch can only exist when the
+    // NO clobber: a commit file for this epoch can only exist when the
     // epoch already committed (the rename is the last step of a mutation),
     // i.e. a second writer raced this one from the same base manifest, or
     // a retry re-ran an already-committed mutation. Either way last-wins
     // would silently drop the other mutation's batches — fail loud instead
-    // (the single-writer-per-index contract in the class doc).
-    require(fs.rename(tmp, dst),
-      s"manifest commit rename failed: $tmp -> $dst — a commit for epoch " +
+    // (the single-writer-per-index contract in the class doc). A bare
+    // FileSystem.rename is NOT that check on the local filesystem:
+    // RawLocalFileSystem delegates to POSIX rename(2), which silently
+    // REPLACES an existing destination and returns true (r20 ADVICE) —
+    // only HDFS refuses. The exists() probe makes the refusal real on
+    // every filesystem; under the single-writer contract there is no
+    // racing creator between the probe and the rename, so the gap is
+    // not a correctness hole — the probe is the collision detector the
+    // contract promises, not a lock.
+    require(!fs.exists(dst) && fs.rename(tmp, dst),
+      s"manifest commit refused: $tmp -> $dst — a commit for epoch " +
         s"${man.epoch} already exists at this index. Mutations are " +
         "single-writer-per-index: this is either a concurrent mutator " +
         "racing from the same base epoch or a retry of a mutation that " +
         "already committed; re-read the manifest before retrying")
   }
+
+  /** Test seam for the no-clobber commit contract: re-run the commit
+    * step of the newest ALREADY-COMMITTED epoch — the
+    * retry-of-a-committed-mutation / racing-second-writer scenario the
+    * class doc forbids. Must fail loud on every filesystem (the local
+    * FS would otherwise silently last-wins through POSIX rename —
+    * r20 ADVICE); asserted by AnnIndexSpec.
+    */
+  private[graft] def recommitNewestForTest(spark: SparkSession, path: String,
+      kind: String = KindLsh): Unit =
+    commit(spark, path, readManifest(spark, path, kind))
 
   private def readManifest(spark: SparkSession, path: String,
       expectKind: String): Manifest = {

@@ -156,11 +156,50 @@ object Bitext {
           Future.sequence((0 until nb).map(bi => Future(probeOne(bi)))), Duration.Inf)
         finally pool.shutdown()
       }
+      // batch-count manifest, written AFTER every batch dir is complete:
+      // a post-hoc reader (graft.BitextQuality) reads exactly pbatch0..
+      // nb-1 instead of globbing subdirectories — a stale pbatch dir
+      // from an earlier wider run, or the torn dir of a killed run,
+      // must never join the audited list tables (r20 ADVICE)
+      writeBatchCount(spark, outDir, nb)
       spark.read.parquet((0 until nb).map(batchDir): _*)
     }
     val fwd = lists(s"$workDir/tgt_index", src, nS, s"$workDir/fwd_lists")
     val bwd = lists(s"$workDir/src_index", tgt, nT, s"$workDir/bwd_lists")
     marginFromLists(fwd, bwd, minMarginMicro)
+  }
+
+  private def writeBatchCount(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, nb: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_batches")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(nb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The batch count a completed [[marginMineIndexed]] run recorded for
+    * its `fwd_lists`/`bwd_lists` directory — fails loud when absent
+    * (the run was killed before its lists completed, or predates the
+    * manifest): a reader globbing subdirectories instead would pick up
+    * stale or torn batch dirs the miner's own union deliberately
+    * excludes.
+    */
+  def listBatchDirs(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_batches")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no _batches manifest under $outDir — the mining run did not " +
+        "complete its list table (or predates the batch manifest); " +
+        "refusing to guess which pbatch dirs belong to it")
+    val in = fs.open(p)
+    val nb = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    val dirs = (0 until nb).map(bi => s"$outDir/pbatch$bi")
+    dirs.foreach(d => require(
+      fs.exists(new org.apache.hadoop.fs.Path(d)),
+      s"manifest names $nb batch dirs but $d is missing — torn run"))
+    dirs
   }
 
   /** Build the two per-side persisted LSH indexes [[marginMineIndexed]]
@@ -202,9 +241,17 @@ object Bitext {
     * negative mass fails loud instead.
     *
     * Scale shape: the distribution is RANK-scale (|src|·k candidate
-    * rows, never corpus²); the global order-by gathers at most ⌈q·N⌉
-    * longs through one task — bounded by the list tables the miner
-    * already materialized.
+    * rows, never corpus²), and the rank pick is a two-pass exact
+    * selection — count per distinct margin VALUE (one hash aggregate
+    * over the lists), then a cumulative walk over the value histogram
+    * to the first value whose running count reaches ⌈q·N⌉. The only
+    * single-task structure is the histogram walk, bounded by the
+    * margin VALUE DOMAIN (micro-ratios cluster in ~[1, 3·10⁶]), never
+    * by candidate rows — the r20 `orderBy().limit(⌈q·N⌉)` selection
+    * gathered q·N longs through one task and capped N at Int.MaxValue
+    * (r20 verdict nit). Same selected value by construction: the
+    * ⌈q·N⌉-th smallest element equals the smallest value v with
+    * count(margin ≤ v) ≥ ⌈q·N⌉.
     */
   def deriveMarginFloor(
       fwd: DataFrame,
@@ -213,13 +260,17 @@ object Bitext {
   ): Long = {
     require(quantile > 0.0 && quantile < 1.0, s"quantile $quantile outside (0, 1)")
     val margins = marginFromLists(fwd, bwd, 1L).select("margin_micro")
-    val cnt = margins.count()
+    val hist = margins.groupBy("margin_micro").agg(count(lit(1)).as("_n"))
+    val cnt = hist.agg(coalesce(sum("_n"), lit(0L))).collect()(0).getLong(0)
     require(cnt > 0, "no positive-margin candidate pairs to derive a floor from")
     val idx = math.max(1L, math.ceil(quantile * cnt).toLong)
-    require(idx <= Int.MaxValue.toLong,
-      s"margin distribution has $cnt rows — sample the lists before deriving")
-    margins.orderBy(col("margin_micro").asc).limit(idx.toInt)
-      .agg(max("margin_micro")).collect()(0).getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("margin_micro").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    hist.withColumn("_cum", sum("_n").over(w))
+      .filter(col("_cum") >= idx)
+      .agg(min("margin_micro")).collect()(0).getLong(0)
   }
 
   /** The margin computation over ANY pair of ranked lists — the

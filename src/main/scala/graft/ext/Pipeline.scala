@@ -518,8 +518,16 @@ object Pipeline {
     * expected flags ≈ gaps · e^(−factor).
     *
     * Same scale shape as [[seriesGaps]] (one shuffle on the series
-    * key) plus a per-series aggregate broadcast back — rows ∝ series
-    * count, never events.
+    * key) plus a per-series aggregate joined back — rows ∝ series
+    * count, never events. The stats join is left to AQE: at audit
+    * cardinalities (event types, device fleets) it broadcasts; a
+    * 10⁷-series fleet exceeds driver broadcast budgets, and a forced
+    * hint would OOM exactly there (r20 verdict) — AQE falls back to a
+    * shuffle join on the same key the window already established.
+    * The cross-multiplied test runs in decimal(38,0): Long would wrap
+    * at gap_micros·(cnt−1) ≈ 2⁶³ (an hour-long gap in a ~2.6·10⁹-event
+    * series) and non-ANSI Spark silently drops exactly the gap the
+    * audit exists to flag (ADVICE r20).
     */
   def seriesGapsAdaptive(
       df: DataFrame,
@@ -537,9 +545,9 @@ object Pipeline {
     df.select(col(seriesCol), col(timeCol))
       .withColumn("__prev", lag(col(timeCol), 1).over(w))
       .filter(col("__prev").isNotNull)
-      .join(broadcast(stats), Seq(seriesCol))
-      .filter((em(col(timeCol)) - em(col("__prev"))) * col("__gaps") >
-        lit(factor) * col("__span"))
+      .join(stats, Seq(seriesCol))
+      .filter((em(col(timeCol)) - em(col("__prev"))).cast("decimal(38,0)") * col("__gaps") >
+        lit(factor) * col("__span").cast("decimal(38,0)"))
       .select(col(seriesCol), col("__prev").as("gap_start"),
         col(timeCol).as("gap_end"),
         (em(col(timeCol)) - em(col("__prev"))).as("gap_micros"))

@@ -500,38 +500,53 @@ object Similarity {
     try {
       if (truth.isEmpty) (p0, 10000)
       else {
-        // the full doubling ladder up front; ONE candidate join at the
-        // cap scores every rung simultaneously: each candidate carries
+        // the full doubling ladder up front; ONE candidate join per
+        // TIER scores its rungs simultaneously: each candidate carries
         // its list's probe rank r, a broadcast rung table replicates it
         // into every rung with rung >= r, and a (rung, query) window
         // ranks per rung with rankedTopK's exact ordering (score desc,
         // neighbor_id asc). The per-rung recalls — and therefore the
         // chosen rung — are identical to the sequential escalation.
+        //
+        // TWO tiers (r20 ADVICE): the common calibrate-passes-at-P₀
+        // case pays only the P₀-wide candidate join; the cap-wide join
+        // — up to lists/2 of the corpus per sample query — runs only
+        // when P₀ measurably misses the target. The single-tier r20
+        // shape materialized the cap-wide join even when the first
+        // rung qualified, making the common case strictly MORE
+        // expensive than the sequential escalation it replaced.
         val ladder = {
           val b = scala.collection.mutable.ArrayBuffer(p0)
           while (b.last < cap) b += math.min(cap, b.last * 2)
           b.toSeq
         }
-        val rungDf = broadcast(ladder.toDF("rung"))
-        val wRung = Window.partitionBy(col("rung"), col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id").asc)
-        val topkAll = assigned
-          .join(broadcast(probesAll.filter(col("r") <= cap)), Seq("list"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
-          .join(rungDf, col("r") <= col("rung"))
-          .withColumn("rk", row_number().over(wRung))
-          .filter(col("rk") <= k)
-          .select("rung", "query_id", "neighbor_id")
-          .collect() // bounded: |ladder| x sample x k rows
-        val byRung = topkAll.groupBy(_.getInt(0))
-        val recalls: Map[Int, Int] = ladder.map { p =>
-          val got = byRung.getOrElse(p, Array.empty)
-            .map(r => (r.get(1), r.get(2))).toSet
-          p -> (10000L * (truth intersect got).size / truth.size).toInt
-        }.toMap
-        val chosen = ladder.find(p => recalls(p) >= recallTargetBp).getOrElse(cap)
-        (chosen, recalls(chosen))
+        def recallsFor(rungs: Seq[Int]): Map[Int, Int] = {
+          val rungDf = broadcast(rungs.toDF("rung"))
+          val wRung = Window.partitionBy(col("rung"), col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id").asc)
+          val topkAll = assigned
+            .join(broadcast(probesAll.filter(col("r") <= rungs.max)), Seq("list"))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .withColumn("cos", round(VectorOps.cosine(col("qv"), col("cv")), 4))
+            .join(rungDf, col("r") <= col("rung"))
+            .withColumn("rk", row_number().over(wRung))
+            .filter(col("rk") <= k)
+            .select("rung", "query_id", "neighbor_id")
+            .collect() // bounded: |rungs| x sample x k rows
+          val byRung = topkAll.groupBy(_.getInt(0))
+          rungs.map { p =>
+            val got = byRung.getOrElse(p, Array.empty)
+              .map(r => (r.get(1), r.get(2))).toSet
+            p -> (10000L * (truth intersect got).size / truth.size).toInt
+          }.toMap
+        }
+        val first = recallsFor(Seq(p0))
+        if (first(p0) >= recallTargetBp || ladder.size == 1) (p0, first(p0))
+        else {
+          val recalls = first ++ recallsFor(ladder.filter(_ > p0))
+          val chosen = ladder.find(p => recalls(p) >= recallTargetBp).getOrElse(cap)
+          (chosen, recalls(chosen))
+        }
       }
     } finally {
       assigned.unpersist()

@@ -743,7 +743,8 @@ SELECT e.event_type, prev_ts AS gap_start, ts AS gap_end,
   CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_micros
 FROM e JOIN st USING (event_type)
 WHERE prev_ts IS NOT NULL AND st.gaps > 0
-  AND (epoch_us(ts) - epoch_us(prev_ts)) * st.gaps > 6 * st.span
+  AND CAST(epoch_us(ts) - epoch_us(prev_ts) AS DECIMAL(38,0)) * st.gaps
+      > 6 * CAST(st.span AS DECIMAL(38,0))
 ORDER BY event_type, gap_start""",
 
     "fk_integrity" ->

@@ -52,7 +52,7 @@ object Staging {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val t0 = System.nanoTime()
       build(root)
-      builds.put(name, (System.nanoTime() - t0) / 1e9)
+      builds.put(s"$name|$sfDir", (System.nanoTime() - t0) / 1e9)
       root
     })
     root
@@ -65,17 +65,26 @@ object Staging {
     vals.computeIfAbsent(s"$name|$sfDir", _ => {
       val t0 = System.nanoTime()
       val v = compute
-      builds.put(name, (System.nanoTime() - t0) / 1e9)
+      builds.put(s"$name|$sfDir", (System.nanoTime() - t0) / 1e9)
       v
     }).asInstanceOf[T]
   }
 
   /** Wall-clock seconds each staged build/train/calibrate step cost in
     * this JVM (cell name → sec) — [[graft.Bench]] reports it so the
-    * build/probe split stays visible in bench.json.
+    * build/probe split stays visible in bench.json. Timings are keyed
+    * internally by (name, sfDir) — a JVM staging the same cell for two
+    * fixtures records both (r20 ADVICE: name-only keying let the
+    * second fixture overwrite the first's build time). The reported
+    * name stays bare when one fixture used it (the bench case) and is
+    * qualified `name|sfDir` only on collision.
     */
   def buildSeconds: Map[String, Double] = {
     import scala.jdk.CollectionConverters._
-    builds.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
+    val all = builds.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
+    val byName = all.groupBy { case (k, _) => k.split('|').head }
+    byName.flatMap { case (name, m) =>
+      if (m.size == 1) Map(name -> m.head._2) else m
+    }.toMap
   }
 }

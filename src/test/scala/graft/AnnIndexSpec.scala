@@ -338,6 +338,30 @@ class AnnIndexSpec extends SparkSuite {
     assert(healed == direct, "retried append diverged from from-scratch semantics")
   }
 
+  test("a commit for an already-committed epoch fails loud, never last-wins") {
+    // r20 ADVICE (medium): FileSystem.rename on the LOCAL filesystem is
+    // POSIX rename(2) — it silently replaces an existing destination and
+    // returns true, so the no-clobber contract needs an explicit exists
+    // probe. Re-running the commit step of the already-committed epoch
+    // (a retry of a completed mutation, or the second of two writers
+    // racing from the same base manifest) must REFUSE, and the
+    // committed manifest must survive byte-for-byte.
+    val dir = tempDir("ann-lsh-clobber")
+    val n = emb.count()
+    AnnIndex.lshIndexWrite(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", dir, n = n)
+    val committed = new java.io.File(s"$dir/meta", "commit-c00001")
+    assert(committed.isFile)
+    val bodyBefore = java.nio.file.Files.readAllBytes(committed.toPath)
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.recommitNewestForTest(spark, dir)
+    }
+    assert(ex.getMessage.contains("already exists"))
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(committed.toPath), bodyBefore),
+      "the committed manifest was clobbered")
+  }
+
   test("lshIndexCompact folds appends into one generation; vacuum drops the superseded dirs") {
     val dir = tempDir("ann-lsh-compact")
     val n = emb.count()

