@@ -36,7 +36,8 @@ object JobProbe {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val j = Job(e.jobId, System.nanoTime())
         j.tasks = e.stageInfos.map(_.numTasks).sum
-        j.site = Option(e.properties.getProperty("callSite.short")).getOrElse("")
+        j.site = Option(e.properties.getProperty("callSite.short")).getOrElse("") +
+          " :: " + e.stageInfos.map(si => s"${si.name.takeWhile(_ != '(')}x${si.numTasks}").mkString(",")
         jobs.put(e.jobId, j); order.add(e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {

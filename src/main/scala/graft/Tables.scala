@@ -7,11 +7,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * table; the read call is the only thing that changes.
   */
 object Tables {
+
+  /** Schema catalog: parquet footer schema per table path, inferred
+    * once per JVM from the file itself and replayed into every later
+    * read via `.schema(...)` — the role a production catalog
+    * (metastore / Iceberg manifest) plays. Without it EVERY DataFrame
+    * construction pays a driver-side footer-inference pass plus its
+    * 1-task schema job (~0.05–0.1 s), once per table per query — pure
+    * metadata overhead across a 200-query suite. Data is still read
+    * from parquet on every invocation; only the schema (metadata,
+    * deterministic per fixture file) is reused. Keyed by full path, so
+    * fixtures can never serve each other's schemas; `events.ts`'s
+    * conf-dependent encoding is safe because every events read funnels
+    * through [[events]], which pins `nanosAsLong` before first touch.
+    */
+  private val schemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // every query path passes through here — make sure the native
     // planner surface (top-k strategy + window-topk rewrite) is live
     graft.plans.GraftPlanner.ensure(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val sch = schemas.computeIfAbsent(path, _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
   }
 
   /** `events.ts` has shipped in different encodings across driver

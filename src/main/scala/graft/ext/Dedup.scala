@@ -158,13 +158,20 @@ object Dedup {
 
     val x = salted.select(col(idCol).as("doc_a"), col("sig").as("siga"), col("band"), col("bsig"), col("_salt"))
     val y = salted.select(col(idCol).as("doc_b"), col("sig").as("sigb"), col("band"), col("bsig"), col("_salt"))
+    // score and threshold BEFORE the dedup exchange: est_jaccard is a
+    // pure row-local function of the two signatures, so scoring each
+    // banded match (a pair recurs at most Bands times) costs a few
+    // extra slot compares while the distinct's shuffle drops from
+    // (pair × two 16-slot sig arrays) rows to 24-byte (a, b, est)
+    // rows — and every sub-threshold candidate dies before the
+    // exchange instead of after it (filter∘distinct ≡ distinct∘filter
+    // for a deterministic per-row score; guide §2.3 project-early).
     x.join(y, Seq("band", "bsig", "_salt"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "siga", "sigb").distinct()
       .withColumn("est_jaccard",
         round(expr(s"aggregate(zip_with(siga, sigb, (p, q) -> CASE WHEN p = q THEN 1.0 ELSE 0.0 END), cast(0.0 as double), (acc, v) -> acc + v) / $K"), 4))
       .filter(col("est_jaccard") >= threshold)
-      .select("doc_a", "doc_b", "est_jaccard")
+      .select("doc_a", "doc_b", "est_jaccard").distinct()
   }
 
   /** Per-document 32-bit SimHash over shingle hashes via the native
@@ -206,12 +213,15 @@ object Dedup {
       concat_ws("#", col(idCol).cast("string"), col("chunk").cast("string")), maxBucket)
     val x = salted.select(col(idCol).as("doc_a"), col("simhash").as("ha"), col("chunk"), col("cval"), col("_salt"))
     val y = salted.select(col(idCol).as("doc_b"), col("simhash").as("hb"), col("chunk"), col("cval"), col("_salt"))
+    // popcount + threshold BEFORE the dedup exchange (same reasoning as
+    // minhashLshPairs): the distinct shuffles only surviving
+    // (a, b, hamming) rows — candidates beyond maxHamming (the vast
+    // majority of banded matches) never cross the wire
     x.join(y, Seq("chunk", "cval", "_salt"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb").distinct()
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select("doc_a", "doc_b", "hamming").distinct()
   }
 
   /** Exact n-gram Jaccard similarity pairs — the ground truth for the

@@ -361,10 +361,12 @@ object Multimodal {
     val hChunks = withChunks(historyFps.select(col("id").as("hid"), col("fp")))
       .select(col("hid"), col("fp").as("hfp"), col("chunk"), col("cval"))
     val bChunks = withChunks(bFps.select(col("id").as("doc_id"), col("fp")))
+    // popcount + band filter before the distinct: only (batch, history)
+    // matches inside the hamming window reach the dedup exchange
     val scored = hChunks.join(broadcast(bChunks), Seq("chunk", "cval"))
-      .select("doc_id", "fp", "hid", "hfp").distinct()
       .withColumn("hamming", bit_count(col("fp").bitwiseXOR(col("hfp"))).cast("long"))
       .filter(col("hamming") >= 1 && col("hamming") <= maxHamming)
+      .select("doc_id", "hid", "hamming").distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("hamming").asc, col("hid").asc)
     val best = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
@@ -460,11 +462,17 @@ object Multimodal {
       col("chunk"), col("cval"), col("_salt"))
     val b = salted.select(col("id").as("doc_b"), col("fp").as("fpb"),
       col("chunk"), col("cval"), col("_salt"))
+    // popcount + threshold BEFORE the dedup exchange (same reasoning as
+    // Dedup.simhashPairs): banded candidates beyond maxHamming never
+    // cross the wire (filter∘distinct ≡ distinct∘filter for a
+    // deterministic per-row score). The distinct must keep the
+    // fingerprints: a multi-row-per-id modality (video frames) counts
+    // one row per distinct FINGERPRINT pair, not per (a, b, hamming).
     a.join(b, Seq("chunk", "cval", "_salt"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "fpa", "fpb").distinct()
       .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "fpa", "fpb", "hamming").distinct()
       .select("doc_a", "doc_b", "hamming")
   }
 

@@ -243,7 +243,9 @@ object ReferenceQueries extends QueryGroup {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       val ev = Tables.events(s, dir).withColumn("ts", col("ts").cast("timestamp"))
       val schema = ev.schema
-      val mx = ev.agg(max("ts")).head().getTimestamp(0)
+      val stats = ev.agg(max("ts"), count(lit(1))).head()
+      val mx = stats.getTimestamp(0)
+      val nEv = stats.getLong(1)
       def stage(df: DataFrame): Unit =
         df.coalesce(1).write.mode("append").parquet(s"$root/in")
       def run(): Unit = StreamingExtract.startFileSink(
@@ -251,15 +253,31 @@ object ReferenceQueries extends QueryGroup {
           StreamingExtract.source(s, s"$root/in", schema),
           "ts", "event_type", "value", every = "1 second", watermark = "1 hour"),
         "ts", s"$root/out", s"$root/ckpt").awaitTermination(300000)
-      for (b <- 0 to 2) { stage(ev.filter(col("event_id") % 3 === b)); run() }
-      import s.implicits._
-      def sentinel(id: Long, t: java.sql.Timestamp): DataFrame =
-        Seq((id, t, -1L, "__sentinel", 0.0, null: String))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      val s1 = new java.sql.Timestamp(mx.getTime + 3600L * 1000 + 2000)
-      val s2 = new java.sql.Timestamp(s1.getTime + 3600L * 1000 + 2000)
-      stage(sentinel(-1L, s1)); run()
-      stage(sentinel(-2L, s2)); run()
+      // Streaming state partitioning is pinned at the first run by the
+      // checkpoint and AQE never coalesces it, so `shuffle.partitions`
+      // = core count hands every micro-batch one state-store commit
+      // (snapshot read + delta write) PER CORE regardless of state
+      // size — measured 8 micro-batch jobs x 32 one-row-ish tasks
+      // dominating this replay (plans/r21). Derive the count from the
+      // input volume instead (~50k events per state partition, capped
+      // at the session parallelism — the same input-sized rule the
+      // repo's repartition sites use), restoring the session value
+      // for the batch read-back below.
+      val sessionSp = s.conf.get("spark.sql.shuffle.partitions")
+      val stateParts = math.max(1L, math.min(
+        s.sparkContext.defaultParallelism.toLong, nEv / 50000L + 1L))
+      s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+      try {
+        for (b <- 0 to 2) { stage(ev.filter(col("event_id") % 3 === b)); run() }
+        import s.implicits._
+        def sentinel(id: Long, t: java.sql.Timestamp): DataFrame =
+          Seq((id, t, -1L, "__sentinel", 0.0, null: String))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val s1 = new java.sql.Timestamp(mx.getTime + 3600L * 1000 + 2000)
+        val s2 = new java.sql.Timestamp(s1.getTime + 3600L * 1000 + 2000)
+        stage(sentinel(-1L, s1)); run()
+        stage(sentinel(-2L, s2)); run()
+      } finally s.conf.set("spark.sql.shuffle.partitions", sessionSp)
       s.read.parquet(s"$root/out")
         .select("ts", "event_type", "value", "n_points")
         // the engine's no-data batches advance the watermark eagerly,

@@ -32,15 +32,23 @@ object BatchTable {
     * filter. */
   val CompactedBatch = -1L
 
-  /** Idempotent per-batch write: dynamic overwrite replaces ONLY the
-    * `__batch_id=N` partition being written, leaving other batches'
-    * partitions untouched. */
+  /** Idempotent per-batch write: overwrite the `__batch_id=N` partition
+    * DIRECTORY wholesale, leaving other batches' partitions untouched —
+    * the same replace-own-partition semantics the dynamic-overwrite
+    * spelling had, minus its staging/commit machinery (which listed and
+    * moved every file through a hidden staging dir per write; the
+    * partition value comes from the directory name exactly as
+    * [[compact]]'s output does). REBALANCE before the write lets AQE
+    * size the output files by bytes instead of inheriting the upstream
+    * task count: a small micro-batch lands as ONE file rather than one
+    * per scan/shuffle task (32 per batch at bench core counts — paid
+    * again by every later gate's history scan), and a large one still
+    * splits at the advisory partition size (guide-standard output
+    * sizing; verdicts are unaffected — same rows, fewer files). */
   def writeBatchPartition(df: DataFrame, batchId: Long, dir: String): Unit =
-    df.withColumn(BatchCol, lit(batchId))
+    df.hint("rebalance")
       .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BatchCol)
-      .parquet(dir)
+      .parquet(s"$dir/$BatchCol=$batchId")
 
   /** Read the table EXCLUDING `batchId`'s own partition — the gate's
     * history view: on replay, the prior attempt's rows must not gate
