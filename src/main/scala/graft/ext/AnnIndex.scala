@@ -149,8 +149,10 @@ object AnnIndex {
     // never resurrect the rows it already threw away)
     base.select(col("neighbor_id"),
       posexplode(AnnExprs.lshBuckets(col("cv"), planes)).as(Seq("t", "b")))
+      .hint("rebalance") // size-targeted files, not one per upstream task
       .write.mode("overwrite").parquet(s"$path/sigs/batch=$tok")
-    base.write.mode("overwrite").parquet(s"$path/vectors/batch=$tok")
+    base.hint("rebalance")
+      .write.mode("overwrite").parquet(s"$path/vectors/batch=$tok")
     writeLshHot(spark, path, Seq(tok), maxBucket, tok)
     val stored = spark.read.parquet(s"$path/vectors/batch=$tok").count()
     val meta = LshMeta(tables, bits, dim, seed, maxBucket, nn, stored)
@@ -233,8 +235,10 @@ object AnnIndex {
     // uncommitted leftovers in exactly these dirs — replace, never mix
     base.select(col("neighbor_id"),
       posexplode(AnnExprs.lshBuckets(col("cv"), planes)).as(Seq("t", "b")))
+      .hint("rebalance") // size-targeted files, not one per upstream task
       .write.mode("overwrite").parquet(s"$path/sigs/batch=$tok")
-    base.write.mode("overwrite").parquet(s"$path/vectors/batch=$tok")
+    base.hint("rebalance")
+      .write.mode("overwrite").parquet(s"$path/vectors/batch=$tok")
     writeLshHot(spark, path, man.batches :+ tok, meta.maxBucket, tok)
     val added = spark.read.parquet(s"$path/vectors/batch=$tok").count()
     val addedRaw = batch.count()
@@ -264,11 +268,11 @@ object AnnIndex {
     val tok = tokenOf(man.epoch + 1)
     readBatches(spark, s"$path/sigs", man.batches)
       .select("neighbor_id", "t", "b")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .hint("rebalance") // AQE sizes the compacted generation by bytes
       .write.mode("overwrite").parquet(s"$path/sigs/batch=$tok")
     readBatches(spark, s"$path/vectors", man.batches)
       .select("neighbor_id", "cv")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .hint("rebalance")
       .write.mode("overwrite").parquet(s"$path/vectors/batch=$tok")
     writeLshHot(spark, path, Seq(tok), meta.maxBucket, tok)
     commit(spark, path,

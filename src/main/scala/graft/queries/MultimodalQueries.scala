@@ -167,9 +167,14 @@ object MultimodalQueries extends QueryGroup {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       val docs = Tables.documents(s, dir)
       for (b <- 0L to 2L) {
+        val slice = docs.filter(col("doc_id") % 3 === b)
         ImageDedupGate.gateAndIngest(
-          syntheticRecs(s, docs.filter(col("doc_id") % 3 === b)),
-          s"$root/fps", s"$root/verdicts", batchId = b)
+          syntheticRecs(s, slice),
+          s"$root/fps", s"$root/verdicts", batchId = b,
+          // ids straight from the id column: projecting them through
+          // the MediaRecord Dataset would re-synthesize every PNG just
+          // to drop the bytes (guide §4 — opaque map defeats pruning)
+          batchIds = Some(slice.select(col("doc_id").cast("long").as("id"))))
         if (b == 1L) ImageDedupGate.compactFingerprints(s, s"$root/fps", upToBatch = 0L)
       }
       s.read.parquet(s"$root/verdicts")
@@ -186,11 +191,13 @@ object MultimodalQueries extends QueryGroup {
       val docs = Tables.documents(s, dir)
       val history = Multimodal.managedPersist(Multimodal.videoFrameFingerprints(
         syntheticVideoRecs(s, docs.filter(col("doc_id") % 4 =!= 0)), every = 2))
-      val batch = syntheticVideoRecs(s, docs.filter(col("doc_id") % 4 === 0))
+      val batchDocs = docs.filter(col("doc_id") % 4 === 0)
       val bFps = Multimodal.managedPersist(
-        Multimodal.videoFrameFingerprints(batch, every = 2))
+        Multimodal.videoFrameFingerprints(syntheticVideoRecs(s, batchDocs), every = 2))
       Multimodal.incrementalHammingDupsFromFps(
-        history, batch.toDF().select(col("id")), bFps)
+        // ids from the id column, not through the GIF-synthesizing
+        // Dataset map (guide §4 — opaque map defeats column pruning)
+        history, batchDocs.select(col("doc_id").cast("long").as("id")), bFps)
         .orderBy("doc_id")
     }),
 
@@ -205,8 +212,13 @@ object MultimodalQueries extends QueryGroup {
       // managed persist registers the cache for unpersistCaches release.
       val history = Multimodal.managedPersist(Multimodal.imageFingerprints(
         syntheticRecs(s, docs.filter(col("doc_id") % 4 =!= 0))))
-      Multimodal.incrementalImageDups(
-        history, syntheticRecs(s, docs.filter(col("doc_id") % 4 === 0)))
+      val batchDocs = docs.filter(col("doc_id") % 4 === 0)
+      val bFps = Multimodal.managedPersist(Multimodal.imageFingerprints(
+        syntheticRecs(s, batchDocs)))
+      Multimodal.incrementalImageDupsFromFps(
+        // ids from the id column, not through the PNG-synthesizing
+        // Dataset map (guide §4 — opaque map defeats column pruning)
+        history, batchDocs.select(col("doc_id").cast("long").as("id")), bFps)
         .orderBy("doc_id")
     })
   )

@@ -54,9 +54,18 @@ object ImageDedupGate {
       // other's partitions — every caller must key its batch
       batchId: Long,
       fingerprints: Dataset[Multimodal.MediaRecord] => DataFrame =
-        Multimodal.imageFingerprints(_)
+        Multimodal.imageFingerprints(_),
+      // the batch's `id` column WITHOUT going through the MediaRecord
+      // deserializer: `batch.toDF().select("id")` cannot column-prune
+      // through the opaque record-constructing map, so projecting ids
+      // from the Dataset re-materializes every payload byte just to
+      // drop it (guide §4). A caller whose ids are known upstream (a
+      // media table's id column, a file listing) passes them here; the
+      // ids MUST be exactly the batch's ids — every id owes a verdict.
+      batchIds: Option[DataFrame] = None
   ): Unit = {
     val spark = batch.sparkSession
+    val ids = batchIds.getOrElse(batch.toDF().select(col("id")))
     // two consumers (gate + fingerprint append) — decode the batch once
     val bFps = fingerprints(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -65,10 +74,10 @@ object ImageDedupGate {
         if (BatchTable.hasData(spark, fpDir))
           Multimodal.incrementalImageDupsFromFps(
             BatchTable.readExcluding(spark, fpDir, batchId),
-            batch.toDF().select(col("id")), bFps, maxHamming)
+            ids, bFps, maxHamming)
         else
           // day 1: no history — same schema, everything new
-          batch.toDF().select(col("id").as("doc_id"))
+          ids.select(col("id").as("doc_id"))
             .withColumn("exact_dup_id", lit(null).cast(LongType))
             .withColumn("near_dup_id", lit(null).cast(LongType))
             .withColumn("near_hamming", lit(null).cast(LongType))
