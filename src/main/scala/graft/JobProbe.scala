@@ -29,6 +29,10 @@ object JobProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // A/B experiments: SPARK_GRAFT_PROBE_CONF="k=v;k=v" applied to the
+    // session before the reps — measurement-only, never used by Bench
+    sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
     val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
