@@ -66,8 +66,19 @@ object Bench {
     * directly comparable with planhash.json's. */
   def planHashDf(spark: SparkSession, df: org.apache.spark.sql.DataFrame): String =
     try {
-      val cacheFree = spark.sessionState.optimizer.execute(
-        renumberExprIds(df.queryExecution.analyzed.clone()))
+      // renumber AGAIN after the optimizer: rules like PartitionPruning
+      // INSERT subquery expressions (DynamicPruningSubquery) whose
+      // ExprId comes fresh off the session's global counter — the
+      // canonicalizer orders commutative AND operands by hashCode, so
+      // the counter's value at hash time decided where the pruning
+      // subquery sorted among its sibling conjuncts (observed: one
+      // spurious ann_topk_ivfpq_indexed planhash flip across six
+      // same-code bench runs, and a deterministic hash difference
+      // between sessions with different query histories). The second
+      // renumbering pins optimizer-created ids to first-occurrence
+      // order, making the digest a pure function of the plan again.
+      val cacheFree = renumberExprIds(spark.sessionState.optimizer.execute(
+        renumberExprIds(df.queryExecution.analyzed.clone())))
       val canon = cacheFree.canonicalized.toString
         .replaceAll("\\$\\$Lambda[^,\\s)\\]]*",
           java.util.regex.Matcher.quoteReplacement("$$Lambda"))
@@ -93,6 +104,14 @@ object Bench {
       case a: Alias =>
         Alias(a.child, a.name)(fresh(a.exprId), a.qualifier, a.explicitMetadata,
           a.nonInheritableMetadataKeys)
+      // optimizer-inserted subqueries carry their own ExprId off the
+      // session counter — normalize them too (see planHashDf); the
+      // subquery PLAN's attributes are covered by the cases above
+      // (transformAllExpressionsWithSubqueries descends into it)
+      case d: org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery =>
+        d.copy(exprId = fresh(d.exprId))
+      case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+        s.copy(exprId = fresh(s.exprId))
     }
   }
 
