@@ -273,10 +273,15 @@ object ReferenceQueries extends QueryGroup {
         def sentinel(id: Long, t: java.sql.Timestamp): DataFrame =
           Seq((id, t, -1L, "__sentinel", 0.0, null: String))
             .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        // ONE sentinel suffices (r21): its batch advances the watermark
+        // past every real window END (s1 − 1h = max + 2s), and the
+        // engine's eager no-data batch within the same lifecycle emits
+        // the closed windows — the former second sentinel only closed
+        // the first sentinel's own (filtered-out) window, at the cost
+        // of a full extra streaming lifecycle. Oracle unchanged: it
+        // models acceptance of the three real batches only.
         val s1 = new java.sql.Timestamp(mx.getTime + 3600L * 1000 + 2000)
-        val s2 = new java.sql.Timestamp(s1.getTime + 3600L * 1000 + 2000)
         stage(sentinel(-1L, s1)); run()
-        stage(sentinel(-2L, s2)); run()
       } finally s.conf.set("spark.sql.shuffle.partitions", sessionSp)
       s.read.parquet(s"$root/out")
         .select("ts", "event_type", "value", "n_points")
