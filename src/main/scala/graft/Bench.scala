@@ -66,27 +66,35 @@ object Bench {
     * directly comparable with planhash.json's. */
   def planHashDf(spark: SparkSession, df: org.apache.spark.sql.DataFrame): String =
     try {
-      // renumber AGAIN after the optimizer: rules like PartitionPruning
-      // INSERT subquery expressions (DynamicPruningSubquery) whose
-      // ExprId comes fresh off the session's global counter — the
-      // canonicalizer orders commutative AND operands by hashCode, so
-      // the counter's value at hash time decided where the pruning
-      // subquery sorted among its sibling conjuncts (observed: one
-      // spurious ann_topk_ivfpq_indexed planhash flip across six
-      // same-code bench runs, and a deterministic hash difference
-      // between sessions with different query histories). The second
-      // renumbering pins optimizer-created ids to first-occurrence
-      // order, making the digest a pure function of the plan again.
-      val cacheFree = renumberExprIds(spark.sessionState.optimizer.execute(
-        renumberExprIds(df.queryExecution.analyzed.clone())))
-      val canon = cacheFree.canonicalized.toString
-        .replaceAll("\\$\\$Lambda[^,\\s)\\]]*",
-          java.util.regex.Matcher.quoteReplacement("$$Lambda"))
-        .replaceAll("@[0-9a-f]+\\b", "@")
+      val canon = canonicalText(spark, df)
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(canon.getBytes("UTF-8"))
       md.take(4).map("%02x".format(_)).mkString
     } catch { case _: Throwable => "err" }
+
+  /** The exact canonical plan text [[planHashDf]] digests — shared with
+    * PlanDumpProbe so two-JVM text diffs always diff the string being
+    * hashed.
+    *
+    * ExprIds are renumbered AGAIN after the optimizer: rules like
+    * PartitionPruning INSERT subquery expressions
+    * (DynamicPruningSubquery) whose ExprId comes fresh off the
+    * session's global counter — the canonicalizer orders commutative
+    * AND operands by hashCode, so the counter's value at hash time
+    * decided where the pruning subquery sorted among its sibling
+    * conjuncts (observed: one spurious ann_topk_ivfpq_indexed planhash
+    * flip across six same-code bench runs, and a deterministic hash
+    * difference between sessions with different query histories). The
+    * second renumbering pins optimizer-created ids to first-occurrence
+    * order, making the digest a pure function of the plan again. */
+  def canonicalText(spark: SparkSession, df: org.apache.spark.sql.DataFrame): String = {
+    val cacheFree = renumberExprIds(spark.sessionState.optimizer.execute(
+      renumberExprIds(df.queryExecution.analyzed.clone())))
+    cacheFree.canonicalized.toString
+      .replaceAll("\\$\\$Lambda[^,\\s)\\]]*",
+        java.util.regex.Matcher.quoteReplacement("$$Lambda"))
+      .replaceAll("@[0-9a-f]+\\b", "@")
+  }
 
   /** Rewrite every exprId to a sequential id (first-occurrence order in
     * a deterministic top-down traversal) under a fixed jvmId, keeping

@@ -26,17 +26,8 @@ object PlanDumpProbe {
       .foreach { q => try SparkEntry.queries(q)(spark, sfDir).count()
                       catch { case _: Throwable => () } })
     val df = SparkEntry.queries(name)(spark, sfDir)
-    val canon = {
-      // mirror Bench.planHashDf's exact pipeline
-      val m = Bench.getClass.getDeclaredMethods.find(_.getName == "renumberExprIds").get
-      m.setAccessible(true)
-      val renumbered = m.invoke(Bench, df.queryExecution.analyzed.clone())
-        .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
-      spark.sessionState.optimizer.execute(renumbered).canonicalized.toString
-        .replaceAll("\\$\\$Lambda[^,\\s)\\]]*",
-          java.util.regex.Matcher.quoteReplacement("$$Lambda"))
-        .replaceAll("@[0-9a-f]+\\b", "@")
-    }
+    // the string being dumped IS the string being hashed (same helper)
+    val canon = Bench.canonicalText(spark, df)
     val w = new java.io.PrintWriter(out, "UTF-8")
     try w.println(canon) finally w.close()
     println(s"hash=${Bench.planHashDf(spark, df)} bytes=${canon.length}")

@@ -20,6 +20,14 @@ object Tables {
     * fixtures can never serve each other's schemas; `events.ts`'s
     * conf-dependent encoding is safe because every events read funnels
     * through [[events]], which pins `nanosAsLong` before first touch.
+    *
+    * ASSUMPTION (r21 ADVICE): fixture files are immutable for the JVM's
+    * lifetime — the cache has no invalidation and is shared across
+    * SparkSessions, so a parquet regenerated IN PLACE mid-JVM would be
+    * read with the stale schema. That holds for every caller here (the
+    * driver writes fixtures before launching, specs create fresh temp
+    * paths); a long-lived service over mutable tables would key this on
+    * (path, mtime, length) or use a real catalog instead.
     */
   private val schemas =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()

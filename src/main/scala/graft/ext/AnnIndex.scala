@@ -908,12 +908,20 @@ object AnnIndex {
     // racing creator between the probe and the rename, so the gap is
     // not a correctness hole — the probe is the collision detector the
     // contract promises, not a lock.
-    require(!fs.exists(dst) && fs.rename(tmp, dst),
-      s"manifest commit refused: $tmp -> $dst — a commit for epoch " +
-        s"${man.epoch} already exists at this index. Mutations are " +
-        "single-writer-per-index: this is either a concurrent mutator " +
-        "racing from the same base epoch or a retry of a mutation that " +
-        "already committed; re-read the manifest before retrying")
+    if (fs.exists(dst)) {
+      fs.delete(tmp, false) // refusal path: don't leave the temp behind
+      throw new IllegalArgumentException(
+        s"manifest commit refused: a commit for epoch ${man.epoch} " +
+          s"already exists at $dst. Mutations are " +
+          "single-writer-per-index: this is either a concurrent mutator " +
+          "racing from the same base epoch or a retry of a mutation that " +
+          "already committed; re-read the manifest before retrying")
+    }
+    // distinct failure: the rename itself failed (IO error, permissions,
+    // tmp missing) — NOT an epoch collision; don't blame the contract
+    require(fs.rename(tmp, dst),
+      s"manifest commit failed: rename $tmp -> $dst returned false " +
+        "(filesystem error — not an already-committed epoch)")
   }
 
   /** Test seam for the no-clobber commit contract: re-run the commit

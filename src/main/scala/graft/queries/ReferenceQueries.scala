@@ -285,10 +285,12 @@ object ReferenceQueries extends QueryGroup {
       } finally s.conf.set("spark.sql.shuffle.partitions", sessionSp)
       s.read.parquet(s"$root/out")
         .select("ts", "event_type", "value", "n_points")
-        // the engine's no-data batches advance the watermark eagerly,
-        // so the FIRST sentinel's own window also closes — the flush
-        // rows are bookkeeping, not data; only real series are the
-        // contract (the oracle never materializes the sentinels)
+        // the sentinel's OWN window never closes (the final watermark is
+        // max + 2s, well short of the sentinel window's end at
+        // ~max + 1h + 3s), so it is never emitted — the filter is
+        // belt-and-braces against a future event-time change, not the
+        // thing suppressing it today; only real series are the contract
+        // (the oracle never materializes the sentinels)
         .filter(col("event_type") =!= "__sentinel")
         .orderBy("ts", "event_type")
     }),

@@ -360,6 +360,9 @@ class AnnIndexSpec extends SparkSuite {
     assert(java.util.Arrays.equals(
       java.nio.file.Files.readAllBytes(committed.toPath), bodyBefore),
       "the committed manifest was clobbered")
+    // the refusal path must not leave its temp file behind (r21 ADVICE)
+    assert(!new java.io.File(s"$dir/meta", ".tmp-c00001").exists(),
+      "refused commit left its .tmp file in meta/")
   }
 
   test("lshIndexCompact folds appends into one generation; vacuum drops the superseded dirs") {
