@@ -99,8 +99,17 @@ object Graph {
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // N is a scalar loop constant (one count, like connectedComponents'
-    // edge count) — inlined as a literal into the integer share
-    val nNodes = base.count()
+    // edge count) — inlined as a literal into the integer share. The
+    // dangling-node count rides the same aggregate: when it is ZERO
+    // (e.g. a symmetrized graph, where every node has an out-arc) the
+    // per-round dangling branch is provably `dang_sum = 0`, so the loop
+    // below skips its full-rank filter+aggregate+broadcast entirely —
+    // `(850·(in_sum + 0 div N)) div 1000 ≡ (850·in_sum) div 1000` (r22).
+    val (nNodes, nDangling) = {
+      val r = base.agg(count(lit(1)),
+        coalesce(sum(when(col("deg") === 0, lit(1L)).otherwise(lit(0L))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
 
     var rank = truncate(base.withColumn("pr_micro", lit(1000000L)))
     var i = 0
@@ -111,16 +120,26 @@ object Graph {
       val contribs = e.join(rank, e("src") === rank("node"))
         .select(e("dst"), expr("pr_micro div deg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("in_sum"))
-      // dangling mass: 1-row aggregate, broadcast into the round
-      val dang = rank.filter(col("deg") === 0)
-        .agg(coalesce(sum("pr_micro"), lit(0L)).as("dang_sum"))
-      val next = rank
-        .join(contribs, rank("node") === contribs("dst"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("node"), col("deg"), col("pr_micro").as("pr_prev"),
-          (lit(150000L) + expr(
-            s"(850 * (coalesce(in_sum, cast(0 as bigint)) + (dang_sum div $nNodes))) div 1000"))
-            .as("pr_micro"))
+      val joined = rank.join(contribs, rank("node") === contribs("dst"), "left")
+      val next =
+        if (nDangling == 0L)
+          // no sinks exist ⇒ dang_sum = 0 every round; same integer
+          // arithmetic with the zero share folded away
+          joined.select(col("node"), col("deg"), col("pr_micro").as("pr_prev"),
+            (lit(150000L) + expr(
+              "(850 * coalesce(in_sum, cast(0 as bigint))) div 1000"))
+              .as("pr_micro"))
+        else {
+          // dangling mass: 1-row aggregate, broadcast into the round
+          val dang = rank.filter(col("deg") === 0)
+            .agg(coalesce(sum("pr_micro"), lit(0L)).as("dang_sum"))
+          joined
+            .crossJoin(broadcast(dang))
+            .select(col("node"), col("deg"), col("pr_micro").as("pr_prev"),
+              (lit(150000L) + expr(
+                s"(850 * (coalesce(in_sum, cast(0 as bigint)) + (dang_sum div $nNodes))) div 1000"))
+                .as("pr_micro"))
+        }
       val obs = org.apache.spark.sql.Observation(s"pr_round_${i}_${java.util.UUID.randomUUID()}")
       rank = truncate(
         next.observe(obs, sum(abs(col("pr_micro") - col("pr_prev"))).as("l1_delta"))

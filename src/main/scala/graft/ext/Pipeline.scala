@@ -836,8 +836,18 @@ object Pipeline {
     // Observation-based convergence metric below fires either way
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    var edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // symmetrize in ONE pass over `pairs`: the union-of-two-selects
+    // spelling consumed the (typically unpersisted, join-heavy) pair
+    // pipeline once PER BRANCH — the whole candidate-pair computation
+    // ran twice before the first persist (measured: the duplicated
+    // 32-task stage pairs in dedup_summary's job profile, r22). An
+    // explode of both orientations reads `pairs` once and emits the
+    // identical row multiset.
+    var edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -852,19 +862,25 @@ object Pipeline {
     edges = edges.repartition(parts, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var labels = truncate(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .repartition(parts, col("node")))
     // Convergence via the label-sum invariant: every round takes mins,
     // so per-node labels are monotonically non-increasing and the total
     // strictly decreases until the fixpoint — equal consecutive sums
     // IS convergence. The sum rides the round's own materialization as
     // an Observation metric, so detection costs zero extra jobs (the
     // round-2 probe was a separate join + count action over the
-    // un-materialized round result, recomputing the jump twice).
+    // un-materialized round result, recomputing the jump twice). The
+    // INITIAL sum rides the init materialization the same way — the
+    // separate `labels.agg(labelSum)` job it replaces was one more
+    // fixed-latency action per CC call (r22).
     val labelSum = sum(col("label").cast("decimal(38,0)")).as("label_sum")
-    var prevSum = labels.agg(labelSum).head().getDecimal(0)
+    val obs0 = org.apache.spark.sql.Observation(
+      s"cc_init_${java.util.UUID.randomUUID()}")
+    var labels = truncate(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .repartition(parts, col("node"))
+        .observe(obs0, labelSum))
+    var prevSum = obs0.get("label_sum").asInstanceOf[java.math.BigDecimal]
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

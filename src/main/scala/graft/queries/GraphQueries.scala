@@ -31,8 +31,13 @@ object GraphQueries extends QueryGroup {
         .select((col("o_custkey").cast("long") * 2).as("a"),
           (col("l_suppkey").cast("long") * 2 + 1).as("b"))
         .distinct()
-      val edges = eb.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(eb.select(col("b").as("src"), col("a").as("dst")))
+      // symmetrize in ONE pass over eb: the union-of-two-selects form
+      // ran the join+distinct once per branch (same row multiset — the
+      // two orientations are disjoint by the parity namespacing)
+      val edges = eb.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       Graph.pageRank(edges, "src", "dst", Iters)
         .orderBy(col("pr_micro").desc, col("node").asc)
         .limit(30)

@@ -86,31 +86,48 @@ object IndexedEmbeddingGate {
   private def shapePath(storeDir: String) = s"$storeDir/shape"
 
   private def writeShape(spark: SparkSession, storeDir: String, s: GateShape): Unit = {
-    import spark.implicits._
     // temp-then-rename, like the AnnIndex manifest: a crash mid-write
-    // must leave either no shape dir or a complete one — a torn
-    // parquet dir here would make every later gate fail unreadably
-    // instead of pinning (r19 advice)
-    val tmp = s"${shapePath(storeDir)}.tmp"
+    // must leave either no shape file or a complete one — a torn file
+    // here would make every later gate fail unreadably instead of
+    // pinning (r19 advice). Format: the AnnIndex key=value manifest
+    // style — the shape is six scalars of metadata, and the 1-row
+    // parquet it replaces cost a Spark job to write and one per GATE
+    // CALL to read (driver fixed cost, guide §5; r22).
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    Seq((s.tables, s.bits, s.budget, s.depth, s.seed, s.dim))
-      .toDF("tables", "bits", "budget", "depth", "seed", "dim")
-      .repartition(1).write.mode("overwrite").parquet(tmp)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(shapePath(storeDir))),
+    fs.mkdirs(new org.apache.hadoop.fs.Path(storeDir))
+    val tmp = new org.apache.hadoop.fs.Path(s"${shapePath(storeDir)}.tmp")
+    fs.delete(tmp, true)
+    val out = fs.create(tmp, true)
+    try out.write(
+      (s"tables=${s.tables}\nbits=${s.bits}\nbudget=${s.budget}\n" +
+        s"depth=${s.depth}\nseed=${s.seed}\ndim=${s.dim}\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(shapePath(storeDir))),
       s"shape pin rename failed: $tmp -> ${shapePath(storeDir)}")
   }
 
-  /** The pinned shape of an existing store, if one was ever ingested. */
+  /** The pinned shape of an existing store, if one was ever ingested.
+    * Reads the key=value shape file; a shape DIRECTORY is the pre-r22
+    * 1-row parquet layout, still honored so existing stores keep their
+    * pin across the format change. */
   def readShape(spark: SparkSession, storeDir: String): Option[GateShape] = {
     val p = new org.apache.hadoop.fs.Path(shapePath(storeDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else spark.read.parquet(shapePath(storeDir)).collect().headOption.map(r =>
-      GateShape(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
-        r.getLong(4), r.getInt(5)))
+    else if (fs.getFileStatus(p).isDirectory)
+      spark.read.parquet(shapePath(storeDir)).collect().headOption.map(r =>
+        GateShape(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getLong(4), r.getInt(5)))
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      val kv = txt.split("\n").iterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+      Some(GateShape(kv("tables").toInt, kv("bits").toInt, kv("budget").toInt,
+        kv("depth").toInt, kv("seed").toLong, kv("dim").toInt))
+    }
   }
 
   private def pinOrCheckShape(spark: SparkSession, storeDir: String,

@@ -154,8 +154,10 @@ class IndexedEmbeddingGateSpec extends SparkSuite {
     // disk, no shape file. The next gate must NOT write whatever shape
     // it happens to be called with — that would silently legitimize a
     // mismatched geometry, the exact bug pinning targets (r19 advice)
-    val shapeDir = new java.io.File(s"$dir/store/shape")
-    shapeDir.listFiles().foreach(_.delete()); shapeDir.delete()
+    // shape is a key=value file since r22 (a 1-row parquet dir before)
+    val shapePin = new java.io.File(s"$dir/store/shape")
+    Option(shapePin.listFiles()).foreach(_.foreach(_.delete()))
+    shapePin.delete()
     val e = intercept[IllegalArgumentException] {
       IndexedEmbeddingGate.gateAndIngest(dfOf(b1), "vec_id", "embedding",
         s"$dir/store", s"$dir/verdicts", threshold = 0.45, batchId = 1L)
