@@ -798,10 +798,10 @@ object AnnIndex {
       .select(col(idCol).as("query_id") +: (0 until meta.m).map(mi =>
         slice(vd, mi * sub + 1, sub).as(s"sub_$mi")): _*)
       .select(col("query_id") +: (0 until meta.m).map { mi =>
-        val cbLit = typedlit(codebooks(mi).map(_.toSeq).toSeq)
-        transform(cbLit, cw =>
-          aggregate(zip_with(col(s"sub_$mi"), cw, (x, c) => (x - c) * (x - c)),
-            lit(0.0), (acc, v) => acc + v)).as(s"dt_$mi")
+        // compiled table build (VecExprs.pqDistTable): identical fold
+        // order to the former transform+aggregate HOF, evaluated in
+        // one codegen loop instead of ks x dim interpreted lambdas
+        graft.functions.VecExprs.pqDistTable(col(s"sub_$mi"), codebooks(mi)).as(s"dt_$mi")
       }: _*)
     // probe rows carry the m distance tables (~m*ks*8 B each), so the
     // broadcast affords fewer queries per byte than the raw-IVF probe;

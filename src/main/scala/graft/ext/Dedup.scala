@@ -169,7 +169,10 @@ object Dedup {
     x.join(y, Seq("band", "bsig", "_salt"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("est_jaccard",
-        round(expr(s"aggregate(zip_with(siga, sigb, (p, q) -> CASE WHEN p = q THEN 1.0 ELSE 0.0 END), cast(0.0 as double), (acc, v) -> acc + v) / $K"), 4))
+        // compiled slot-agreement count (VecExprs.slotAgree): same
+        // 0.0/1.0 fold as the former zip_with+aggregate HOF, one
+        // codegen loop per candidate instead of K interpreted lambdas
+        round(graft.functions.VecExprs.slotAgree(col("siga"), col("sigb")) / lit(K), 4))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard").distinct()
   }
@@ -639,7 +642,7 @@ object Dedup {
     val scored = hBands.join(broadcast(bBands), Seq("band", "piece"))
       .select("doc_id", "bsg", "hid", "hsg").distinct()
       .withColumn("est", round(
-        expr(s"aggregate(zip_with(bsg, hsg, (p, q) -> CASE WHEN p = q THEN 1.0 ELSE 0.0 END), cast(0.0 as double), (acc, v) -> acc + v) / $K"), 4))
+        graft.functions.VecExprs.slotAgree(col("bsg"), col("hsg")) / lit(K), 4))
       .filter(col("est") >= threshold)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("est").desc, col("hid").asc)

@@ -3,11 +3,14 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, built from
-  * codegen'd higher-order functions (`zip_with`/`aggregate`) — no UDFs,
-  * so the expressions stay inside whole-stage codegen and never leave
-  * the Tungsten row format (build-rule preference (a) over a custom
-  * Expression, which profiling hasn't yet justified).
+/** Vector math over `array<float>` embedding columns — no UDFs; every
+  * op is a compiled codegen expression ([[DotProductExpr]],
+  * [[VecExprs]]), so the hot paths stay inside whole-stage codegen and
+  * never leave the Tungsten row format. (History: these started as
+  * `zip_with`/`aggregate` higher-order functions, whose per-element
+  * interpreted lambdas dominated profile after profile — dot in r8,
+  * l2sq/l2normalize in r22; each compiled form keeps the HOF's exact
+  * fold order, so results are bit-identical.)
   */
 object VectorOps {
 
@@ -61,18 +64,13 @@ object VectorOps {
     * sits in the `otherwise` branch, so it never executes on guarded
     * rows.
     */
-  def l2normalize(a: Column): Column = {
-    val n = norm(a)
-    transform(a.cast("array<double>"),
-      x => when(n === lit(0.0), lit(0.0)).otherwise(x / n))
-  }
+  def l2normalize(a: Column): Column = VecExprs.l2normalize(a)
 
   /** Squared L2 distance (cheaper than cosine when vectors are
-    * pre-normalized: monotone-equivalent ranking).
+    * pre-normalized: monotone-equivalent ranking). Compiled
+    * ([[L2SqExpr]]) since r22 — the `aggregate(zip_with(...))` HOF
+    * spelling evaluated interpreted lambdas per element in every
+    * query×centroid probe ranking; same fold order, bit-identical.
     */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => (x - y) * (x - y)),
-      lit(0.0),
-      (acc, v) => acc + v)
+  def l2sq(a: Column, b: Column): Column = VecExprs.l2sq(a, b)
 }
