@@ -362,7 +362,7 @@ object AnnIndex {
     // WHICH census epoch applies, so blocklist and batch set can never
     // be torn apart
     val sigs = readBatches(spark, s"$path/sigs", man.batches)
-      .join(broadcast(spark.read.parquet(s"$path/hot/${man.hotTok}")),
+      .join(broadcast(readTable(spark, s"$path/hot/${man.hotTok}")),
         Seq("t", "b"), "left_anti")
     // beyond the cap the join stays UNHINTED: AQE picks shuffle-hash
     // while the slim probe build fits executor memory and a spillable
@@ -468,7 +468,7 @@ object AnnIndex {
     * the IVF contract (centroids are driver-small).
     */
   def ivfCentroids(spark: SparkSession, path: String): Seq[(Long, Array[Double])] =
-    spark.read.parquet(s"$path/centroids")
+    readTable(spark, s"$path/centroids")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
@@ -530,7 +530,7 @@ object AnnIndex {
     val meta = ivfMetaOf(man)
     requireFresh(meta.n, meta.rows, path)
     val probeCount = if (nProbe > 0) nProbe else meta.nProbe
-    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val centroids = broadcast(readTable(spark, s"$path/centroids"))
     val probes = Similarity.ivfQueryProbes(queries, idCol, vecCol, centroids, probeCount)
       .withColumn("listp", listPart(col("list")))
     // the probed-list union is bounded by the list count (IVF contract:
@@ -736,7 +736,7 @@ object AnnIndex {
 
   private def readCodebooks(spark: SparkSession, path: String,
       meta: IvfPqMeta): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(s"$path/codebooks").collect()
+    val rows = readTable(spark, s"$path/codebooks").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
     Array.tabulate(meta.m)(mi =>
       rows.filter(_._1 == mi).sortBy(_._2).map(_._3))
@@ -785,7 +785,7 @@ object AnnIndex {
     val queries = Similarity.normalizedSide(queries0, idCol, vecCol)
     val probeCount = if (nProbe > 0) nProbe else meta.nProbe
     val codebooks = readCodebooks(spark, path, meta)
-    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val centroids = broadcast(readTable(spark, s"$path/centroids"))
     val probes = Similarity.pqQueryProbes(queries, idCol, vecCol, centroids, probeCount)
       .withColumn("listp", listPart(col("list")))
     val probed = probes.select("listp").distinct()
@@ -870,16 +870,44 @@ object AnnIndex {
   private def deleteDir(spark: SparkSession, path: String): Unit =
     fsOf(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
 
+  /** Store-table schema catalog: a store table's schema is fixed by
+    * the index FORMAT (the manifest pins the shape), so the parquet
+    * footer-inference pass — a 1-task job plus driver gap, paid on
+    * EVERY probe's every table read — carries no information after the
+    * first read in a JVM. First read infers and caches (plans
+    * byte-identical to the uncached path); later reads of the same dir
+    * replay the cached schema. Keyed by exact directory (hot/ census
+    * epochs and rebuilt stores re-infer under their new key; a rebuilt
+    * store at the SAME path keeps the same format-fixed schema by the
+    * store contract). Same role as the Tables/BatchTable catalogs
+    * (guide §6 metadata overhead).
+    */
+  private val schemaCat =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def readTable(spark: SparkSession, dir: String): DataFrame = {
+    val r = Option(schemaCat.get(dir)).map(spark.read.schema(_)).getOrElse(spark.read)
+    val df = r.parquet(dir)
+    schemaCat.putIfAbsent(dir, df.schema)
+    df
+  }
+
   /** Read the union of the named batch directories under `root`. The
     * explicit per-batch paths (with `basePath`) are the crash-safety
     * read discipline: orphan directories from torn mutations are never
-    * listed, so they are invisible however long they linger.
+    * listed, so they are invisible however long they linger. Schema
+    * cached per root ([[schemaCat]] — the cached schema includes the
+    * discovered `batch` partition column, so replaying it reproduces
+    * the inferred read's column set exactly).
     */
   private def readBatches(spark: SparkSession, root: String,
-      batches: Seq[String]): DataFrame =
-    spark.read.option("basePath", root)
+      batches: Seq[String]): DataFrame = {
+    val r = Option(schemaCat.get(root)).map(spark.read.schema(_)).getOrElse(spark.read)
+    val df = r.option("basePath", root)
       .parquet(batches.map(b => s"$root/batch=$b"): _*)
-      .drop("batch")
+    schemaCat.putIfAbsent(root, df.schema)
+    df.drop("batch")
+  }
 
   private def commit(spark: SparkSession, path: String, man: Manifest): Unit = {
     val fs = fsOf(spark, path)
