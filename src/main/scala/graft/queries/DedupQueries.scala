@@ -246,7 +246,7 @@ object DedupQueries extends QueryGroup {
         // path inside an oracle-checked query, not only in specs
         if (b == 1L) StreamingDedupGate.compactSignatures(s, s"$root/sigs", upToBatch = 0L)
       }
-      s.read.parquet(s"$root/verdicts")
+      graft.streaming.BatchTable.readAll(s, s"$root/verdicts")
         .select("doc_id", "exact_dup_id", "near_dup_id", "near_est", "is_new")
         .orderBy("doc_id")
     }),
@@ -275,7 +275,7 @@ object DedupQueries extends QueryGroup {
           s"$root/store", s"$root/verdicts", threshold = 0.45, batchId = b)
         if (b == 1L) EmbeddingDedupGate.compactStore(s, s"$root/store", upToBatch = 0L)
       }
-      s.read.parquet(s"$root/verdicts")
+      graft.streaming.BatchTable.readAll(s, s"$root/verdicts")
         .select("doc_id", "exact_dup_id", "near_dup_id", "near_cos", "is_new")
         .orderBy("doc_id")
     }),
@@ -304,7 +304,7 @@ object DedupQueries extends QueryGroup {
           s"$root/store", s"$root/verdicts", threshold = 0.45, batchId = b)
         if (b == 2L) IndexedEmbeddingGate.compactStore(s, s"$root/store", upToBatch = 1L)
       }
-      s.read.parquet(s"$root/verdicts")
+      graft.streaming.BatchTable.readAll(s, s"$root/verdicts")
         .select("doc_id", "exact_dup_id", "near_dup_id", "near_cos", "is_new")
         .orderBy("doc_id")
     }),

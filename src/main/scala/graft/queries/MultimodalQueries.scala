@@ -177,7 +177,7 @@ object MultimodalQueries extends QueryGroup {
           batchIds = Some(slice.select(col("doc_id").cast("long").as("id"))))
         if (b == 1L) ImageDedupGate.compactFingerprints(s, s"$root/fps", upToBatch = 0L)
       }
-      s.read.parquet(s"$root/verdicts")
+      graft.streaming.BatchTable.readAll(s, s"$root/verdicts")
         .select("doc_id", "exact_dup_id", "near_dup_id", "near_hamming", "is_new")
         .orderBy("doc_id")
     }),

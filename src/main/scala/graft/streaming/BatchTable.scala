@@ -98,6 +98,12 @@ object BatchTable {
   def readExcluding(spark: SparkSession, dir: String, batchId: Long): DataFrame =
     reader(spark, dir).parquet(dir).filter(col(BatchCol) =!= batchId).drop(BatchCol)
 
+  /** Read the whole table (all batches, data columns only) — the
+    * consumer-side read of a finished replay/ingest, through the same
+    * schema catalog as [[readExcluding]]. */
+  def readAll(spark: SparkSession, dir: String): DataFrame =
+    reader(spark, dir).parquet(dir).drop(BatchCol)
+
   /** Maintenance pass: fold the per-batch partitions for batches
     * `0..upToBatch` (plus any prior compaction) into the single
     * `__batch_id=-1` partition — the small-files compaction an
