@@ -35,9 +35,10 @@ object Graph {
     * only the O(|N|) rank table moves — join current ranks to the
     * cached edges on the out key, hash-aggregate contributions by the
     * in key, left-join back to the (node, deg) base. The
-    * dangling total is a 1-row aggregate broadcast into the round (no
-    * extra shuffle), and N is a constant. Lineage is truncated EVERY
-    * round (`localCheckpoint`, or reliable `checkpoint` when
+    * dangling total rides the previous round's materialization as an
+    * Observation metric and enters the round as a literal share (no
+    * extra pass, no broadcast — r22), and N is a constant. Lineage is
+    * truncated EVERY round (`localCheckpoint`, or reliable `checkpoint` when
     * `checkpointDir` is set — same contract as
     * `Pipeline.connectedComponents`), so analyzer/scheduler cost stays
     * constant at the 20+ iterations a real ranking needs instead of
@@ -112,6 +113,16 @@ object Graph {
     }
 
     var rank = truncate(base.withColumn("pr_micro", lit(1000000L)))
+    // The round's dangling mass D = Σ pr over deg-0 nodes of the
+    // PREVIOUS round's ranks. It starts as nDangling·10⁶ (every rank
+    // is exactly 10⁶) and thereafter RIDES each round's own
+    // materialization as a second Observation metric — the former
+    // per-round filter+aggregate+broadcast over the full rank table
+    // (one extra scan and one broadcast-exchange job per round) carried
+    // no information the round's output didn't already hold (r22).
+    // Inlined as a LITERAL share, the arithmetic is the identical
+    // integer chain: (850·(in_sum + D div N)) div 1000.
+    var dangSum = nDangling * 1000000L
     var i = 0
     var converged = false
     while (!converged && i < iters) {
@@ -121,30 +132,21 @@ object Graph {
         .select(e("dst"), expr("pr_micro div deg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("in_sum"))
       val joined = rank.join(contribs, rank("node") === contribs("dst"), "left")
-      val next =
-        if (nDangling == 0L)
-          // no sinks exist ⇒ dang_sum = 0 every round; same integer
-          // arithmetic with the zero share folded away
-          joined.select(col("node"), col("deg"), col("pr_micro").as("pr_prev"),
-            (lit(150000L) + expr(
-              "(850 * coalesce(in_sum, cast(0 as bigint))) div 1000"))
-              .as("pr_micro"))
-        else {
-          // dangling mass: 1-row aggregate, broadcast into the round
-          val dang = rank.filter(col("deg") === 0)
-            .agg(coalesce(sum("pr_micro"), lit(0L)).as("dang_sum"))
-          joined
-            .crossJoin(broadcast(dang))
-            .select(col("node"), col("deg"), col("pr_micro").as("pr_prev"),
-              (lit(150000L) + expr(
-                s"(850 * (coalesce(in_sum, cast(0 as bigint)) + (dang_sum div $nNodes))) div 1000"))
-                .as("pr_micro"))
-        }
+      // nDangling == 0 ⇒ dangSum stays 0 forever and the share folds
+      // away: (850·(in_sum + 0 div N)) div 1000 ≡ (850·in_sum) div 1000
+      val share = if (nDangling == 0L) "" else s" + ${dangSum / nNodes}L"
+      val next = joined
+        .select(col("node"), col("deg"), col("pr_micro").as("pr_prev"),
+          (lit(150000L) + expr(
+            s"(850 * (coalesce(in_sum, cast(0 as bigint))$share)) div 1000"))
+            .as("pr_micro"))
       val obs = org.apache.spark.sql.Observation(s"pr_round_${i}_${java.util.UUID.randomUUID()}")
       rank = truncate(
-        next.observe(obs, sum(abs(col("pr_micro") - col("pr_prev"))).as("l1_delta"))
+        next.observe(obs, sum(abs(col("pr_micro") - col("pr_prev"))).as("l1_delta"),
+            coalesce(sum(when(col("deg") === 0, col("pr_micro"))), lit(0L)).as("dang_sum"))
           .select("node", "deg", "pr_micro"))
       val delta = Option(obs.get("l1_delta")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      dangSum = Option(obs.get("dang_sum")).map(_.asInstanceOf[Long]).getOrElse(0L)
       converged = delta <= tolMicro
       i += 1
     }
